@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (t2).
+
+Runs each oracle SQL from oracle_sql.json in DuckDB against the testdata
+parquet tables, loads the corresponding Spark result parquet written by
+graft.Verify, sorts columns by name and rows by all columns on both sides,
+and compares values exactly. Usage:
+
+    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+    python3 scripts/check_correctness.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+
+def canon(rows, cols):
+    """column-name-sorted, row-sorted canonical form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda tup: tuple((x is None, str(x)) for x in tup))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def approx_eq(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) and isinstance(b, (int, float)):
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(os.listdir(out_dir)):
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            continue
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"SKIP  {name}: no result parquet")
+            n_skip += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(got)} rows (no oracle)")
+            n_skip += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(got, got_cols)
+        ec, er = canon(exp, exp_cols)
+        if gc != ec:
+            print(f"FAIL  {name}: columns {gc} != {ec}")
+            n_fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL  {name}: {len(gr)} rows != {len(er)} rows")
+            n_fail += 1
+            continue
+        bad = None
+        exact = True
+        for i, (g, e) in enumerate(zip(gr, er)):
+            if g != e:
+                exact = False
+                if all(approx_eq(a, b) for a, b in zip(g, e)):
+                    continue
+                bad = (i, g, e)
+                break
+        if bad:
+            i, g, e = bad
+            print(f"FAIL  {name}: row {i}\n  got {g}\n  exp {e}")
+            n_fail += 1
+        elif not exact:
+            print(f"WARN  {name}: {len(gr)} rows approx-equal only "
+                  f"(hash would MISMATCH — tighten rounding)")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(gr)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only/skip")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
