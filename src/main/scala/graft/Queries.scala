@@ -20,7 +20,7 @@ object Queries {
 
   /** Flagship: reference examples/01_binary_ingest.py end-to-end on Spark. */
   def flagship(spark: SparkSession, dir: String): DataFrame =
-    all("q1_agg")(spark, dir)
+    QueriesTelemetry.flagship(spark, dir)
 
   // ---------------------------------------------------------------------
   // §2.4 aggregations
@@ -42,7 +42,7 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _))
-  )
+  ) ++ QueriesTelemetry.queries
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -56,5 +56,5 @@ object Queries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ QueriesTelemetry.oracles
 }

@@ -1,0 +1,288 @@
+package graft
+
+import graft.operators.{Calibration, Decom, Telemetry}
+import graft.sources.{CcsdsSource, CsvTelemetrySource}
+import graft.telemetry._
+import graft.telemetry.CcsdsColumns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Telemetry-domain driver facade (SURVEY.md §7.0): every CCSDS operator
+  * driven from a packet stream synthesized deterministically out of
+  * lineitem ints, so DuckDB can oracle-check the binary decode purely
+  * arithmetically (FIXTURES.md §5).
+  *
+  * Packet layout: APID 0x100 (even l_linenumber) user_data = uint16
+  * l_quantity ++ uint16 l_partkey%65536 ++ uint32 round(l_extendedprice*100)
+  * %2^32; APID 0x200 (odd) = uint16 l_suppkey%65536 ++ uint32 l_orderkey.
+  * seq_count = (l_orderkey*8+l_linenumber)%16384; source_time_tai =
+  * l_orderkey*10+l_linenumber (unique per packet).
+  */
+object QueriesTelemetry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val apidCol = when(col("l_linenumber") % 2 === 0, lit(0x100)).otherwise(lit(0x200))
+  private val seqCol = ((col("l_orderkey") * 8 + col("l_linenumber")) % 16384).cast("int")
+  private val timeCol = (col("l_orderkey") * 10 + col("l_linenumber")).cast("double")
+
+  /** The synthetic packet frame (already-parsed form; the byte-stream
+    * parse path is exercised by the flagship entry + ScalaTest).
+    */
+  def synthPackets(s: SparkSession, dir: String): DataFrame = {
+    val ud100 = concat(
+      packUint16(col("l_quantity").cast("int")),
+      packUint16(col("l_partkey") % 65536),
+      packUint32(round(col("l_extendedprice") * 100, 0).cast("bigint") % 4294967296L))
+    val ud200 = concat(
+      packUint16(col("l_suppkey") % 65536),
+      packUint32(col("l_orderkey") % 4294967296L))
+    val ud = when(apidCol === 0x100, ud100).otherwise(ud200)
+    t(s, dir, "lineitem").select(
+      lit(0).as("version"), lit(0).as("type_flag"), lit(0).as("sec_hdr_flag"),
+      apidCol.as("apid"), lit(3).as("seq_flags"), seqCol.as("seq_count"),
+      (length(ud) - 1).cast("int").as("data_length"),
+      lit(Array.emptyByteArray).as("secondary_header"),
+      ud.as("user_data"),
+      timeCol.as("source_time_tai"),
+      lit(null).cast("double").as("ground_receipt_time"),
+      lit("synth").as("source_id"))
+  }
+
+  val mib: Seq[ParameterDef] = Seq(
+    ParameterDef("p_qty", 0x100, 0, 16, ParameterType.UINT, Some("DN")),
+    ParameterDef("p_part", 0x100, 2, 16, ParameterType.UINT),
+    ParameterDef("p_ext", 0x100, 4, 32, ParameterType.UINT, Some("cents")),
+    ParameterDef("q_supp", 0x200, 0, 16, ParameterType.UINT),
+    ParameterDef("q_ord", 0x200, 2, 32, ParameterType.UINT))
+
+  val calibrations: Seq[CalibrationEntry] = Seq(
+    CalibrationEntry("p_qty", "polynomial", Some("degC"),
+      coefficients = Seq(-55.0, 0.04394531)),
+    CalibrationEntry("p_part", "table", Some("A"),
+      table_raw = Seq(0.0, 16384.0, 32768.0, 49152.0, 65535.0),
+      table_eng = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)))
+
+  private def samples(s: SparkSession, dir: String): DataFrame =
+    Decom(synthPackets(s, dir), mib)
+
+  private def calibrated(s: SparkSession, dir: String): DataFrame =
+    Calibration(samples(s, dir), calibrations)
+
+  // --- queries ---------------------------------------------------------
+
+  private def t1HeaderRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = synthPackets(s, dir)
+    val packed = packHeader(col("version"), col("type_flag"), col("sec_hdr_flag"),
+      col("apid"), col("seq_flags"), col("seq_count"), col("data_length"))
+    p.select(col("source_time_tai").as("time_tai"), parseHeader(packed).as("h"))
+      .select(col("time_tai"), col("h.version").as("version"),
+        col("h.type_flag").as("type_flag"), col("h.sec_hdr_flag").as("sec_hdr_flag"),
+        col("h.apid").as("apid"), col("h.seq_flags").as("seq_flags"),
+        col("h.seq_count").as("seq_count"), col("h.data_length").as("data_length"))
+      .orderBy("time_tai")
+  }
+
+  private def t2Decom(s: SparkSession, dir: String): DataFrame =
+    samples(s, dir)
+      .select("name", "apid", "seq_count", "time_tai", "raw_value")
+      .orderBy("time_tai", "name")
+
+  private def t3Calibration(s: SparkSession, dir: String): DataFrame =
+    calibrated(s, dir)
+      .select(col("name"), col("time_tai"),
+        round(col("eng_value"), 6).as("eng_value"),
+        col("unit"), col("calibration_id"))
+      .orderBy("time_tai", "name")
+
+  private def t4WidePivot(s: SparkSession, dir: String): DataFrame =
+    Telemetry.wide(samples(s, dir), Seq("p_qty", "p_part", "p_ext", "q_supp", "q_ord"))
+
+  private def t5ApidFilter(s: SparkSession, dir: String): DataFrame =
+    Telemetry.apidFilter(synthPackets(s, dir), include = Seq(0x100))
+      .select(col("apid"), col("seq_count"), col("source_time_tai").as("time_tai"))
+      .orderBy("time_tai")
+
+  private def t6Tidy(s: SparkSession, dir: String): DataFrame =
+    Telemetry.tidy(
+      calibrated(s, dir).withColumn("eng_value", round(col("eng_value"), 6)))
+
+  private def t7Inspect(s: SparkSession, dir: String): DataFrame =
+    Telemetry.inspect(
+      synthPackets(s, dir).where(col("source_time_tai") <= 16000), // unique seq range
+      maxPackets = 50)
+
+  private def t8Merge(s: SparkSession, dir: String): DataFrame = {
+    val p = synthPackets(s, dir)
+    Telemetry.merge(
+        Telemetry.apidFilter(p, include = Seq(0x100)),
+        Telemetry.apidFilter(p, include = Seq(0x200)))
+      .groupBy("apid").agg(count(lit(1)).as("n"))
+      .orderBy("apid")
+  }
+
+  private def t9StringDecom(s: SparkSession, dir: String): DataFrame = {
+    val packets = t(s, dir, "lineitem").select(
+      lit(0).as("version"), lit(0).as("type_flag"), lit(0).as("sec_hdr_flag"),
+      lit(0x300).as("apid"), lit(3).as("seq_flags"), seqCol.as("seq_count"),
+      lit(1).as("data_length"),
+      lit(Array.emptyByteArray).as("secondary_header"),
+      concat(col("l_returnflag"), col("l_linestatus")).cast("binary").as("user_data"),
+      timeCol.as("source_time_tai"),
+      lit(null).cast("double").as("ground_receipt_time"),
+      lit("synth").as("source_id"))
+    val defs = Seq(
+      ParameterDef("flag_str", 0x300, 0, 16, ParameterType.STRING),
+      ParameterDef("flag_hex", 0x300, 0, 16, ParameterType.BINARY))
+    Decom(packets, defs)
+      .select("name", "time_tai", "eng_value_str")
+      .orderBy("time_tai", "name")
+  }
+
+  private def t10CsvUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wideCsv = t(s, dir, "lineitem").select(
+      timeCol.as("time"),
+      lit(0x300).as("apid"),
+      seqCol.as("seq_count"),
+      col("l_quantity").as("qty"),
+      nullif(col("l_discount"), lit(0.0)).as("disc")) // null cells are skipped
+    CsvTelemetrySource.samplesFromWide(wideCsv)
+      .select("name", "time_tai", "raw_value", "eng_value")
+      .orderBy("time_tai", "name")
+  }
+
+  /** Flagship (reference examples/01_binary_ingest.py end-to-end): parse
+    * a real CCSDS byte stream, decom, calibrate, tidy.
+    */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val packets = CcsdsSource.packetsFromBytes(
+      spark, Seq(Fixtures.hkStream(200)), CcsdsSource.Options(secHdrLength = 4))
+    Telemetry.tidy(Calibration(Decom(packets, Fixtures.hkParamDefs), Fixtures.hkCalibrations))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_header_roundtrip" -> (t1HeaderRoundtrip(_, _)),
+    "t2_decom" -> (t2Decom(_, _)),
+    "t3_calibration" -> (t3Calibration(_, _)),
+    "t4_wide_pivot" -> (t4WidePivot(_, _)),
+    "t5_apid_filter" -> (t5ApidFilter(_, _)),
+    "t6_tidy" -> (t6Tidy(_, _)),
+    "t7_inspect" -> (t7Inspect(_, _)),
+    "t8_merge" -> (t8Merge(_, _)),
+    "t9_string_decom" -> (t9StringDecom(_, _)),
+    "t10_csv_unpivot" -> (t10CsvUnpivot(_, _)))
+
+  // --- oracles ---------------------------------------------------------
+  // Shared SQL fragments (DuckDB dialect).
+
+  private val timeSql = "CAST(l_orderkey * 10 + l_linenumber AS DOUBLE)"
+  private val seqSql = "CAST((l_orderkey * 8 + l_linenumber) % 16384 AS INT)"
+  private val apidSql = "CASE WHEN l_linenumber % 2 = 0 THEN 256 ELSE 512 END"
+
+  /** Long-format decommutated samples, raw values arithmetically. */
+  private val rawSamplesSql =
+    s"""SELECT name, $apidSql AS apid, $seqSql AS seq_count, $timeSql AS time_tai,
+       |       raw_value
+       |FROM (
+       |  SELECT l_orderkey, l_linenumber, 'p_qty' AS name,
+       |         CAST(CAST(l_quantity AS INT) AS DOUBLE) AS raw_value
+       |  FROM lineitem WHERE l_linenumber % 2 = 0
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, 'p_part',
+       |         CAST(l_partkey % 65536 AS DOUBLE)
+       |  FROM lineitem WHERE l_linenumber % 2 = 0
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, 'p_ext',
+       |         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) % 4294967296 AS DOUBLE)
+       |  FROM lineitem WHERE l_linenumber % 2 = 0
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, 'q_supp',
+       |         CAST(l_suppkey % 65536 AS DOUBLE)
+       |  FROM lineitem WHERE l_linenumber % 2 = 1
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, 'q_ord',
+       |         CAST(l_orderkey % 4294967296 AS DOUBLE)
+       |  FROM lineitem WHERE l_linenumber % 2 = 1
+       |)""".stripMargin
+
+  /** eng_value after calibration, arithmetically (poly for p_qty, table
+    * interp for p_part, identity otherwise), rounded to 6 dp.
+    */
+  private val engSql =
+    """CASE name
+      |  WHEN 'p_qty' THEN round(0.04394531 * raw_value + (-55.0), 6)
+      |  WHEN 'p_part' THEN round(
+      |    CASE
+      |      WHEN raw_value <= 0 THEN -2.0
+      |      WHEN raw_value < 16384 THEN -2.0 + (raw_value - 0.0) * ((-1.0 - -2.0) / (16384.0 - 0.0))
+      |      WHEN raw_value < 32768 THEN -1.0 + (raw_value - 16384.0) * ((0.0 - -1.0) / (32768.0 - 16384.0))
+      |      WHEN raw_value < 49152 THEN 0.0 + (raw_value - 32768.0) * ((1.0 - 0.0) / (49152.0 - 32768.0))
+      |      WHEN raw_value < 65535 THEN 1.0 + (raw_value - 49152.0) * ((2.0 - 1.0) / (65535.0 - 49152.0))
+      |      ELSE 2.0
+      |    END, 6)
+      |  ELSE round(raw_value, 6)
+      |END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t1_header_roundtrip" ->
+      s"""SELECT $timeSql AS time_tai, 0 AS version, 0 AS type_flag, 0 AS sec_hdr_flag,
+         |  $apidSql AS apid, 3 AS seq_flags, $seqSql AS seq_count,
+         |  CASE WHEN l_linenumber % 2 = 0 THEN 7 ELSE 5 END AS data_length
+         |FROM lineitem ORDER BY time_tai""".stripMargin,
+    "t2_decom" ->
+      s"$rawSamplesSql ORDER BY time_tai, name",
+    "t3_calibration" ->
+      s"""SELECT name, time_tai, $engSql AS eng_value,
+         |  CASE name WHEN 'p_qty' THEN 'degC' WHEN 'p_part' THEN 'A'
+         |            WHEN 'p_ext' THEN 'cents' END AS unit,
+         |  CASE name WHEN 'p_qty' THEN 'polynomial' WHEN 'p_part' THEN 'table' END AS calibration_id
+         |FROM ($rawSamplesSql)
+         |ORDER BY time_tai, name""".stripMargin,
+    "t4_wide_pivot" ->
+      s"""SELECT time_tai,
+         |  max(CASE WHEN name = 'p_qty' THEN raw_value END) AS p_qty,
+         |  max(CASE WHEN name = 'p_part' THEN raw_value END) AS p_part,
+         |  max(CASE WHEN name = 'p_ext' THEN raw_value END) AS p_ext,
+         |  max(CASE WHEN name = 'q_supp' THEN raw_value END) AS q_supp,
+         |  max(CASE WHEN name = 'q_ord' THEN raw_value END) AS q_ord
+         |FROM ($rawSamplesSql)
+         |GROUP BY time_tai ORDER BY time_tai""".stripMargin,
+    "t5_apid_filter" ->
+      s"""SELECT $apidSql AS apid, $seqSql AS seq_count, $timeSql AS time_tai
+         |FROM lineitem WHERE l_linenumber % 2 = 0 ORDER BY time_tai""".stripMargin,
+    "t6_tidy" ->
+      s"""SELECT time_tai, apid, seq_count, raw_value, $engSql AS eng_value,
+         |  CASE name WHEN 'p_qty' THEN 'degC' WHEN 'p_part' THEN 'A'
+         |            WHEN 'p_ext' THEN 'cents' END AS unit,
+         |  TRUE AS validity, FALSE AS out_of_limit, 0 AS alarm_level
+         |FROM ($rawSamplesSql)
+         |ORDER BY time_tai, apid, seq_count, name""".stripMargin,
+    "t7_inspect" ->
+      s"""SELECT printf('0x%04X', $apidSql) AS apid_hex, $seqSql AS seq_count,
+         |  CASE WHEN l_linenumber % 2 = 0 THEN 8 ELSE 6 END AS data_bytes,
+         |  'TM' AS packet_type, 0 AS sec_hdr_flag
+         |FROM lineitem WHERE l_orderkey * 10 + l_linenumber <= 16000
+         |ORDER BY $apidSql, $seqSql LIMIT 50""".stripMargin,
+    "t8_merge" ->
+      s"""SELECT $apidSql AS apid, count(*) AS n FROM lineitem
+         |GROUP BY 1 ORDER BY apid""".stripMargin,
+    "t9_string_decom" ->
+      s"""SELECT name, $timeSql AS time_tai,
+         |  CASE WHEN name = 'flag_str' THEN l_returnflag || l_linestatus
+         |       ELSE lower(hex(l_returnflag || l_linestatus)) END AS eng_value_str
+         |FROM lineitem
+         |CROSS JOIN (SELECT 'flag_str' AS name UNION ALL SELECT 'flag_hex') n
+         |ORDER BY time_tai, name""".stripMargin,
+    "t10_csv_unpivot" ->
+      s"""SELECT name, $timeSql AS time_tai, raw_value, raw_value AS eng_value
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, 'qty' AS name, l_quantity AS raw_value
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, 'disc', nullif(l_discount, 0.0)
+         |  FROM lineitem
+         |)
+         |WHERE raw_value IS NOT NULL
+         |ORDER BY time_tai, name""".stripMargin)
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Filters, exports, set ops, and summary aggregates over packet and
+  * sample frames — the reference's remaining data-touching operators
+  * (SURVEY.md §2.2, §2.4, §2.6, §2.7).
+  */
+object Telemetry {
+
+  /** APID include/exclude filter (reference filter.py:27-46): include and
+    * exclude are mutually exclusive; neither set = no-op.
+    */
+  def apidFilter(df: DataFrame, include: Seq[Int] = Nil, exclude: Seq[Int] = Nil): DataFrame = {
+    require(include.isEmpty || exclude.isEmpty,
+      "include and exclude are mutually exclusive")
+    if (include.nonEmpty) df.where(col("apid").isin(include.map(Integer.valueOf): _*))
+    else if (exclude.nonEmpty) df.where(!col("apid").isin(exclude.map(Integer.valueOf): _*))
+    else df
+  }
+
+  /** Tidy/long export (dataset.py:63-82): 9 sample fields sorted by time.
+    * seq_count+name added to the sort for a deterministic total order
+    * (pandas' stable sort preserved insertion order; Spark needs explicit
+    * tiebreaks).
+    */
+  def tidy(samples: DataFrame): DataFrame =
+    samples
+      .select("time_tai", "apid", "seq_count", "raw_value", "eng_value",
+        "unit", "validity", "out_of_limit", "alarm_level")
+      .orderBy("time_tai", "apid", "seq_count")
+
+  /** Wide/pivoted export (dataset.py:84-95): one column per parameter,
+    * full-outer aligned on time. The reference's dict-overwrite makes
+    * duplicate (name, time) pairs collapse last-wins in sample order ==
+    * seq order; `max_by(eng_value, seq_count)` reproduces that
+    * deterministically.
+    */
+  def wide(samples: DataFrame, parameterNames: Seq[String] = Nil): DataFrame = {
+    val p = samples.groupBy(col("time_tai"))
+    val pivoted =
+      if (parameterNames.nonEmpty) p.pivot("name", parameterNames)
+      else p.pivot("name")
+    // last-wins = highest seq_count; equal seq_counts (the reference's
+    // arbitrary insertion order) break deterministically by value.
+    pivoted
+      .agg(max_by(col("eng_value"), struct(col("seq_count"), col("eng_value"))))
+      .orderBy("time_tai")
+  }
+
+  /** Dataset union (dataset.py:112-130 `merge`): concatenation, no dedup. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
+  /** Per-parameter record stats: count + time_range
+    * (parameter.py:68-77) as one grouped aggregation.
+    */
+  def parameterStats(samples: DataFrame): DataFrame =
+    samples.groupBy("name").agg(
+      count(lit(1)).as("n_samples"),
+      min("time_tai").as("time_min"),
+      max("time_tai").as("time_max"))
+
+  /** `mdp inspect` projection (cli/main.py:117-133): per-packet summary
+    * with hex APID, capped at maxPackets.
+    */
+  def inspect(packets: DataFrame, maxPackets: Int = 50): DataFrame =
+    packets
+      .orderBy("apid", "seq_count")
+      .select(
+        format_string("0x%04X", col("apid")).as("apid_hex"),
+        col("seq_count"),
+        (col("data_length") + 1).as("data_bytes"),
+        when(col("type_flag") === 1, "TC").otherwise("TM").as("packet_type"),
+        col("sec_hdr_flag"))
+      .limit(maxPackets)
+}
