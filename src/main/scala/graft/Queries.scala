@@ -42,7 +42,7 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _))
-  ) ++ QueriesTelemetry.queries
+  ) ++ QueriesTelemetry.queries ++ QueriesRelational.queries
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -56,5 +56,5 @@ object Queries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ QueriesTelemetry.oracles
+  ) ++ QueriesTelemetry.oracles ++ QueriesRelational.oracles
 }

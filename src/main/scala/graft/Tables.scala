@@ -12,4 +12,16 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read nanos as long and convert to a microsecond
+    * timestamp (the testdata has no sub-microsecond components, so the
+    * conversion is lossless and DuckDB-comparable).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
+  }
 }
