@@ -42,7 +42,8 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _))
-  ) ++ QueriesTelemetry.queries ++ QueriesRelational.queries
+  ) ++ QueriesTelemetry.queries ++ QueriesRelational.queries ++
+    QueriesTrainingData.queries
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -56,5 +57,6 @@ object Queries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ QueriesTelemetry.oracles ++ QueriesRelational.oracles
+  ) ++ QueriesTelemetry.oracles ++ QueriesRelational.oracles ++
+    QueriesTrainingData.oracles
 }

@@ -1,0 +1,327 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline facade: dedup / similarity / text analysis /
+  * multimodal over the `documents` and `embeddings` tables, each with a
+  * DuckDB oracle where the math is SQL-expressible in both engines
+  * (hashes are md5-derived for exactly this reason). `s2_ann_lsh` and
+  * `m2_media_features` are rows-only (float32 accumulation / recall
+  * semantics are asserted in ScalaTest instead).
+  */
+object QueriesTrainingData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  // --- text analysis ---------------------------------------------------
+
+  private def x1TokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  private def x2Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextAnalysis.meanWordLength(col("text")), 6).as("mean_word_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  private def x3LangId(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextAnalysis.langId(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      pred.getField("code").as("lang_pred"),
+      round(pred.getField("score"), 6).as("lang_score"),
+      col("lang").as("lang_true"))
+      .orderBy("doc_id")
+  }
+
+  private def x4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+      TextAnalysis.fingerprint64(col("text")).as("fp64"))
+      .orderBy("doc_id")
+
+  // --- dedup -----------------------------------------------------------
+
+  private def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir)).orderBy("content_md5")
+
+  private def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05, blockCol = "source")
+      .orderBy("a_id", "b_id")
+
+  private def d3MinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docs(s, dir), numHashes = 8, shingleSize = 3)
+      .orderBy("doc_id", "k")
+
+  private def d4LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sigs = Dedup.minhashSignatures(d, numHashes = 8, shingleSize = 3)
+    val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
+    val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(Dedup.jaccard(col("a_sh"), col("b_sh")), 6).as("jaccard_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private def d5Simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), Dedup.simhash48(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  private def d6SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), maxHamming = 14, blockCol = "source")
+      .orderBy("a_id", "b_id")
+
+  private def d7EmbedDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(embs(s, dir), threshold = 0.8, blockCol = "label")
+      .orderBy("a_id", "b_id")
+
+  // --- similarity search ----------------------------------------------
+
+  private def s1CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 20), k = 5, planesPerTable = 4, numTables = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  // --- multimodal ------------------------------------------------------
+
+  /** Media table synthesized from documents: payload = md5-hex bytes
+    * (ASCII-safe so the oracle can recompute per-byte arithmetic).
+    */
+  private def mediaDf(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      md5(col("text").cast("binary")).cast("binary").as("payload"),
+      col("source"))
+
+  private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withMeta(mediaDf(s, dir))
+      .select(col("media_id"), col("media_type"), col("width"), col("height"),
+        col("format"), length(col("payload")).as("payload_len"))
+      .orderBy("media_id")
+
+  private def m2MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withFeatures(mediaDf(s, dir))
+      .select(col("media_id"), size(col("features")).as("feature_dim"))
+      .orderBy("media_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_token_stats" -> (x1TokenStats(_, _)),
+    "x2_quality" -> (x2Quality(_, _)),
+    "x3_langid" -> (x3LangId(_, _)),
+    "x4_fingerprint" -> (x4Fingerprint(_, _)),
+    "d1_exact_dedup" -> (d1ExactDedup(_, _)),
+    "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
+    "d3_minhash_sig" -> (d3MinhashSig(_, _)),
+    "d4_lsh_pairs" -> (d4LshPairs(_, _)),
+    "d5_simhash" -> (d5Simhash(_, _)),
+    "d6_simhash_pairs" -> (d6SimhashPairs(_, _)),
+    "d7_embed_dup" -> (d7EmbedDup(_, _)),
+    "s1_cosine_topk" -> (s1CosineTopK(_, _)),
+    "s2_ann_lsh" -> (s2AnnLsh(_, _)),
+    "m1_media_meta" -> (m1MediaMeta(_, _)),
+    "m2_media_features" -> (m2MediaFeatures(_, _)))
+
+  // --- oracle SQL fragments (DuckDB dialect) ---------------------------
+
+  private val toksSql =
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), x -> x <> '')"
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' '))"
+  private val rawToksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  private val stopListSql = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def shinglesSql(n: Int): String =
+    s"""CASE WHEN len($toksSql) >= $n
+       |  THEN list_distinct(list_transform(range(1, len($toksSql) - $n + 2),
+       |       i -> array_to_string(($toksSql)[i:i+${n - 1}], ' ')))
+       |  ELSE [$normSql] END""".stripMargin
+
+  private val hash60 = (expr: String) => s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  private val rawToksLowerSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  private val langScores: Seq[(String, String)] =
+    TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      code -> s"(CASE WHEN len($rawToksLowerSql) > 0 THEN len(list_filter($rawToksLowerSql, x -> list_contains($lst, x)))::DOUBLE / len($rawToksLowerSql) ELSE 0.0 END)"
+    }
+
+  val oracles: Map[String, String] = Map(
+    "x1_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($rawToksSql) AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         |  length(text) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x2_quality" ->
+      s"""SELECT doc_id,
+         |  round(stop_ratio, 6) AS stop_ratio,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(mean_word_len, 6) AS mean_word_len,
+         |  round(least(length(text)::DOUBLE / 1000.0, 1.0) * 0.4
+         |      + least(stop_ratio * 4.0, 1.0) * 0.3
+         |      + greatest(0.0, 1.0 - punct_ratio * 10.0) * 0.3, 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id, text,
+         |    CASE WHEN len($rawToksLowerSql) > 0
+         |      THEN len(list_filter($rawToksLowerSql, x -> list_contains($stopListSql, x)))::DOUBLE
+         |           / len($rawToksLowerSql) ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN length(text) > 0
+         |      THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)
+         |      ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len($rawToksSql) > 0
+         |      THEN list_sum(list_transform($rawToksSql, t -> length(t)))::DOUBLE / len($rawToksSql)
+         |      ELSE 0.0 END AS mean_word_len
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin,
+    "x3_langid" ->
+      s"""SELECT doc_id,
+         |  CASE ${langScores.reverse.map { case (c, _) => s"WHEN s_$c = msc THEN '$c'" }.mkString(" ")}
+         |  END AS lang_pred,
+         |  round(msc, 6) AS lang_score,
+         |  lang AS lang_true
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    ${langScores.map { case (c, e) => s"$e AS s_$c" }.mkString(",\n    ")},
+         |    greatest(${langScores.map { case (c, _) => s"s_$c" }.mkString(", ")}) AS msc
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin,
+    "x4_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp_md5,
+         |  ${hash60(normSql)} AS fp64
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_exact_dedup" ->
+      s"""SELECT md5($normSql) AS content_md5,
+         |  min(doc_id) AS survivor_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, ${shinglesSql(3)} AS sh FROM documents
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+         |    / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6)
+         |    AS jaccard_sim
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+         |    / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) >= 0.05
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d3_minhash_sig" ->
+      s"""SELECT doc_id, k::INT AS k,
+         |  list_min(list_transform(${shinglesSql(3)},
+         |    s -> ('0x' || substr(md5(k::VARCHAR || ':' || s), 1, 15))::BIGINT)) AS minhash
+         |FROM documents CROSS JOIN range(8) r(k)
+         |ORDER BY doc_id, k""".stripMargin,
+    "d4_lsh_pairs" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, k::INT AS k,
+         |    list_min(list_transform(${shinglesSql(3)},
+         |      s -> ('0x' || substr(md5(k::VARCHAR || ':' || s), 1, 15))::BIGINT)) AS minhash
+         |  FROM documents CROSS JOIN range(8) r(k)
+         |), bands AS (
+         |  SELECT doc_id, k // 2 AS band,
+         |    string_agg(k || ':' || minhash, ',' ORDER BY k) AS band_key
+         |  FROM sigs GROUP BY doc_id, k // 2
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents
+         |)
+         |SELECT a_id, b_id,
+         |  round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+         |    / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6)
+         |    AS jaccard_sim
+         |FROM cands JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d5_simhash" ->
+      s"""SELECT doc_id,
+         |  list_sum(list_transform(range(0, 48), b ->
+         |    CASE WHEN list_sum(list_transform($toksSql, t ->
+         |           CASE WHEN ((('0x' || substr(md5('0:' || t), 1, 15))::BIGINT >> b) & 1) = 1
+         |                THEN 1 ELSE -1 END)) > 0
+         |         THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d6_simhash_pairs" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, source,
+         |    list_sum(list_transform(range(0, 48), b ->
+         |      CASE WHEN list_sum(list_transform($toksSql, t ->
+         |             CASE WHEN ((('0x' || substr(md5('0:' || t), 1, 15))::BIGINT >> b) & 1) = 1
+         |                  THEN 1 ELSE -1 END)) > 0
+         |           THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS sig
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 14
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d7_embed_dup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+         |), p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS d,
+         |    sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i]))) AS na,
+         |    sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i]))) AS nb
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, round(d / (na * nb), 6) AS cos_sim
+         |FROM p WHERE round(d / (na * nb), 6) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "s1_cosine_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))), 6) AS cos_sim
+         |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "m1_media_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  160 + (((ascii(substr(md5(text), 1, 1)) << 8) | ascii(substr(md5(text), 2, 1))) % 8) * 160 AS width,
+         |  120 + (((ascii(substr(md5(text), 3, 1)) << 8) | ascii(substr(md5(text), 4, 1))) % 8) * 120 AS height,
+         |  CASE WHEN ascii(substr(md5(text), 1, 1)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         |  32 AS payload_len
+         |FROM documents ORDER BY media_id""".stripMargin,
+    "m2_media_features" ->
+      """SELECT doc_id AS media_id, 16 AS feature_dim
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

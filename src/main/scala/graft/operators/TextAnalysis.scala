@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization counts, quality scoring, language ID, fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs, no shuffles): at
+  * 100 TB these run as map-only passes over the document scan, so
+  * throughput is bounded by parquet decode, not by the operators.
+  */
+object TextAnalysis {
+
+  /** Lowercased, whitespace-collapsed, trimmed canonical text. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens (empty strings dropped). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish sub-word proxy: runs of alphanumerics or single
+    * punctuation marks (the pre-tokenizer shape BPE vocabularies use).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "in", "on", "to", "is", "it",
+    "for", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  /** Stopword ratio over whitespace tokens (0 when no tokens). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks)).otherwise(0.0)
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("double") / length(text))
+      .otherwise(0.0)
+
+  def meanWordLength(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * normal punctuation density and some (but not all) stopwords — the
+    * usual heuristic pre-filter before model-based quality scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 1000.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
+    round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
+  }
+
+  /** Marker-word language profiles (n-gram heuristic stand-in; the
+    * synthetic corpus is keyword soup, so profiles are deterministic
+    * token matches rather than real character n-grams).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = wsTokens(lower(text))
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isInCollection(markers))).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Predicted language = argmax marker score; ties break
+    * deterministically to the greatest language code (lexicographic max
+    * of the (score, code) pair — same rule an SQL max(struct) applies).
+    */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
+      struct(langScore(text, markers).as("score"), lit(code).as("code"))
+    }
+    array_max(array(scored: _*))
+  }
+
+  /** 128-bit content fingerprint of normalized text + a 60-bit integer
+    * form (first 15 hex digits) for compact joins.
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  def fingerprint64(text: Column): Column =
+    conv(substring(fingerprintMd5(text), 1, 15), 16, 10).cast("bigint")
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the training-data operators: do the dedup methods
+  * actually find planted duplicates, does ANN recall hold, do the
+  * multimodal stages preserve the pipeline contract.
+  */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "a"),
+    (1L, "THE  QUICK   brown fox jumps over the lazy dog", "a"), // exact dup after normalize
+    (2L, "the quick brown fox jumps over the lazy cat", "a"), // near dup
+    (3L, "completely different content about spark query engines", "a"),
+    (4L, "another unrelated document mentioning data pipelines", "b"),
+    (5L, "another unrelated document mentioning data pipelines", "b")) // exact dup
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups normalize-equal docs and keeps min id") {
+    val groups = Dedup.exactGroups(corpus).collect()
+    assert(groups.length == 4)
+    val dupGroups = groups.filter(_.getAs[Long]("n_docs") == 2)
+    assert(dupGroups.map(_.getAs[Long]("survivor_id")).toSet == Set(0L, 4L))
+  }
+
+  test("ngram jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.3, blockCol = "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical after normalize -> jaccard 1
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(pairs.contains((4L, 5L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("minhash signature approximates jaccard; lsh recovers dup candidates") {
+    val sigs = Dedup.minhashSignatures(corpus, numHashes = 8, shingleSize = 3)
+    assert(sigs.count() == 6 * 8)
+    // identical docs -> identical signatures
+    val s0 = sigs.where($"doc_id" === 0).orderBy("k").collect().map(_.getLong(2)).toSeq
+    val s1 = sigs.where($"doc_id" === 1).orderBy("k").collect().map(_.getLong(2)).toSeq
+    assert(s0 == s1)
+    val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)) && cands.contains((4L, 5L)))
+  }
+
+  test("simhash: identical docs hash equal; near dups within small hamming") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash48($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(4L) == sigs(5L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 10)
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 48)))
+  }
+
+  test("brute-force topk is exact and lsh recall is sane") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val queries = e.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+    val approx = Similarity.lshTopK(e, queries, k = 5, planesPerTable = 4, numTables = 8)
+    val exactPairs = exact.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxPairs = approx.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.size == 50) // 10 queries x k=5
+    val recall = (exactPairs & approxPairs).size.toDouble / exactPairs.size
+    assert(recall > 0.5, s"LSH recall $recall collapsed") // 8 tables x 4 planes
+    // self never returned
+    assert(!exactPairs.exists { case (q, n) => q == n })
+  }
+
+  test("multimodal meta/feature stages: schema, determinism, corrupt input") {
+    val media = Seq(
+      (1L, "image", "abcdef0123456789".getBytes("UTF-8"), "s1"),
+      (2L, "image", Array[Byte](1, 2), "s1"), // too short -> corrupt
+      (3L, "video", null.asInstanceOf[Array[Byte]], "s2")) // null payload
+      .toDF("media_id", "media_type", "payload", "source")
+    val meta = Multimodal.withMeta(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
+    assert(meta(2L) == "corrupt" && meta(3L) == "corrupt")
+    assert(Set("png", "jpeg").contains(meta(1L)))
+
+    val feats = Multimodal.withFeatures(media)
+    assert(!feats.columns.contains("payload")) // payload dropped before shuffle boundary
+    val f1 = feats.where($"media_id" === 1).head().getSeq[Float](3)
+    assert(f1.length == Multimodal.featureDim)
+    val f1again = Multimodal.withFeatures(media)
+      .where($"media_id" === 1).head().getSeq[Float](3)
+    assert(f1 == f1again) // deterministic stub
+    val f3 = feats.where($"media_id" === 3).head().getSeq[Float](3)
+    assert(f3.forall(_ == 0.0f)) // null payload -> zero vector
+  }
+
+  test("text analysis edge cases: empty and whitespace-only text") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "the the the")).toDF("doc_id", "text")
+    val out = df.select(
+      $"doc_id",
+      TextAnalysis.wsTokenCount($"text").as("n"),
+      TextAnalysis.stopwordRatio($"text").as("sr"),
+      TextAnalysis.qualityScore($"text").as("q")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 0 && out(2L)._1 == 0)
+    assert(out(3L)._2 == 1.0) // all stopwords
+  }
+}
