@@ -68,22 +68,31 @@ object QueriesTrainingData {
       .orderBy("doc_id", "k")
 
   private def d4LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val sigs = Dedup.minhashSignatures(d, numHashes = 8, shingleSize = 3)
+    val st = Dedup.shingleTable(docs(s, dir), 3) // tokenized once, shared
+    val sigs = Dedup.minhashFromShingles(st, numHashes = 8)
     val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
-    val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    // exact Jaccard verify on the surviving candidates only, via the
+    // hashed inverted index (same 60-bit hash as the oracle)
+    val ex = st.select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint").as("h"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     cands
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(Dedup.jaccard(col("a_sh"), col("b_sh")), 6).as("jaccard_sim"))
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("a_sz") + col("b_sz") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+          .as("jaccard_sim"))
       .orderBy("a_id", "b_id")
   }
 
   private def d5Simhash(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"), Dedup.simhash48(col("text")).as("simhash"))
-      .orderBy("doc_id")
+    Dedup.simhashTable(docs(s, dir)).orderBy("doc_id")
 
   private def d6SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), maxHamming = 14, blockCol = "source")
@@ -173,6 +182,48 @@ object QueriesTrainingData {
       code -> s"(CASE WHEN len($rawToksLowerSql) > 0 THEN len(list_filter($rawToksLowerSql, x -> list_contains($lst, x)))::DOUBLE / len($rawToksLowerSql) ELSE 0.0 END)"
     }
 
+
+  private val minhashASql = graft.operators.Dedup.minhashA.take(8).mkString("[", ", ", "]")
+  private val minhashBSql = graft.operators.Dedup.minhashB.take(8).mkString("[", ", ", "]")
+  private val P = graft.operators.Dedup.minhashP
+
+  /** Shared CTE text for the universal-hash minhash signatures (K=8). */
+  private def minhashSigsCte: String =
+    s"""sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |hx AS (SELECT doc_id, (('0x' || substr(md5(s), 1, 8))::BIGINT % $P) AS h FROM ex),
+       |sigs AS (
+       |  SELECT doc_id, k::INT AS k,
+       |    min(($minhashASql[k::INT + 1] * h + $minhashBSql[k::INT + 1]) % $P) AS minhash
+       |  FROM hx CROSS JOIN range(8) r(k) GROUP BY doc_id, k
+       |)""".stripMargin
+
+  /** Shared CTE text for the 48-bit simhash signatures. */
+  private def simhashSigsCte: String =
+    s"""toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT AS h FROM toks),
+       |ones AS (
+       |  SELECT doc_id, b::INT AS b,
+       |    sum(CASE WHEN (h >> b::INT) & 1 = 1 THEN 1 ELSE 0 END) AS o, count(*) AS n
+       |  FROM hx CROSS JOIN range(48) r(b) GROUP BY doc_id, b
+       |), sigsraw AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN o * 2 > n THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+       |  FROM ones GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT d.doc_id, d.source, coalesce(s.simhash, 0)::BIGINT AS simhash
+       |  FROM documents d LEFT JOIN sigsraw s ON d.doc_id = s.doc_id
+       |)""".stripMargin
+
+  /** Shared CTE text for unit-normalized embedding vectors. */
+  private def normVecCte: String =
+    """ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |vn0 AS (SELECT vec_id, label, e,
+      |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM ve),
+      |vn AS (SELECT vec_id, label,
+      |       CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS en
+      |       FROM vn0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x1_token_stats" ->
       s"""SELECT doc_id,
@@ -224,28 +275,25 @@ object QueriesTrainingData {
     "d2_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, source, ${shinglesSql(3)} AS sh FROM documents
-         |)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
-         |    / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6)
-         |    AS jaccard_sim
-         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
-         |    / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) >= 0.05
+         |), ex AS (
+         |  SELECT doc_id, source, ('0x' || substr(md5(s_raw), 1, 15))::BIGINT AS s
+         |  FROM (SELECT doc_id, source, unnest(sh) AS s_raw FROM sh)
+         |), inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), sz AS (SELECT doc_id, len(sh) AS sz FROM sh)
+         |SELECT a_id, b_id,
+         |  round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard_sim
+         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.05
          |ORDER BY a_id, b_id""".stripMargin,
     "d3_minhash_sig" ->
-      s"""SELECT doc_id, k::INT AS k,
-         |  list_min(list_transform(${shinglesSql(3)},
-         |    s -> ('0x' || substr(md5(k::VARCHAR || ':' || s), 1, 15))::BIGINT)) AS minhash
-         |FROM documents CROSS JOIN range(8) r(k)
-         |ORDER BY doc_id, k""".stripMargin,
+      s"""WITH $minhashSigsCte
+         |SELECT doc_id, k, minhash FROM sigs ORDER BY doc_id, k""".stripMargin,
     "d4_lsh_pairs" ->
-      s"""WITH sigs AS (
-         |  SELECT doc_id, k::INT AS k,
-         |    list_min(list_transform(${shinglesSql(3)},
-         |      s -> ('0x' || substr(md5(k::VARCHAR || ':' || s), 1, 15))::BIGINT)) AS minhash
-         |  FROM documents CROSS JOIN range(8) r(k)
-         |), bands AS (
+      s"""WITH $minhashSigsCte,
+         |bands AS (
          |  SELECT doc_id, k // 2 AS band,
          |    string_agg(k || ':' || minhash, ',' ORDER BY k) AS band_key
          |  FROM sigs GROUP BY doc_id, k // 2
@@ -253,60 +301,46 @@ object QueriesTrainingData {
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |), sh AS (
-         |  SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents
          |)
-         |SELECT a_id, b_id,
-         |  round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
-         |    / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6)
-         |    AS jaccard_sim
-         |FROM cands JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
-         |ORDER BY a_id, b_id""".stripMargin,
+         |, exh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM exh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cands c JOIN exh ea ON ea.doc_id = c.a_id
+         |               JOIN exh eb ON eb.doc_id = c.b_id AND eb.h = ea.h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.a_id AS a_id, c.b_id AS b_id,
+         |  round(coalesce(i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i, 0)), 6) AS jaccard_sim
+         |FROM cands c
+         |LEFT JOIN inter ON inter.a_id = c.a_id AND inter.b_id = c.b_id
+         |JOIN sz sa ON sa.doc_id = c.a_id JOIN sz sb ON sb.doc_id = c.b_id
+         |ORDER BY c.a_id, c.b_id""".stripMargin,
     "d5_simhash" ->
-      s"""SELECT doc_id,
-         |  list_sum(list_transform(range(0, 48), b ->
-         |    CASE WHEN list_sum(list_transform($toksSql, t ->
-         |           CASE WHEN ((('0x' || substr(md5('0:' || t), 1, 15))::BIGINT >> b) & 1) = 1
-         |                THEN 1 ELSE -1 END)) > 0
-         |         THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashSigsCte
+         |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin,
     "d6_simhash_pairs" ->
-      s"""WITH sigs AS (
-         |  SELECT doc_id, source,
-         |    list_sum(list_transform(range(0, 48), b ->
-         |      CASE WHEN list_sum(list_transform($toksSql, t ->
-         |             CASE WHEN ((('0x' || substr(md5('0:' || t), 1, 15))::BIGINT >> b) & 1) = 1
-         |                  THEN 1 ELSE -1 END)) > 0
-         |           THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS sig
-         |  FROM documents
-         |)
+      s"""WITH $simhashSigsCte
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 14
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 14
          |ORDER BY a_id, b_id""".stripMargin,
     "d7_embed_dup" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-         |), p AS (
+      s"""WITH $normVecCte
+         |SELECT a_id, b_id, cos_sim FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS d,
-         |    sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i]))) AS na,
-         |    sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i]))) AS nb
-         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-         |)
-         |SELECT a_id, b_id, round(d / (na * nb), 6) AS cos_sim
-         |FROM p WHERE round(d / (na * nb), 6) >= 0.8
+         |    round(list_sum(list_transform(range(1, 65), i -> a.en[i] * b.en[i])), 6) AS cos_sim
+         |  FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
+         |) WHERE cos_sim >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "s1_cosine_topk" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-         |), scored AS (
+      s"""WITH $normVecCte,
+         |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    round(list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
-         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i])))
-         |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))), 6) AS cos_sim
-         |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM vn q JOIN vn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
          |)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)

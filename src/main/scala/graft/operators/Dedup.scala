@@ -25,7 +25,12 @@ object Dedup {
     conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 15), 16, 10)
       .cast("bigint")
 
-  /** Distinct word n-gram shingles of the normalized text. */
+  /** Distinct word n-gram shingles of the normalized text, as an array
+    * column. NOTE: the lambda re-evaluates the tokenization per
+    * element (CollapseProject re-inlines it), so this form is for
+    * small/config-side use — the data-path operators below use
+    * [[shingleTable]], which tokenizes once per document.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(normalize(text), " ")
     array_distinct(
@@ -33,6 +38,39 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array(normalize(text))))
+  }
+
+  /** One row per (id, carry..., DISTINCT shingle): posexplode tokens
+    * (one normalize+split per document), then n-gram assembly via
+    * window `lead` over token position — fully codegen'd, linear in
+    * token count. Documents with fewer than n tokens contribute their
+    * normalized text as the single shingle (same semantics as
+    * [[shingles]]). The window shuffle is on the doc id — the same
+    * exchange every downstream dedup aggregation needs anyway.
+    */
+  def shingleTable(
+      docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val carry = carryCols.map(col)
+    val toks = docs.select(
+      (Seq(col(idCol)) ++ carry :+
+        posexplode(TextAnalysis.wsTokens(normalize(col(textCol))))): _*)
+      .withColumnRenamed("col", "tok")
+    val byDoc = Window.partitionBy(col(idCol))
+    val ordered = byDoc.orderBy(col("pos"))
+    val gram = concat_ws(" ",
+      (0 until n).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(ordered)): _*)
+    val grams = toks
+      .withColumn("n_toks", count(lit(1)).over(byDoc))
+      .withColumn("s", gram)
+      .where(col("n_toks") >= n && col("pos") <= col("n_toks") - n)
+      .select((Seq(col(idCol)) ++ carry :+ col("s")): _*)
+    val small = docs
+      .where(size(TextAnalysis.wsTokens(normalize(col(textCol)))) < n)
+      .select((Seq(col(idCol)) ++ carry :+ normalize(col(textCol)).as("s")): _*)
+    grams.unionByName(small).distinct()
   }
 
   /** Exact duplicate groups by content hash: one row per distinct
@@ -44,20 +82,53 @@ object Dedup {
       .groupBy("content_md5")
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_docs"))
 
+  /** Universal-hash family for MinHash: mh_k(s) = (a_k * h(s) + b_k)
+    * mod P with h(s) = first 32 md5 bits mod P. One md5 per shingle
+    * (instead of one per shingle per permutation); the k permutations
+    * are integer arithmetic. P < 2^31 keeps every product inside
+    * non-negative BIGINT range on any engine. Constants are fixed
+    * (seed 42) so oracles can inline them as literals.
+    */
+  val minhashP: Long = 2147483647L // 2^31 - 1, prime
+  val (minhashA, minhashB): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val rng = new scala.util.Random(42)
+    val a = IndexedSeq.fill(64)(1L + rng.nextInt((minhashP - 1).toInt).toLong)
+    val b = IndexedSeq.fill(64)(rng.nextInt(minhashP.toInt).toLong)
+    (a, b)
+  }
+
+  /** 32-bit base shingle hash, reduced mod P. */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("bigint") % minhashP
+
   /** MinHash signatures in long form: (id, k, minhash), k < numHashes.
-    * minhash_k = min over shingles of seededHash(shingle, k).
+    *
+    * Shape: explode shingles once, then numHashes codegen'd `min`
+    * aggregates in ONE groupBy(doc) pass — no interpreted higher-order
+    * functions in the hot path, one shuffle on the doc id (HOF lambdas
+    * don't participate in whole-stage codegen; the first version was
+    * 25x slower at sf0.1 for exactly that reason).
     */
   def minhashSignatures(
       docs: DataFrame, numHashes: Int, shingleSize: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(col(textCol), shingleSize)
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      k => struct(k.as("k"),
-        array_min(transform(sh, s =>
-          conv(substring(md5(concat(k.cast("string"), lit(":"), s)), 1, 15), 16, 10)
-            .cast("bigint"))).as("minhash")))
-    docs
-      .select(col(idCol), explode(sig).as("kv"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashFromShingles(
+      shingleTable(docs, shingleSize, idCol, textCol), numHashes, idCol)
+
+  /** Signatures from an existing (id, s) shingle table — lets callers
+    * that also need the shingles (e.g. LSH verify) tokenize once.
+    */
+  def minhashFromShingles(
+      shingleTbl: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
+    require(numHashes <= 64, "at most 64 hash permutations are wired")
+    val hashed = shingleTbl.select(col(idCol), baseHash(col("s")).as("h"))
+    val aggs = (0 until numHashes).map { k =>
+      min((lit(minhashA(k)) * col("h") + lit(minhashB(k))) % minhashP).as(s"mh$k")
+    }
+    val wide = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val kvs = explode(array((0 until numHashes).map(k =>
+      struct(lit(k).as("k"), col(s"mh$k").as("minhash"))): _*))
+    wide.select(col(idCol), kvs.as("kv"))
       .select(col(idCol), col("kv.k").as("k"), col("kv.minhash").as("minhash"))
   }
 
@@ -90,35 +161,64 @@ object Dedup {
     when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
   }
 
-  /** Pairwise n-gram Jaccard within a blocking key: candidate pairs are
-    * (blockCol-equal) docs; output pairs with similarity >= threshold.
+  /** Pairwise n-gram Jaccard within a blocking key, via an inverted
+    * shingle index: pairs sharing >= 1 shingle get their intersection
+    * counted by a (block, shingle) equi-join + groupBy — codegen'd and
+    * shuffle-parallel, vs. the quadratic array_intersect-per-pair
+    * alternative. Requires threshold > 0 (zero-overlap pairs never
+    * surface, which is exactly the pairs a positive threshold drops).
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double, blockCol: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withShingles = docs.select(
-      col(blockCol).as("block"), col(idCol), shingles(col(textCol), n).as("sh"))
-    val a = withShingles.select(col("block"), col(idCol).as("a_id"), col("sh").as("a_sh"))
-    val b = withShingles.select(col("block"), col(idCol).as("b_id"), col("sh").as("b_sh"))
-    a.join(b, "block")
+    require(threshold > 0.0, "inverted-index jaccard requires threshold > 0")
+    // join/shuffle on a 60-bit hash of the shingle, not the string:
+    // same result (both sides of the oracle hash identically), far
+    // cheaper exchange keys
+    val ex = shingleTable(docs, n, idCol, textCol, carryCols = Seq(blockCol))
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint").as("s"))
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = ex.select(col("block"), col("id").as("a_id"), col("s"))
+      .join(ex.select(col("block"), col("id").as("b_id"), col("s")), Seq("block", "s"))
       .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(jaccard(col("a_sh"), col("b_sh")), 6).as("jaccard_sim"))
+        round(col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter")).cast("double"), 6).as("jaccard_sim"))
       .where(col("jaccard_sim") >= threshold)
   }
 
-  /** 48-bit SimHash over whitespace tokens of normalized text (48 keeps
-    * every intermediate in non-negative BIGINT range on all engines).
+  /** 48-bit SimHash per doc (48 keeps every intermediate in
+    * non-negative BIGINT range on all engines). Bit b of the signature
+    * is set iff more than half the token hashes have bit b set
+    * (2*ones_b > n, equivalent to the classic +/-1 balance > 0).
+    *
+    * Shape: explode tokens once, 48 codegen'd conditional-sum
+    * aggregates in one groupBy(doc) pass; docs with zero tokens keep
+    * signature 0 via the left join.
     */
-  def simhash48(text: Column): Column = {
-    val hashes = transform(TextAnalysis.wsTokens(normalize(text)),
-      t => seededHash(t, 0))
-    val bits = (0 until 48).map { b =>
-      val balance = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(balance > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  def simhashTable(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.wsTokens(normalize(col(textCol)))).as("t"))
+      .select(col(idCol), seededHash(col("t"), 0).as("h"))
+    val oneAggs = (0 until 48).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"o$b")
     }
-    bits.reduce(_ + _)
+    val grouped = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), oneAggs: _*)
+    val sig = (0 until 48).map { b =>
+      when(col(s"o$b") * 2 > col("n_toks"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col(idCol))
+      .join(grouped.withColumn("simhash", sig).select(col(idCol), col("simhash")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   /** SimHash near-dup pairs within a blocking key: hamming distance of
@@ -127,10 +227,10 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, maxHamming: Int, blockCol: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(
-      col(blockCol).as("block"), col(idCol), simhash48(col(textCol)).as("sig"))
-    val a = sigs.select(col("block"), col(idCol).as("a_id"), col("sig").as("a_sig"))
-    val b = sigs.select(col("block"), col(idCol).as("b_id"), col("sig").as("b_sig"))
+    val sigs = simhashTable(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(blockCol).as("block")), idCol)
+    val a = sigs.select(col("block"), col(idCol).as("a_id"), col("simhash").as("a_sig"))
+    val b = sigs.select(col("block"), col(idCol).as("b_id"), col("simhash").as("b_sig"))
     a.join(b, "block")
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

@@ -25,6 +25,17 @@ object Similarity {
 
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Unit-normalized double vector (all-zero stays all-zero, so the
+    * pair dot degrades to cosine 0). Normalizing ONCE per vector makes
+    * each candidate pair a single dot product instead of dot + two
+    * norms — pairwise stages are the hot path, vectors are not.
+    */
+  def normalized(a: Column): Column = {
+    val v = asDouble(a)
+    val n = sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (acc, t) => acc + t))
+    when(n > 0.0, transform(v, x => x / n)).otherwise(v)
+  }
+
   /** Cosine similarity (0 when either vector is all-zero). */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
@@ -42,12 +53,12 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalized(col(vecCol)).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), normalized(col(vecCol)).as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
@@ -55,24 +66,32 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * plane p, dimension i.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
+    * plane p, dimension i — computed DRIVER-side (md5 of "hp<p>:<i>")
+    * and shipped as literals, so signature evaluation is pure
+    * arithmetic per row (the first version recomputed the md5 per row
+    * per plane per dimension: 10M hashes at sf0.1).
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"hp$p:"), i.cast("string"))), 1, 15), 16, 10)
-      .cast("bigint").cast("double") / lit(5.764607523034235e17)) - 1.0
+  private def planeComponent(p: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp$p:$i".getBytes("UTF-8"))
+    val hex = digest.take(8).map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16).toDouble / 5.764607523034235e17) - 1.0
+  }
+
+  private val maxDims = 256
 
   /** Sign-bit LSH signature for one hash table: bit p = 1 iff
-    * dot(vec, plane_{table*planes+p}) > 0.
+    * dot(vec, plane_{table*planes+p}) > 0. Supports up to `maxDims`
+    * dimensions (plane literals are pre-sliced to the vector size).
     */
   def lshSignature(vec: Column, numPlanes: Int, table: Int = 0): Column = {
     val v = asDouble(vec)
     val bits = (0 until numPlanes).map { p =>
+      val plane = (0 until maxDims).map(i => planeComponent(table * numPlanes + p, i))
+      val planeLit = array(plane.map(lit): _*)
       val proj = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), size(v) - 1),
-            i => planeComponent(table * numPlanes + p, i)),
-          (x, h) => x * h),
+        zip_with(v, slice(planeLit, lit(1), size(v)), (x, h) => x * h),
         lit(0.0), (acc, t) => acc + t)
       when(proj > 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -107,11 +126,11 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val cVec = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
-    val qVec = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val cVec = corpus.select(col(idCol).as("neighbor_id"), normalized(col(vecCol)).as("c_vec"))
+    val qVec = queries.select(col(idCol).as("query_id"), normalized(col(vecCol)).as("q_vec"))
     val scored = cands.join(cVec, "neighbor_id").join(broadcast(qVec), "query_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -124,13 +143,13 @@ object Similarity {
       corpus: DataFrame, threshold: Double, blockCol: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = corpus.select(col(blockCol).as("block"), col(idCol),
-      asDouble(col(vecCol)).as("vec"))
+      normalized(col(vecCol)).as("vec"))
     val a = v.select(col("block"), col(idCol).as("a_id"), col("vec").as("a_vec"))
     val b = v.select(col("block"), col(idCol).as("b_id"), col("vec").as("b_vec"))
     a.join(b, "block")
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("a_vec"), col("b_vec")), 6).as("cos_sim"))
+        round(dot(col("a_vec"), col("b_vec")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

@@ -48,7 +48,7 @@ class TrainingDataSpec extends SparkSpec {
   }
 
   test("simhash: identical docs hash equal; near dups within small hamming") {
-    val sigs = corpus.select($"doc_id", Dedup.simhash48($"text").as("sig"))
+    val sigs = Dedup.simhashTable(corpus)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(0L) == sigs(1L))
     assert(sigs(4L) == sigs(5L))

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.CcsdsSource
+import graft.telemetry.Fixtures
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packet file stream: decom+calibrate per micro-batch into memory sink") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in")
+    Fixtures.writeHkFile(dir.resolve("batch1.bin"), 30)
+    val packets = TelemetryStreaming.packetFileStream(
+      spark, dir.toString, CcsdsSource.Options(secHdrLength = 4))
+    assert(packets.isStreaming)
+    val samples = TelemetryStreaming.decomStream(
+      packets, Fixtures.hkParamDefs, Fixtures.hkCalibrations)
+    val q = samples.writeStream.format("memory").queryName("stream_samples")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second file arriving is picked up as a new micro-batch
+      Fixtures.writeHkFile(dir.resolve("batch2.bin"), 20)
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM stream_samples").head().getLong(0)
+      assert(n == (30 + 20) * 4) // 4 params per packet
+    } finally q.stop()
+  }
+
+  test("watermarked windowed stats over sample event time") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_win")
+    Fixtures.writeHkFile(dir.resolve("a.bin"), 50)
+    val packets = TelemetryStreaming.packetFileStream(
+      spark, dir.toString, CcsdsSource.Options(secHdrLength = 4))
+    val samples = TelemetryStreaming.decomStream(
+      packets, Fixtures.hkParamDefs, Fixtures.hkCalibrations)
+    val stats = TelemetryStreaming.windowedStats(samples, windowSeconds = 10, watermarkSeconds = 5)
+    val q = stats.writeStream.format("memory").queryName("stream_stats")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append-mode emits only watermark-closed windows; times 0..49 with
+      // a 5s watermark close windows [0,10)..[30,40) -> 4 per parameter
+      val rows = spark.sql(
+        "SELECT name, count(*) n, sum(n_samples) s FROM stream_stats GROUP BY name")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("obc_temp_dn")._1 == 4)
+      assert(rows("obc_temp_dn")._2 == 40)
+    } finally q.stop()
+  }
+
+  test("stateful sequence-gap monitor counts gaps across batches") {
+    // seqs 0,1,2,4,5 -> one gap (3 missing) for apid 0x100
+    val packets = Seq((0x100, 0), (0x100, 1), (0x100, 2), (0x100, 4), (0x100, 5),
+      (0x200, 7), (0x200, 8)).toDS()
+    val out = TelemetryStreaming.sequenceGapMonitor(packets).collect()
+      .map(r => r.apid -> r).toMap
+    assert(out(0x100).gaps == 1 && out(0x100).received == 5)
+    assert(out(0x200).gaps == 0 && out(0x200).received == 2)
+  }
+
+  test("pipeline composer: per-stage observed rows + hooks + dry run") {
+    var events = List.empty[String]
+    val hooks = new graft.Pipeline.HookManager
+    hooks.register("pipeline.start")(_ => events ::= "start")
+    hooks.register("pipeline.complete")(_ => events ::= "complete")
+    val result = graft.Pipeline.run(
+      spark,
+      extract = s => CcsdsSource.packetsFromBytes(
+        s, Seq(Fixtures.hkStream(25)), CcsdsSource.Options(secHdrLength = 4)),
+      transforms = Seq(
+        "decom" -> (df => graft.operators.Decom(df, Fixtures.hkParamDefs)),
+        "calibrate" -> (df => graft.operators.Calibration(df, Fixtures.hkCalibrations))),
+      load = df => df.count(),
+      hooks = hooks)
+    assert(result.ok && result.rowsLoaded == 100)
+    val byName = result.stages.map(s => s.name -> s.rowsOut).toMap
+    assert(byName("extract") == 25 && byName("decom") == 100 && byName("calibrate") == 100)
+    assert(events.contains("start") && events.contains("complete"))
+    assert(result.summary.contains("success"))
+
+    val dry = graft.Pipeline.run(spark,
+      extract = s => CcsdsSource.packetsFromBytes(
+        s, Seq(Fixtures.hkStream(5))),
+      load = df => df.count(), dryRun = true)
+    assert(dry.ok && dry.rowsLoaded == 0) // loader skipped
+  }
+
+  test("pipeline composer: failure captured, error hook fired") {
+    var errored = false
+    val hooks = new graft.Pipeline.HookManager
+    hooks.register("stage.error")(_ => errored = true)
+    val result = graft.Pipeline.run(
+      spark,
+      extract = s => s.read.parquet("/nonexistent/path"),
+      load = df => df.count(),
+      hooks = hooks)
+    assert(!result.ok && result.errors.nonEmpty && errored)
+  }
+}
