@@ -152,6 +152,54 @@ object QueriesTelemetry {
       .orderBy("time_tai", "name")
   }
 
+  /** Per-parameter record stats: count + time_range
+    * (ParameterRecord.count / time_range, parameter.py:68-77).
+    */
+  private def t11ParamStats(s: SparkSession, dir: String): DataFrame =
+    Telemetry.parameterStats(samples(s, dir)).orderBy("name")
+
+  /** TAI fallback: packets without a source time take float(seq_count)
+    * as the sample time (decom.py:127-131).
+    */
+  private def t12TaiFallback(s: SparkSession, dir: String): DataFrame = {
+    val noTime = synthPackets(s, dir)
+      .withColumn("source_time_tai", lit(null).cast("double"))
+      .where(col("source_time_tai").isNull) // keep the shape obvious
+    Decom(noTime, mib)
+      .groupBy("name")
+      .agg(count(lit(1)).as("n"),
+        round(sum("time_tai"), 2).as("sum_time"), // == sum of seq_counts
+        min("time_tai").as("min_time"))
+      .orderBy("name")
+  }
+
+  /** TM transfer-frame header parse (frame.py:41-59; modeled-only in the
+    * reference): pack frame headers from lineitem ints, parse back.
+    */
+  private def t13FrameHeader(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val packed = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("double").as("tag"),
+      concat(
+        packUint16(
+          shiftleft(lit(0), 14)
+            .bitwiseOR(shiftleft(col("l_suppkey").cast("int") % 1024, 4))
+            .bitwiseOR(shiftleft(col("l_linenumber") % 8, 1))
+            .bitwiseOR(col("l_orderkey").cast("int") % 2)),
+        CcsdsColumns.packUintBE(col("l_partkey") % 256, 1),
+        CcsdsColumns.packUintBE(col("l_orderkey") % 256, 1),
+        packUint16(col("l_partkey").cast("int") % 2048)).as("fh"))
+    packed
+      .select(col("tag"), FrameHeader.parseFrameHeader(col("fh")).as("h"))
+      .select(col("tag"), col("h.spacecraft_id").as("spacecraft_id"),
+        col("h.virtual_channel_id").as("virtual_channel_id"),
+        col("h.ocf_flag").as("ocf_flag"),
+        col("h.master_frame_count").as("master_frame_count"),
+        col("h.virtual_frame_count").as("virtual_frame_count"),
+        col("h.first_header_pointer").as("first_header_pointer"))
+      .orderBy("tag")
+  }
+
   /** Flagship (reference examples/01_binary_ingest.py end-to-end): parse
     * a real CCSDS byte stream, decom, calibrate, tidy.
     */
@@ -171,7 +219,10 @@ object QueriesTelemetry {
     "t7_inspect" -> (t7Inspect(_, _)),
     "t8_merge" -> (t8Merge(_, _)),
     "t9_string_decom" -> (t9StringDecom(_, _)),
-    "t10_csv_unpivot" -> (t10CsvUnpivot(_, _)))
+    "t10_csv_unpivot" -> (t10CsvUnpivot(_, _)),
+    "t11_param_stats" -> (t11ParamStats(_, _)),
+    "t12_tai_fallback" -> (t12TaiFallback(_, _)),
+    "t13_frame_header" -> (t13FrameHeader(_, _)))
 
   // --- oracles ---------------------------------------------------------
   // Shared SQL fragments (DuckDB dialect).
@@ -274,6 +325,24 @@ object QueriesTelemetry {
          |FROM lineitem
          |CROSS JOIN (SELECT 'flag_str' AS name UNION ALL SELECT 'flag_hex') n
          |ORDER BY time_tai, name""".stripMargin,
+    "t11_param_stats" ->
+      s"""SELECT name, count(*) AS n_samples,
+         |  min(time_tai) AS time_min, max(time_tai) AS time_max
+         |FROM ($rawSamplesSql) GROUP BY name ORDER BY name""".stripMargin,
+    "t12_tai_fallback" ->
+      s"""SELECT name, count(*) AS n,
+         |  round(sum(CAST(seq_count AS DOUBLE)), 2) AS sum_time,
+         |  CAST(min(seq_count) AS DOUBLE) AS min_time
+         |FROM ($rawSamplesSql) GROUP BY name ORDER BY name""".stripMargin,
+    "t13_frame_header" ->
+      s"""SELECT $timeSql AS tag,
+         |  CAST(l_suppkey % 1024 AS INT) AS spacecraft_id,
+         |  CAST(l_linenumber % 8 AS INT) AS virtual_channel_id,
+         |  CAST(l_orderkey % 2 AS INT) AS ocf_flag,
+         |  CAST(l_partkey % 256 AS INT) AS master_frame_count,
+         |  CAST(l_orderkey % 256 AS INT) AS virtual_frame_count,
+         |  CAST(l_partkey % 2048 AS INT) AS first_header_pointer
+         |FROM lineitem ORDER BY tag""".stripMargin,
     "t10_csv_unpivot" ->
       s"""SELECT name, $timeSql AS time_tai, raw_value, raw_value AS eng_value
          |FROM (
