@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Calibration, Decom, Telemetry}
+import graft.sources.{CcsdsSource, CsvTelemetrySource}
+import graft.telemetry.{CalibrationEntry, ParameterDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stage registry (reference core/registry.py:8-101): named extractors /
+  * transformers / loaders resolvable by string, with list introspection.
+  * Configs are JSON objects (parsed with json4s, which ships with Spark);
+  * unlike the reference CLI, transformer configs are actually wired
+  * (the reference's `mdp run` default-constructs them — cli/main.py:194-197).
+  */
+object Registry {
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  private implicit val fmts: Formats = DefaultFormats
+
+  type Extractor = (SparkSession, JValue) => DataFrame
+  type Transformer = JValue => DataFrame => DataFrame
+  type Loader = (DataFrame, JValue) => Unit
+
+  def parseConfig(json: String): JValue =
+    if (json == null || json.trim.isEmpty) JObject() else JsonMethods.parse(json)
+
+  private def str(c: JValue, k: String): Option[String] =
+    (c \ k).extractOpt[String]
+  private def int(c: JValue, k: String): Option[Int] = (c \ k).extractOpt[Int]
+  private def bool(c: JValue, k: String): Option[Boolean] = (c \ k).extractOpt[Boolean]
+
+  val extractors: Map[String, Extractor] = Map(
+    "binary" -> { (spark, c) =>
+      CcsdsSource.readPackets(spark,
+        str(c, "path").getOrElse(sys.error("binary extractor needs 'path'")),
+        CcsdsSource.Options(
+          secHdrLength = int(c, "sec_hdr_length").getOrElse(0),
+          frameSync = bool(c, "frame_sync").getOrElse(false),
+          // json4s yields Some(Nil) for a missing Seq key; empty means
+          // "no filter" (the reference treats a falsy list the same way)
+          apidFilter = (c \ "apid_filter").extractOpt[Seq[Int]].filter(_.nonEmpty),
+          sourceId = str(c, "source_id"),
+          groundReceiptTime = (c \ "ground_receipt_time").extractOpt[Double]))
+    },
+    "csv" -> { (spark, c) =>
+      CsvTelemetrySource.readSamples(spark,
+        str(c, "path").getOrElse(sys.error("csv extractor needs 'path'")),
+        CsvTelemetrySource.Options(
+          timeColumn = str(c, "time_column").getOrElse("time"),
+          apidColumn = str(c, "apid_column").getOrElse("apid"),
+          seqCountColumn = str(c, "seq_count_column").getOrElse("seq_count"),
+          parameterColumns = (c \ "parameter_columns").extractOpt[Seq[String]].filter(_.nonEmpty),
+          delimiter = str(c, "delimiter").getOrElse(","),
+          sourceId = str(c, "source_id")))
+    })
+
+  val transformers: Map[String, Transformer] = Map(
+    "apid_filter" -> { c => df =>
+      Telemetry.apidFilter(df,
+        include = (c \ "include").extractOpt[Seq[Int]].getOrElse(Nil),
+        exclude = (c \ "exclude").extractOpt[Seq[Int]].getOrElse(Nil))
+    },
+    "decom" -> { c => df =>
+      Decom(df, (c \ "parameters").extract[Seq[ParameterDef]],
+        skipUnknownApids = bool(c, "skip_unknown_apids").getOrElse(true))
+    },
+    "calibration" -> { c => df =>
+      Calibration(df, (c \ "calibrations").extract[Seq[CalibrationEntry]])
+    })
+
+  val loaders: Map[String, Loader] = Map(
+    "parquet" -> { (df, c) =>
+      graft.sinks.Sinks.writeTidyParquet(df,
+        str(c, "output_dir").getOrElse(sys.error("parquet loader needs 'output_dir'")),
+        partitionByApid = bool(c, "partition_by_apid").getOrElse(false),
+        overwrite = bool(c, "overwrite").getOrElse(true))
+    },
+    "csv" -> { (df, c) =>
+      graft.sinks.Sinks.writeTidyCsv(df,
+        str(c, "output_dir").getOrElse(sys.error("csv loader needs 'output_dir'")),
+        overwrite = bool(c, "overwrite").getOrElse(true))
+    })
+
+  def getExtractor(name: String): Extractor = extractors.getOrElse(name,
+    throw new NoSuchElementException(
+      s"Unknown extractor '$name'. Available: ${extractors.keys.toSeq.sorted.mkString(", ")}"))
+  def getTransformer(name: String): Transformer = transformers.getOrElse(name,
+    throw new NoSuchElementException(
+      s"Unknown transformer '$name'. Available: ${transformers.keys.toSeq.sorted.mkString(", ")}"))
+  def getLoader(name: String): Loader = loaders.getOrElse(name,
+    throw new NoSuchElementException(
+      s"Unknown loader '$name'. Available: ${loaders.keys.toSeq.sorted.mkString(", ")}"))
+
+  def allStages: Map[String, Seq[String]] = Map(
+    "extractors" -> extractors.keys.toSeq.sorted,
+    "transformers" -> transformers.keys.toSeq.sorted,
+    "loaders" -> loaders.keys.toSeq.sorted)
+}

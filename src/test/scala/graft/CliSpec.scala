@@ -1,0 +1,55 @@
+package graft
+
+import graft.telemetry.Fixtures
+
+class CliSpec extends SparkSpec {
+
+  test("registry resolves stages and errors helpfully on unknown names") {
+    assert(Registry.allStages("extractors") == Seq("binary", "csv"))
+    assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration", "decom"))
+    assert(Registry.allStages("loaders") == Seq("csv", "parquet"))
+    val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
+    assert(e.getMessage.contains("binary"))
+  }
+
+  test("end-to-end pipeline via registry stages (binary -> decom -> calibrate -> parquet)") {
+    val dir = java.nio.file.Files.createTempDirectory("cli_in")
+    val out = java.nio.file.Files.createTempDirectory("cli_out").toString
+    Fixtures.writeHkFile(dir.resolve("hk.bin"), 40)
+    val extract = Registry.getExtractor("binary")
+    val decom = Registry.getTransformer("decom")(Registry.parseConfig(
+      """{"parameters": [
+        |  {"name": "obc_temp_dn", "apid": 256, "byte_offset": 0,
+        |   "bit_length": 16, "param_type": "uint", "unit": "DN"}
+        |]}""".stripMargin))
+    val cal = Registry.getTransformer("calibration")(Registry.parseConfig(
+      """{"calibrations": [
+        |  {"parameter_name": "obc_temp_dn", "method": "polynomial",
+        |   "unit": "degC", "coefficients": [-55.0, 0.04394531]}
+        |]}""".stripMargin))
+    val load = Registry.getLoader("parquet")
+    val result = Pipeline.run(
+      spark,
+      extract = s => extract(s, Registry.parseConfig(
+        s"""{"path": "${dir.toString}/hk.bin", "sec_hdr_length": 4}""")),
+      transforms = Seq("decom" -> decom, "calibration" -> cal),
+      load = df => { val n = df.count(); load(df, Registry.parseConfig(
+        s"""{"output_dir": "$out"}""")); n })
+    assert(result.ok && result.rowsLoaded == 40)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 40)
+    assert(back.select("unit").distinct().head().getString(0) == "degC")
+  }
+
+  test("run-arg parser handles interleaved transformer configs") {
+    val opts = Cli.parseRunArgs(List(
+      "--extractor", "binary", "--extractor-config", """{"path": "x"}""",
+      "--transformer", "decom", "--transformer-config", """{"parameters": []}""",
+      "--transformer", "apid_filter",
+      "--loader", "parquet", "--dry-run"))
+    assert(opts.extractor.contains("binary"))
+    assert(opts.transformers.map(_._1) == Seq("decom", "apid_filter"))
+    assert(opts.transformers.head._2.contains("parameters"))
+    assert(opts.dryRun)
+  }
+}
