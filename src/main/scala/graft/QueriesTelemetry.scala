@@ -201,11 +201,16 @@ object QueriesTelemetry {
   }
 
   /** Flagship (reference examples/01_binary_ingest.py end-to-end): parse
-    * a real CCSDS byte stream, decom, calibrate, tidy.
+    * a real CCSDS file through the V2 `ccsds` source, decom, calibrate,
+    * tidy.
     */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
-    val packets = CcsdsSource.packetsFromBytes(
-      spark, Seq(Fixtures.hkStream(200)), CcsdsSource.Options(secHdrLength = 4))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_flagship")
+    Fixtures.writeHkFile(tmp.resolve("hk.bin"), 200)
+    val packets = spark.read.format("ccsds")
+      .option("path", tmp.resolve("hk.bin").toString)
+      .option("sec_hdr_length", "4")
+      .load()
     Telemetry.tidy(Calibration(Decom(packets, Fixtures.hkParamDefs), Fixtures.hkCalibrations))
   }
 
