@@ -175,7 +175,44 @@ object QueriesRelational {
       .orderBy("user_id")
   }
 
+  /** Cube over two grouping columns with grouping flags. */
+  private def q16Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube("event_type", "user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("v"),
+        grouping("event_type").as("g_et"), grouping("user_id").as("g_u"))
+      .orderBy(col("g_et"), col("g_u"), col("event_type").asc_nulls_first,
+        col("user_id").asc_nulls_first)
+
+  /** As-of join (no Spark built-in; Events.asOfJoin composes it as one
+    * window pass): each click matched with the user's most recent
+    * purchase at-or-before it. Oracle: DuckDB's native ASOF JOIN.
+    */
+  private def q17AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), round(col("value"), 6).as("purchase_value"))
+    operators.Events.asOfJoin(clicks, purchases, "user_id", "ts",
+        Seq("purchase_value"))
+      .select("user_id", "event_id", "asof_purchase_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user, then per-session
+    * aggregates (gap flag + running sum window composition).
+    */
+  private def q18Sessionize(s: SparkSession, dir: String): DataFrame =
+    operators.Events.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("session_value"))
+      .orderBy("user_id", "session_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_cube" -> (q16Cube(_, _)),
+    "q17_asof_join" -> (q17AsofJoin(_, _)),
+    "q18_sessionize" -> (q18Sessionize(_, _)),
     "q2_filter_project" -> (q2FilterProject(_, _)),
     "q3_join_agg" -> (q3JoinAgg(_, _)),
     "q4_broadcast_join" -> (q4BroadcastJoin(_, _)),
@@ -192,6 +229,40 @@ object QueriesRelational {
     "q15_union_distinct" -> (q15UnionDistinct(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q16_cube" ->
+      """SELECT event_type, user_id, count(*) AS n, round(sum(value), 6) AS v,
+        |  CAST(grouping(event_type) AS TINYINT) AS g_et,
+        |  CAST(grouping(user_id) AS TINYINT) AS g_u
+        |FROM events GROUP BY CUBE (event_type, user_id)
+        |ORDER BY g_et, g_u, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+    "q17_asof_join" ->
+      """SELECT c.user_id, c.event_id,
+        |  round(p.value, 6) AS asof_purchase_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q18_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 6) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice * (1 - l_discount), 4) AS net_price

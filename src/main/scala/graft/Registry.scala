@@ -30,17 +30,26 @@ object Registry {
   private def bool(c: JValue, k: String): Option[Boolean] = (c \ k).extractOpt[Boolean]
 
   val extractors: Map[String, Extractor] = Map(
+    // V2 `ccsds` source: splittable on sync markers, APID pushdown
     "binary" -> { (spark, c) =>
-      CcsdsSource.readPackets(spark,
-        str(c, "path").getOrElse(sys.error("binary extractor needs 'path'")),
-        CcsdsSource.Options(
-          secHdrLength = int(c, "sec_hdr_length").getOrElse(0),
-          frameSync = bool(c, "frame_sync").getOrElse(false),
-          // json4s yields Some(Nil) for a missing Seq key; empty means
-          // "no filter" (the reference treats a falsy list the same way)
-          apidFilter = (c \ "apid_filter").extractOpt[Seq[Int]].filter(_.nonEmpty),
-          sourceId = str(c, "source_id"),
-          groundReceiptTime = (c \ "ground_receipt_time").extractOpt[Double]))
+      var reader = spark.read.format("ccsds")
+        .option("path", str(c, "path").getOrElse(sys.error("binary extractor needs 'path'")))
+        .option("sec_hdr_length", int(c, "sec_hdr_length").getOrElse(0).toString)
+        .option("frame_sync", bool(c, "frame_sync").getOrElse(false).toString)
+      str(c, "source_id").foreach(v => reader = reader.option("source_id", v))
+      (c \ "ground_receipt_time").extractOpt[Double]
+        .foreach(v => reader = reader.option("ground_receipt_time", v.toString))
+      int(c, "split_size").foreach(v => reader = reader.option("split_size", v.toString))
+      val df = reader.load()
+      // json4s yields Some(Nil) for a missing Seq key; empty means "no
+      // filter" (the reference treats a falsy list the same way). The
+      // predicate pushes into the byte walk via SupportsPushDownFilters.
+      (c \ "apid_filter").extractOpt[Seq[Int]].filter(_.nonEmpty) match {
+        case Some(apids) =>
+          df.where(org.apache.spark.sql.functions.col("apid")
+            .isin(apids.map(Integer.valueOf): _*))
+        case None => df
+      }
     },
     "csv" -> { (spark, c) =>
       CsvTelemetrySource.readSamples(spark,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators Spark lacks as single built-ins, composed the
+  * scalable way (SURVEY.md custom-operator preference (a): compose
+  * existing ops).
+  */
+object Events {
+
+  /** As-of join: for each left row, the latest right row with
+    * rightTime <= leftTime within the same key.
+    *
+    * Shape: tag + union + one window pass with a carry-forward
+    * `last(..., ignoreNulls)` — a single shuffle on (key), linear state,
+    * instead of the range-join + per-pair filter that explodes on hot
+    * keys. Right rows at exactly leftTime match (<=): the sort places
+    * right (tag 0) before left (tag 1) at equal timestamps.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, timeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("_tag", lit(1))
+      .withColumns(valueCols.map(v => s"_asof_$v" -> lit(null).cast(
+        right.schema(v).dataType)).toMap)
+    val rTagged = right
+      .select((Seq(col(key), col(timeCol)) ++ valueCols.map(col)): _*)
+      .withColumn("_tag", lit(0))
+      .withColumns(valueCols.map(v => s"_asof_$v" -> col(v)).toMap)
+      .drop(valueCols: _*)
+    // align columns: left keeps its full schema; right contributes only
+    // key/time/_asof_* (other left columns become null on right rows and
+    // are dropped after the window pass)
+    val leftCols = left.columns.toSeq
+    val rAligned = leftCols.foldLeft(rTagged) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = lTagged.unionByName(rAligned.select(lTagged.columns.map(col): _*))
+    val w = Window.partitionBy(key).orderBy(col(timeCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(s"_asof_$v", last(col(s"_asof_$v"), ignoreNulls = true).over(w))
+    }
+    // matched right values surface as asof_<col> (never collides with a
+    // left column of the same name)
+    carried
+      .where(col("_tag") === 1)
+      .drop("_tag")
+      .withColumns(valueCols.map(v => s"asof_$v" -> col(s"_asof_$v")).toMap)
+      .drop(valueCols.map(v => s"_asof_$v"): _*)
+  }
+
+  /** Sessionization: a new session starts after a gap > gapSeconds
+    * within a key. One window pass: flag gap starts, running-sum the
+    * flags into session ids.
+    */
+  def sessionize(
+      events: DataFrame, key: String, timeCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(timeCol)
+    val prevTs = lag(col(timeCol), 1).over(w)
+    val newSession = when(
+      prevTs.isNull ||
+        unix_timestamp(col(timeCol)) - unix_timestamp(prevTs) > gapSeconds, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("_new_session", newSession)
+      .withColumn("session_id",
+        sum(col("_new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_new_session")
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val clicks = Seq((1L, ts(100), 10L), (1L, ts(200), 11L), (1L, ts(50), 12L),
+      (2L, ts(100), 20L))
+      .toDF("user_id", "ts", "event_id")
+    val purchases = Seq((1L, ts(80), 8.0), (1L, ts(200), 9.0), (3L, ts(10), 99.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val out = Events.asOfJoin(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+      .select("event_id", "asof_purchase_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L).contains(8.0)) // ts 100 -> purchase at 80
+    assert(out(11L).contains(9.0)) // ts 200 -> purchase AT 200 (<= matches)
+    assert(out(12L).isEmpty) // ts 50 -> nothing before
+    assert(out(20L).isEmpty) // user 2 has no purchases
+  }
+
+  test("sessionize splits on gaps and numbers sessions per key") {
+    val e = Seq(
+      (1L, ts(0)), (1L, ts(100)), (1L, ts(2000)), (1L, ts(2100)), // gap at 2000
+      (2L, ts(0)))
+      .toDF("user_id", "ts")
+    val out = Events.sessionize(e, "user_id", "ts", gapSeconds = 1800)
+      .orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("session_id")))
+    assert(out.toSeq == Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)))
+  }
+}
