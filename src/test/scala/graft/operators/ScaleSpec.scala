@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join and spreads the hot key") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables(spark, dir, "lineitem")
+    val o = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, "l_orderkey")
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).head()
+    val salted = Scale.saltedJoin(li, o, "l_orderkey", saltFactor = 8)
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).head()
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(plain.getDouble(1) == salted.getDouble(1))
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
+    // a crashed prior run can orphan the managed locations
+    for (t <- Seq("li_bkt", "o_bkt")) {
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Scale.writeBucketed(
+      graft.Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "li_bkt", "l_orderkey", buckets = 8)
+    Scale.writeBucketed(
+      graft.Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "o_bkt", "l_orderkey", buckets = 8)
+    // force the sort-merge path (tiny test tables would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt").join(spark.table("o_bkt"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
