@@ -209,7 +209,20 @@ object QueriesRelational {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("session_value"))
       .orderBy("user_id", "session_id")
 
+  /** Sketch aggregates (HLL++ count-distinct, approximate percentiles):
+    * values are engine-specific, so this is a rows-only query — the
+    * relative-error bound vs exact is asserted in ScalaTest instead.
+    */
+  private def q19Approx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_approx" -> (q19Approx(_, _)),
     "q16_cube" -> (q16Cube(_, _)),
     "q17_asof_join" -> (q17AsofJoin(_, _)),
     "q18_sessionize" -> (q18Sessionize(_, _)),

@@ -50,6 +50,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window groups samples by activity gaps on the stream") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_sess")
+    Fixtures.writeHkFile(dir.resolve("a.bin"), 30) // times 0..29s, 1s apart
+    val packets = TelemetryStreaming.packetFileStream(
+      spark, dir.toString, CcsdsSource.Options(secHdrLength = 4))
+    val samples = TelemetryStreaming.decomStream(
+      packets, Fixtures.hkParamDefs, Fixtures.hkCalibrations)
+      .withColumn("event_time", timestamp_seconds(col("time_tai")))
+      .withWatermark("event_time", "5 seconds")
+      .groupBy(session_window(col("event_time"), "10 seconds"), col("name"))
+      .agg(count(lit(1)).as("n"))
+    val q = samples.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a much-later second batch advances the watermark past the first
+      // session's end, so append mode emits it
+      val late = (100 until 110).map { i =>
+        graft.telemetry.Fixtures.makeRawPacket(
+          apid = 0x100, seqCount = i,
+          userData = graft.telemetry.BinaryFieldOps.packNumberBE(1.0, 16,
+            graft.telemetry.ParameterType.UINT) ++ new Array[Byte](10),
+          secHdr = Array[Byte](0, 0, 0, 1))
+      }.reduce(_ ++ _)
+      java.nio.file.Files.write(dir.resolve("b.bin"), late)
+      q.processAllAvailable()
+      val done = spark.sql("SELECT name, n FROM stream_sessions").collect()
+      assert(done.nonEmpty, "first session should have been emitted")
+      assert(done.forall(_.getLong(1) == 30)) // 1s gaps never split the session
+    } finally q.stop()
+  }
+
   test("stateful sequence-gap monitor counts gaps across batches") {
     // seqs 0,1,2,4,5 -> one gap (3 missing) for apid 0x100
     val packets = Seq((0x100, 0), (0x100, 1), (0x100, 2), (0x100, 4), (0x100, 5),
