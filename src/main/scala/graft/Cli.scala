@@ -57,13 +57,13 @@ object Cli {
         extract = s => extract(s, Registry.parseConfig(opts.extractorConfig.getOrElse(""))),
         transforms = transforms,
         load = df => opts.loader match {
-          case Some(l) if !opts.dryRun =>
+          case Some(l) =>
             val n = df.count()
             Registry.getLoader(l)(df, Registry.parseConfig(opts.loaderConfig.getOrElse("")))
             n
           case _ => df.count()
         },
-        dryRun = false)
+        dryRun = opts.dryRun) // dry run: explain only, loader skipped
       println(result.summary)
       spark.stop()
       if (!result.ok) sys.exit(1)
@@ -92,6 +92,8 @@ object Cli {
       case "--transformer" :: v :: t =>
         go(t, acc.copy(transformers = acc.transformers :+ (v -> "")))
       case "--transformer-config" :: v :: t =>
+        if (acc.transformers.isEmpty)
+          sys.error("--transformer-config requires a preceding --transformer")
         val updated = acc.transformers.dropRight(1) :+
           (acc.transformers.last._1 -> readMaybeFile(v))
         go(t, acc.copy(transformers = updated))

@@ -65,9 +65,11 @@ object Pipeline {
     val stageResults = mutable.Buffer.empty[StageResult]
     var rows = 0L
     try {
-      var df = extract(spark).observe("stage_extract", count(lit(1)).as("rows"))
-      transforms.foreach { case (name, fn) =>
-        df = fn(df).observe(s"stage_$name", count(lit(1)).as("rows"))
+      // index the metric names: two transforms may share a name (e.g.
+      // two apid_filter stages) and observe names must be plan-unique
+      var df = extract(spark).observe("stage_0_extract", count(lit(1)).as("rows"))
+      transforms.zipWithIndex.foreach { case ((name, fn), i) =>
+        df = fn(df).observe(s"stage_${i + 1}_$name", count(lit(1)).as("rows"))
       }
       val listener = new MetricsListener
       spark.listenerManager.register(listener)
@@ -81,10 +83,10 @@ object Pipeline {
       val elapsed = (System.nanoTime() - t0) / 1e9
       val observed = listener.observed
       val names = "extract" +: transforms.map(_._1)
-      names.foreach { n =>
+      names.zipWithIndex.foreach { case (n, i) =>
         stageResults += StageResult(
           n, if (dryRun) "skipped" else "success",
-          observed.getOrElse(s"stage_$n", -1L), elapsed)
+          observed.getOrElse(s"stage_${i}_$n", -1L), elapsed)
       }
       hooks.fire("pipeline.complete", Map("rows" -> rows))
       PipelineResult(

@@ -313,7 +313,8 @@ object QueriesTelemetry {
          |            WHEN 'p_ext' THEN 'cents' END AS unit,
          |  TRUE AS validity, FALSE AS out_of_limit, 0 AS alarm_level
          |FROM ($rawSamplesSql)
-         |ORDER BY time_tai, apid, seq_count, name""".stripMargin,
+         |ORDER BY time_tai, apid, seq_count, raw_value NULLS FIRST,
+         |  eng_value NULLS FIRST, unit NULLS FIRST""".stripMargin,
     "t7_inspect" ->
       s"""SELECT printf('0x%04X', $apidSql) AS apid_hex, $seqSql AS seq_count,
          |  CASE WHEN l_linenumber % 2 = 0 THEN 8 ELSE 6 END AS data_bytes,

@@ -21,7 +21,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
+      // integer division: `/` would promote the epoch-nanos bigint to
+      // double (ulp 256 ns at current epochs) and truncate 1 µs low
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
   }
 }

@@ -23,36 +23,36 @@ object Events {
       left: DataFrame, right: DataFrame,
       key: String, timeCol: String,
       valueCols: Seq[String]): DataFrame = {
-    val lTagged = left
-      .withColumn("_tag", lit(1))
-      .withColumns(valueCols.map(v => s"_asof_$v" -> lit(null).cast(
-        right.schema(v).dataType)).toMap)
+    // Carry the right row as ONE struct: `last(ignoreNulls)` then skips
+    // left rows (null struct) but never a right row whose individual
+    // value is null — carrying values separately would both return
+    // stale non-null values and mix fields from different right rows.
+    val payload = struct(valueCols.map(col): _*)
     val rTagged = right
       .select((Seq(col(key), col(timeCol)) ++ valueCols.map(col)): _*)
       .withColumn("_tag", lit(0))
-      .withColumns(valueCols.map(v => s"_asof_$v" -> col(v)).toMap)
+      .withColumn("_asof", payload)
       .drop(valueCols: _*)
-    // align columns: left keeps its full schema; right contributes only
-    // key/time/_asof_* (other left columns become null on right rows and
-    // are dropped after the window pass)
-    val leftCols = left.columns.toSeq
-    val rAligned = leftCols.foldLeft(rTagged) { (df, c) =>
+    val lTagged = left
+      .withColumn("_tag", lit(1))
+      .withColumn("_asof", lit(null).cast(rTagged.schema("_asof").dataType))
+    // align columns: left keeps its full schema; right rows carry nulls
+    // for the remaining left columns and are dropped after the window
+    val rAligned = left.columns.foldLeft(rTagged) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = lTagged.unionByName(rAligned.select(lTagged.columns.map(col): _*))
     val w = Window.partitionBy(key).orderBy(col(timeCol), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"_asof_$v", last(col(s"_asof_$v"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("_asof",
+      last(col("_asof"), ignoreNulls = true).over(w))
     // matched right values surface as asof_<col> (never collides with a
     // left column of the same name)
     carried
       .where(col("_tag") === 1)
-      .drop("_tag")
-      .withColumns(valueCols.map(v => s"asof_$v" -> col(s"_asof_$v")).toMap)
-      .drop(valueCols.map(v => s"_asof_$v"): _*)
+      .withColumns(valueCols.map(v => s"asof_$v" -> col("_asof")(v)).toMap)
+      .drop("_tag", "_asof")
   }
 
   /** Sessionization: a new session starts after a gap > gapSeconds

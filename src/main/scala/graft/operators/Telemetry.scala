@@ -21,15 +21,17 @@ object Telemetry {
   }
 
   /** Tidy/long export (dataset.py:63-82): 9 sample fields sorted by time.
-    * seq_count+name added to the sort for a deterministic total order
-    * (pandas' stable sort preserved insertion order; Spark needs explicit
-    * tiebreaks).
+    * The sort covers ALL output columns: several samples of one packet
+    * share (time_tai, apid, seq_count), so anything less is a
+    * partition-dependent order (pandas' stable sort hid this in the
+    * reference; a distributed sort needs the full tiebreak).
     */
   def tidy(samples: DataFrame): DataFrame =
     samples
       .select("time_tai", "apid", "seq_count", "raw_value", "eng_value",
         "unit", "validity", "out_of_limit", "alarm_level")
-      .orderBy("time_tai", "apid", "seq_count")
+      .orderBy("time_tai", "apid", "seq_count", "raw_value", "eng_value",
+        "unit", "validity", "out_of_limit", "alarm_level")
 
   /** Wide/pivoted export (dataset.py:84-95): one column per parameter,
     * full-outer aligned on time. The reference's dict-overwrite makes

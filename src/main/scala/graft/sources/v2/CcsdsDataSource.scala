@@ -150,17 +150,40 @@ class CcsdsScan(options: CaseInsensitiveStringMap, apids: Option[Seq[Int]])
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CcsdsReaderFactory(opts)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val resyncWindow = Option(options.get("resync_window")).map(_.toInt).getOrElse(0)
+    new CcsdsReaderFactory(opts, conf, resyncWindow)
+  }
+}
+
+/** java.io-serializable Hadoop Configuration carrier (executors must see
+  * the session's fs.* settings — an empty `new Configuration()` loses
+  * s3a/hdfs credentials and impls).
+  */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
 }
 
 case class CcsdsInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
-class CcsdsReaderFactory(opts: CcsdsSource.Options)
+class CcsdsReaderFactory(
+    opts: CcsdsSource.Options, conf: SerializableHadoopConf, resyncWindow: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CcsdsPartitionReader(partition.asInstanceOf[CcsdsInputPartition], opts)
+    new CcsdsPartitionReader(
+      partition.asInstanceOf[CcsdsInputPartition], opts, conf.value, resyncWindow)
 }
 
 /** Reads packets whose sync marker (or, unsplit, whose first byte) lies
@@ -169,19 +192,31 @@ class CcsdsReaderFactory(opts: CcsdsSource.Options)
   * which reads the whole file into RAM (binary.py:71-73).
   */
 class CcsdsPartitionReader(
-    part: CcsdsInputPartition, opts: CcsdsSource.Options)
+    part: CcsdsInputPartition, opts: CcsdsSource.Options,
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    resyncWindow: Int = 0)
     extends PartitionReader[InternalRow] {
 
-  private val in = {
+  private val raw = {
     val p = new Path(part.file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     val stream = fs.open(p)
     stream.seek(part.start)
-    new java.io.BufferedInputStream(stream, 1 << 16)
+    stream
   }
+  private var in = new java.io.BufferedInputStream(raw, 1 << 16)
   private var pos: Long = part.start
   private var current: InternalRow = _
   private var finished = false
+
+  /** Absolute reposition (rare: only on suspect-first-candidate
+    * rejection/confirmation); rebuilds the read buffer.
+    */
+  private def seekTo(p: Long): Unit = {
+    raw.seek(p)
+    in = new java.io.BufferedInputStream(raw, 1 << 16)
+    pos = p
+  }
 
   private val Marker = CcsdsSource.SyncMarker
 
@@ -218,11 +253,50 @@ class CcsdsPartitionReader(
     buf
   }
 
+  // The first marker a mid-file split finds is SUSPECT: the split start
+  // can land inside a packet whose payload happens to contain the sync
+  // pattern. Validate the first candidate by requiring the NEXT marker
+  // (or EOF) to start within `resyncWindow` bytes of the parsed packet's
+  // end — a packet parsed out of payload garbage has an arbitrary
+  // data_length, so its end does not line up with the real framing. The
+  // default window of 0 (marker immediately follows, the gapless-CADU
+  // layout) rejects nearly all false syncs; streams with inter-packet
+  // garbage must set resync_window >= their max garbage run and accept
+  // the correspondingly weaker check. Later markers are reached
+  // sequentially from a validated packet and need no check.
+  private var firstCandidateValidated = part.start == 0 || !opts.frameSync
+
+  /** Consumes up to resyncWindow+4 bytes: true iff EOF or a marker
+    * STARTS within resyncWindow bytes. Caller repositions via seekTo.
+    */
+  private def followedByMarkerOrEof(): Boolean = {
+    val win = new Array[Int](4)
+    var filled = 0
+    var scanned = 0
+    while (scanned < resyncWindow + 4) {
+      val b = in.read()
+      // EOF validates only if it falls within the window itself: a fake
+      // packet ending a few bytes shy of EOF must NOT pass
+      if (b < 0) return scanned <= resyncWindow
+      scanned += 1
+      if (filled < 4) { win(filled) = b; filled += 1 }
+      else { win(0) = win(1); win(1) = win(2); win(2) = win(3); win(3) = b }
+      if (filled == 4 &&
+          win(0) == (Marker(0) & 0xff) && win(1) == (Marker(1) & 0xff) &&
+          win(2) == (Marker(2) & 0xff) && win(3) == (Marker(3) & 0xff)) {
+        return scanned - 4 <= resyncWindow // marker start offset
+      }
+    }
+    false
+  }
+
   override def next(): Boolean = {
     if (finished) return false
     while (true) {
+      var candidateMarkerEnd = -1L
       if (opts.frameSync) {
         if (!seekToMarker()) { finished = true; return false }
+        candidateMarkerEnd = pos
       } else if (pos >= part.end) {
         finished = true; return false
       }
@@ -233,21 +307,36 @@ class CcsdsPartitionReader(
       val word2 = ((header(4) & 0xff) << 8) | (header(5) & 0xff)
       val apid = word0 & 0x7ff
       val dataField = readFully(word2 + 1)
-      if (dataField == null) { finished = true; return false } // truncated tail
-      if (opts.apidFilter.forall(_.contains(apid))) {
-        val secFlag = (word0 >> 11) & 0x1
-        val secLen = if (secFlag == 1) math.min(opts.secHdrLength, dataField.length) else 0
-        current = InternalRow(
-          (word0 >> 13) & 0x7, (word0 >> 12) & 0x1, secFlag, apid,
-          (word1 >> 14) & 0x3, word1 & 0x3fff, word2,
-          java.util.Arrays.copyOfRange(dataField, 0, secLen),
-          java.util.Arrays.copyOfRange(dataField, secLen, dataField.length),
-          null,
-          opts.groundReceiptTime.map(java.lang.Double.valueOf).orNull,
-          opts.sourceId.map(UTF8String.fromString).orNull)
-        return true
+      if (dataField == null) {
+        if (!firstCandidateValidated) {
+          // false sync at the tail: rescan just after the fake marker
+          seekTo(candidateMarkerEnd)
+        } else { finished = true; return false } // truncated tail
+      } else {
+        if (!firstCandidateValidated) {
+          val packetEnd = pos
+          if (followedByMarkerOrEof()) {
+            seekTo(packetEnd) // validated: resume exactly after the packet
+            firstCandidateValidated = true
+          } else {
+            seekTo(candidateMarkerEnd) // spurious in-payload marker
+          }
+        }
+        if (firstCandidateValidated && opts.apidFilter.forall(_.contains(apid))) {
+          val secFlag = (word0 >> 11) & 0x1
+          val secLen = if (secFlag == 1) math.min(opts.secHdrLength, dataField.length) else 0
+          current = InternalRow(
+            (word0 >> 13) & 0x7, (word0 >> 12) & 0x1, secFlag, apid,
+            (word1 >> 14) & 0x3, word1 & 0x3fff, word2,
+            java.util.Arrays.copyOfRange(dataField, 0, secLen),
+            java.util.Arrays.copyOfRange(dataField, secLen, dataField.length),
+            null,
+            opts.groundReceiptTime.map(java.lang.Double.valueOf).orNull,
+            opts.sourceId.map(UTF8String.fromString).orNull)
+          return true
+        }
+        // loop: filtered out, or rescanning after a rejected candidate
       }
-      // filtered out: loop to the next packet
     }
     false
   }

@@ -82,13 +82,23 @@ object TelemetryStreaming {
   def sequenceGapMonitor(
       packets: Dataset[(Int, Int)] /* (apid, seq_count) */): Dataset[SeqGapReport] = {
     import packets.sparkSession.implicits._
+    // NOTE: a flatMapGroupsWithState iterator has no inherent order; the
+    // per-batch wrap-aware sort below assumes a batch spans < one full
+    // 16384-count cycle (true for any sane micro-batch interval).
     packets
       .groupByKey(_._1)
       .flatMapGroupsWithState[SeqState, SeqGapReport](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (apid, rows, state: GroupState[SeqState]) =>
-          val seqs = rows.map(_._2).toSeq.sorted
           var st = state.getOption.getOrElse(SeqState(-1, 0L, 0L))
+          val batch = rows.map(_._2).toSeq // the iterator is single-use
+          // order by wrap-aware distance from the expected next count,
+          // NOT numerically: a batch spanning the 14-bit wrap
+          // ([16382, 16383, 0, 1]) must process 0/1 last, not first
+          val anchor =
+            if (st.lastSeq >= 0) (st.lastSeq + 1) & 0x3fff
+            else batch.headOption.getOrElse(0)
+          val seqs = batch.sortBy(s => (s - anchor) & 0x3fff)
           seqs.foreach { s =>
             if (st.lastSeq >= 0) {
               val expected = (st.lastSeq + 1) & 0x3fff

@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object CcsdsColumns {
 
-  /** Big-endian fixed-width pack of a non-negative integral column. */
-  def packUintBE(x: Column, nBytes: Int): Column =
-    unhex(lpad(hex(x.cast("bigint")), nBytes * 2, "0"))
+  /** Big-endian fixed-width pack of a non-negative integral column.
+    * Oversized values wrap mod 2^(8*nBytes) — without the mask, lpad
+    * would PREFIX-truncate the hex (keeping the most-significant
+    * digits), silently corrupting the stream.
+    */
+  def packUintBE(x: Column, nBytes: Int): Column = {
+    val masked =
+      if (nBytes >= 8) x.cast("bigint")
+      else x.cast("bigint").bitwiseAND(lit((1L << (8 * nBytes)) - 1))
+    unhex(lpad(hex(masked), nBytes * 2, "0"))
+  }
 
   def packUint16(x: Column): Column = packUintBE(x, 2)
   def packUint32(x: Column): Column = packUintBE(x, 4)

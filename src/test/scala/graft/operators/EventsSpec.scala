@@ -23,6 +23,18 @@ class EventsSpec extends SparkSpec {
     assert(out(20L).isEmpty) // user 2 has no purchases
   }
 
+  test("asOfJoin returns the latest right row even when its value is NULL") {
+    val clicks = Seq((1L, ts(30), 1L)).toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, ts(10), Some(5.0)), (1L, ts(20), None: Option[Double]))
+      .toDF("user_id", "ts", "purchase_value")
+    val out = Events.asOfJoin(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+      .select("asof_purchase_value").head()
+    // the t=20 row is the as-of match; its NULL value must surface,
+    // not the stale t=10 value
+    assert(out.isNullAt(0))
+  }
+
   test("sessionize splits on gaps and numbers sessions per key") {
     val e = Seq(
       (1L, ts(0)), (1L, ts(100)), (1L, ts(2000)), (1L, ts(2100)), // gap at 2000

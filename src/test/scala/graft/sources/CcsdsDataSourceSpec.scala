@@ -63,6 +63,31 @@ class CcsdsDataSourceSpec extends SparkSpec {
     assert(scanDesc.contains("pushed apids: 512"), s"scan not pushed:\n$scanDesc")
   }
 
+  test("spurious sync pattern inside payload does not corrupt split reads") {
+    // payload contains the 0x1ACFFC1D pattern followed by bytes that
+    // parse into a plausible-but-wrong header; splits starting inside
+    // the payload must reject that candidate and resync on real framing
+    val evilPayload = Array[Byte](
+      0x1a.toByte, 0xcf.toByte, 0xfc.toByte, 0x1d.toByte, // fake marker
+      0x08.toByte, 0x01.toByte, 0x00.toByte, 0x05.toByte, // fake header ...
+      0x00.toByte, 0x03.toByte, 0x11.toByte, 0x22.toByte,
+      0x33.toByte, 0x44.toByte, 0x55.toByte, 0x66.toByte)
+    val bytes = (0 until 100).flatMap { i =>
+      CcsdsSource.SyncMarker ++ Fixtures.makeRawPacket(
+        apid = 0x100, seqCount = i, userData = evilPayload)
+    }.toArray
+    val dir = java.nio.file.Files.createTempDirectory("v2evil")
+    val f = dir.resolve("evil.bin")
+    java.nio.file.Files.write(f, bytes)
+    for (split <- Seq(41L, 64L, 100L, 333L)) {
+      val got = spark.read.format("ccsds")
+        .option("path", f.toString).option("frame_sync", "true")
+        .option("split_size", split.toString).load()
+        .select("seq_count").collect().map(_.getInt(0)).sorted.toSeq
+      assert(got == (0 until 100), s"split_size=$split corrupted: ${got.size} rows")
+    }
+  }
+
   test("unframed file reads as a single partition") {
     val dir = java.nio.file.Files.createTempDirectory("v2plain")
     val f = dir.resolve("plain.bin")

@@ -92,6 +92,28 @@ class StreamingSpec extends SparkSpec {
     assert(out(0x200).gaps == 0 && out(0x200).received == 2)
   }
 
+  test("sequence-gap monitor handles the 14-bit wrap without false gaps") {
+    // continuous stream crossing the wrap: ...16382, 16383, 0, 1
+    val packets = Seq((0x100, 16382), (0x100, 16383), (0x100, 0), (0x100, 1)).toDS()
+    val out = TelemetryStreaming.sequenceGapMonitor(packets).collect().head
+    assert(out.gaps == 0, s"false gaps across wrap: ${out.gaps}")
+    assert(out.received == 4 && out.last_seq == 1)
+  }
+
+  test("pipeline composer allows duplicate transformer names") {
+    val result = graft.Pipeline.run(
+      spark,
+      extract = s => CcsdsSource.packetsFromBytes(
+        s, Seq(Fixtures.hkStream(10))),
+      transforms = Seq(
+        "apid_filter" -> (df => graft.operators.Telemetry.apidFilter(df, include = Seq(0x100))),
+        "apid_filter" -> (df => graft.operators.Telemetry.apidFilter(df, exclude = Seq(0x999)))),
+      load = df => df.count())
+    assert(result.ok && result.rowsLoaded == 10)
+    assert(result.stages.count(_.name == "apid_filter") == 2)
+    assert(result.stages.forall(_.rowsOut == 10))
+  }
+
   test("pipeline composer: per-stage observed rows + hooks + dry run") {
     var events = List.empty[String]
     val hooks = new graft.Pipeline.HookManager
