@@ -116,6 +116,52 @@ object QueriesTrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label embedding centroids: elementwise mean vector, reported
+    * as (label, n, centroid norm) — the vector-aggregation shape that
+    * clustering/IVF coarse quantizers need at scale (explode + grouped
+    * sums = one shuffle on (label, dim)).
+    */
+  private def e1Centroids(s: SparkSession, dir: String): DataFrame = {
+    val byDim = embs(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("x"))
+      .groupBy("label", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+    byDim
+      .select(col("label"), col("n"),
+        (col("sx") / col("n")).as("m"))
+      .groupBy("label")
+      .agg(max("n").as("n_vectors"),
+        round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  /** Corpus-wide top-20 words with counts (the classic frequency table,
+    * partial-aggregated before the exchange).
+    */
+  private def x5WordTopK(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  /** End-to-end training-data selection pipeline in one plan: exact-dedup
+    * survivors -> quality filter -> language filter -> per-source yield.
+    */
+  private def p1DocPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val survivors = Dedup.exactGroups(d).select(col("survivor_id").as("doc_id"))
+    d.join(survivors, "doc_id")
+      .where(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .where(TextAnalysis.langId(col("text")).getField("code") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        round(avg(length(col("text"))), 6).as("avg_len"))
+      .orderBy("source")
+  }
+
   // --- multimodal ------------------------------------------------------
 
   /** Media table synthesized from documents: payload = md5-hex bytes
@@ -154,6 +200,9 @@ object QueriesTrainingData {
     "d7_embed_dup" -> (d7EmbedDup(_, _)),
     "s1_cosine_topk" -> (s1CosineTopK(_, _)),
     "s2_ann_lsh" -> (s2AnnLsh(_, _)),
+    "e1_centroids" -> (e1Centroids(_, _)),
+    "x5_word_topk" -> (x5WordTopK(_, _)),
+    "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
     "m1_media_meta" -> (m1MediaMeta(_, _)),
     "m2_media_features" -> (m2MediaFeatures(_, _)))
 
@@ -347,6 +396,42 @@ object QueriesTrainingData {
          |    AS rank
          |  FROM scored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e1_centroids" ->
+      s"""WITH byd AS (
+         |  SELECT label, i AS pos, sum(e[i::INT]) AS sx, count(*) AS n
+         |  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
+         |  CROSS JOIN range(1, 65) r(i)
+         |  GROUP BY label, i
+         |)
+         |SELECT label, max(n) AS n_vectors,
+         |  round(sqrt(sum((sx / n) * (sx / n))), 6) AS centroid_norm
+         |FROM byd GROUP BY label ORDER BY label""".stripMargin,
+    "x5_word_topk" ->
+      s"""SELECT word, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "p1_doc_pipeline" ->
+      s"""WITH survivors AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)
+         |), scored AS (
+         |  SELECT doc_id, source, text,
+         |    round(least(length(text)::DOUBLE / 1000.0, 1.0) * 0.4
+         |        + least((CASE WHEN len($rawToksLowerSql) > 0
+         |            THEN len(list_filter($rawToksLowerSql, x -> list_contains($stopListSql, x)))::DOUBLE
+         |                 / len($rawToksLowerSql) ELSE 0.0 END) * 4.0, 1.0) * 0.3
+         |        + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+         |            THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)
+         |            ELSE 0.0 END) * 10.0) * 0.3, 6) AS q,
+         |    ${langScores.map { case (c, e) => s"$e AS s_$c" }.mkString(",\n    ")},
+         |    greatest(${langScores.map { case (c, _) => s"s_$c" }.mkString(", ")}) AS msc
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_selected,
+         |  round(avg(length(text)), 6) AS avg_len
+         |FROM scored JOIN survivors USING (doc_id)
+         |WHERE q >= 0.5
+         |  AND (CASE ${langScores.reverse.map { case (c, _) => s"WHEN s_$c = msc THEN '$c'" }.mkString(" ")} END) = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin,
     "m1_media_meta" ->
       s"""SELECT doc_id AS media_id,
          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
