@@ -260,8 +260,7 @@ object QueriesRelational {
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
         |         THEN 1 ELSE 0 END
         |      AS new_session
         |  FROM events

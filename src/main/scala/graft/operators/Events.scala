@@ -29,6 +29,9 @@ object Events {
     // stale non-null values and mix fields from different right rows.
     val payload = struct(valueCols.map(col): _*)
     val rTagged = right
+      // a NULL right timestamp never satisfies `rightTime <= leftTime`;
+      // unfiltered it would sort nulls-first and poison the carry
+      .where(col(timeCol).isNotNull)
       .select((Seq(col(key), col(timeCol)) ++ valueCols.map(col)): _*)
       .withColumn("_tag", lit(0))
       .withColumn("_asof", payload)
@@ -64,9 +67,11 @@ object Events {
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(timeCol)
     val prevTs = lag(col(timeCol), 1).over(w)
+    // timestamp -> double keeps fractional seconds; unix_timestamp's
+    // whole-second floor let gaps up to 1s over the threshold slip by
     val newSession = when(
       prevTs.isNull ||
-        unix_timestamp(col(timeCol)) - unix_timestamp(prevTs) > gapSeconds, 1L)
+        col(timeCol).cast("double") - prevTs.cast("double") > gapSeconds.toDouble, 1L)
       .otherwise(0L)
     events
       .withColumn("_new_session", newSession)

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** Inner equi-join where `left` is heavily skewed on the key: salt the
-    * left side into `saltFactor` pseudo-keys (deterministic hash of the
-    * whole row, not rand(), so retries/speculation stay consistent) and
-    * replicate the right side across all salts. Result equals the plain
-    * join; the hot key's rows spread over saltFactor reducers.
+    * left side into `saltFactor` pseudo-keys and replicate the right
+    * side across all salts. The salt is a round-robin row counter, so
+    * bit-identical duplicate rows of the hot key (the common log-replay
+    * shape) still spread; and since the right side is replicated to
+    * EVERY salt, any salt assignment yields the identical join result —
+    * correctness does not depend on salt determinism across retries.
     *
     * AQE's skew-join handles moderate skew automatically; explicit
     * salting is for the pathological single-key case (e.g. one APID
@@ -24,7 +26,7 @@ object Scale {
       left: DataFrame, right: DataFrame, key: String, saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
     val saltedLeft = left.withColumn(
-      "_salt", pmod(hash(struct(left.columns.map(col): _*)), lit(saltFactor)))
+      "_salt", pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val salts = explode(sequence(lit(0), lit(saltFactor - 1)))
     val saltedRight = right.withColumn("_salt", salts)
     saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")

@@ -127,11 +127,23 @@ class CcsdsScan(options: CaseInsensitiveStringMap, apids: Option[Seq[Int]])
       .sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = fs.globStatus(p) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case st => st.flatMap { s =>
-        if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile) else Array(s)
-      }
+    // hidden/metadata artifacts (_SUCCESS, .*.crc) are not packet data —
+    // Spark's built-in file sources skip them too
+    def isDataFile(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val matches = Option(fs.globStatus(p)).getOrElse(
+      Array.empty[org.apache.hadoop.fs.FileStatus])
+    if (matches.isEmpty) {
+      // a silent empty read would turn a typo'd path into data loss
+      // (globStatus: null for a missing literal path, empty for a
+      // matchless glob — both are config errors here)
+      throw new IllegalArgumentException(s"ccsds source: path does not exist: $path")
+    }
+    val files = matches.flatMap { s =>
+      if (s.isDirectory) fs.listStatus(s.getPath).filter(isDataFile)
+      else Array(s).filter(isDataFile)
     }
     val o = opts
     files.flatMap { f =>

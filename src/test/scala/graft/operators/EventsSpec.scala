@@ -35,6 +35,25 @@ class EventsSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("asOfJoin ignores right rows with NULL timestamps") {
+    val clicks = Seq((1L, ts(30), 1L)).toDF("user_id", "ts", "event_id")
+    val purchases = Seq(
+      (1L, Some(ts(10)), 5.0), (1L, None: Option[java.sql.Timestamp], 99.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val out = Events.asOfJoin(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+      .select("asof_purchase_value").head()
+    assert(out.getDouble(0) == 5.0) // null-ts row never matches
+  }
+
+  test("sessionize splits on sub-second gap excess") {
+    val a = new java.sql.Timestamp(950L) // 0.95s
+    val b = new java.sql.Timestamp(1800L * 1000 + 1900L) // 1801.9s -> gap 1800.95
+    val e = Seq((1L, a), (1L, b)).toDF("user_id", "ts")
+    val out = Events.sessionize(e, "user_id", "ts", gapSeconds = 1800)
+      .select("session_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L)) // whole-second floor would merge them
+  }
+
   test("sessionize splits on gaps and numbers sessions per key") {
     val e = Seq(
       (1L, ts(0)), (1L, ts(100)), (1L, ts(2000)), (1L, ts(2100)), // gap at 2000

@@ -88,6 +88,21 @@ class CcsdsDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("hidden and metadata files are skipped; missing path errors loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("v2meta")
+    java.nio.file.Files.write(dir.resolve("data.bin"), Fixtures.hkStream(10))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    java.nio.file.Files.write(dir.resolve(".data.bin.crc"), Fixtures.hkStream(3))
+    val df = spark.read.format("ccsds")
+      .option("path", dir.toString).option("sec_hdr_length", "4").load()
+    assert(df.count() == 10) // crc/_SUCCESS bytes not parsed as packets
+    val err = intercept[Exception] {
+      spark.read.format("ccsds")
+        .option("path", dir.toString + "/nope/*.bin").load().count()
+    }
+    assert(err.getMessage.contains("does not exist"))
+  }
+
   test("unframed file reads as a single partition") {
     val dir = java.nio.file.Files.createTempDirectory("v2plain")
     val f = dir.resolve("plain.bin")
