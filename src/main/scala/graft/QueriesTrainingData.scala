@@ -99,7 +99,7 @@ object QueriesTrainingData {
       .orderBy("a_id", "b_id")
 
   private def d7EmbedDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineDupPairs(embs(s, dir), threshold = 0.8, blockCol = "label")
+    Similarity.cosineDupPairs(embs(s, dir), threshold = 0.3, blockCol = "label")
       .orderBy("a_id", "b_id")
 
   // --- similarity search ----------------------------------------------
@@ -382,7 +382,7 @@ object QueriesTrainingData {
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |    round(list_sum(list_transform(range(1, 65), i -> a.en[i] * b.en[i])), 6) AS cos_sim
          |  FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
-         |) WHERE cos_sim >= 0.8
+         |) WHERE cos_sim >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
     "s1_cosine_topk" ->
       s"""WITH $normVecCte,
