@@ -87,14 +87,14 @@ object QueriesTelemetry {
   private def t2Decom(s: SparkSession, dir: String): DataFrame =
     samples(s, dir)
       .select("name", "apid", "seq_count", "time_tai", "raw_value")
-      .orderBy("time_tai", "name")
+      .orderBy("time_tai", "name", "raw_value")
 
   private def t3Calibration(s: SparkSession, dir: String): DataFrame =
     calibrated(s, dir)
       .select(col("name"), col("time_tai"),
         round(col("eng_value"), 6).as("eng_value"),
         col("unit"), col("calibration_id"))
-      .orderBy("time_tai", "name")
+      .orderBy("time_tai", "name", "eng_value")
 
   private def t4WidePivot(s: SparkSession, dir: String): DataFrame =
     Telemetry.wide(samples(s, dir), Seq("p_qty", "p_part", "p_ext", "q_supp", "q_ord"))
@@ -137,7 +137,9 @@ object QueriesTelemetry {
       ParameterDef("flag_hex", 0x300, 0, 16, ParameterType.BINARY))
     Decom(packets, defs)
       .select("name", "time_tai", "eng_value_str")
-      .orderBy("time_tai", "name")
+      // duplicate (l_orderkey, l_linenumber) rows share time_tai+name
+      // but differ in flags -> the value column must join the sort
+      .orderBy("time_tai", "name", "eng_value_str")
   }
 
   private def t10CsvUnpivot(s: SparkSession, dir: String): DataFrame = {
@@ -149,7 +151,7 @@ object QueriesTelemetry {
       nullif(col("l_discount"), lit(0.0)).as("disc")) // null cells are skipped
     CsvTelemetrySource.samplesFromWide(wideCsv)
       .select("name", "time_tai", "raw_value", "eng_value")
-      .orderBy("time_tai", "name")
+      .orderBy("time_tai", "name", "raw_value")
   }
 
   /** Per-parameter record stats: count + time_range
@@ -197,7 +199,11 @@ object QueriesTelemetry {
         col("h.master_frame_count").as("master_frame_count"),
         col("h.virtual_frame_count").as("virtual_frame_count"),
         col("h.first_header_pointer").as("first_header_pointer"))
-      .orderBy("tag")
+      // tag collides for duplicate (l_orderkey, l_linenumber) rows with
+      // differing part/supp keys -> order by every output column
+      .orderBy("tag", "spacecraft_id", "master_frame_count",
+        "first_header_pointer", "virtual_channel_id", "ocf_flag",
+        "virtual_frame_count")
   }
 
   /** Flagship (reference examples/01_binary_ingest.py end-to-end): parse
@@ -287,14 +293,14 @@ object QueriesTelemetry {
          |  CASE WHEN l_linenumber % 2 = 0 THEN 7 ELSE 5 END AS data_length
          |FROM lineitem ORDER BY time_tai""".stripMargin,
     "t2_decom" ->
-      s"$rawSamplesSql ORDER BY time_tai, name",
+      s"$rawSamplesSql ORDER BY time_tai, name, raw_value",
     "t3_calibration" ->
       s"""SELECT name, time_tai, $engSql AS eng_value,
          |  CASE name WHEN 'p_qty' THEN 'degC' WHEN 'p_part' THEN 'A'
          |            WHEN 'p_ext' THEN 'cents' END AS unit,
          |  CASE name WHEN 'p_qty' THEN 'polynomial' WHEN 'p_part' THEN 'table' END AS calibration_id
          |FROM ($rawSamplesSql)
-         |ORDER BY time_tai, name""".stripMargin,
+         |ORDER BY time_tai, name, eng_value""".stripMargin,
     "t4_wide_pivot" ->
       s"""SELECT time_tai,
          |  max(CASE WHEN name = 'p_qty' THEN raw_value END) AS p_qty,
@@ -330,7 +336,7 @@ object QueriesTelemetry {
          |       ELSE lower(hex(l_returnflag || l_linestatus)) END AS eng_value_str
          |FROM lineitem
          |CROSS JOIN (SELECT 'flag_str' AS name UNION ALL SELECT 'flag_hex') n
-         |ORDER BY time_tai, name""".stripMargin,
+         |ORDER BY time_tai, name, eng_value_str""".stripMargin,
     "t11_param_stats" ->
       s"""SELECT name, count(*) AS n_samples,
          |  min(time_tai) AS time_min, max(time_tai) AS time_max
@@ -348,7 +354,9 @@ object QueriesTelemetry {
          |  CAST(l_partkey % 256 AS INT) AS master_frame_count,
          |  CAST(l_orderkey % 256 AS INT) AS virtual_frame_count,
          |  CAST(l_partkey % 2048 AS INT) AS first_header_pointer
-         |FROM lineitem ORDER BY tag""".stripMargin,
+         |FROM lineitem ORDER BY tag, spacecraft_id, master_frame_count,
+         |  first_header_pointer, virtual_channel_id, ocf_flag,
+         |  virtual_frame_count""".stripMargin,
     "t10_csv_unpivot" ->
       s"""SELECT name, $timeSql AS time_tai, raw_value, raw_value AS eng_value
          |FROM (
@@ -359,5 +367,5 @@ object QueriesTelemetry {
          |  FROM lineitem
          |)
          |WHERE raw_value IS NOT NULL
-         |ORDER BY time_tai, name""".stripMargin)
+         |ORDER BY time_tai, name, raw_value""".stripMargin)
 }
