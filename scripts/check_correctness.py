@@ -74,6 +74,18 @@ def main(sf_dir, out_dir):
             n_skip += 1
             continue
         try:
+            rel = con.sql(oracles[name])
+            # The driver's hash compare converts DuckDB results through
+            # pandas/arrow, which mangles HUGEINT (-> float64/decimal128)
+            # even when values equal Spark's int64 — r01 q18 lesson.
+            odd = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")
+                   or str(t).startswith("DECIMAL")]
+            if odd:
+                print(f"FAIL  {name}: oracle emits driver-unsafe types "
+                      f"{odd} — CAST to BIGINT/DOUBLE in the SQL")
+                n_fail += 1
+                continue
             exp = con.execute(oracles[name]).fetchall()
             exp_cols = [d[0] for d in con.description]
         except Exception as e:

@@ -267,8 +267,9 @@ object QueriesRelational {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), sessions AS (
         |  SELECT user_id, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
