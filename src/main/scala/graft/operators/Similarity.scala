@@ -17,15 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Left-to-right dot product — native codegen'd kernel (same
+    * accumulation order as the earlier `aggregate(zip_with(...))` fold,
+    * so oracle hashes are unchanged; the kernel call JIT-compiles
+    * instead of interpreting one pass per fold).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  // NOTE (measured, sf0.1): an unrolled element_at sum for fixed dims is
-  // ~2x SLOWER than this HOF fold warm — 64 null-checked array accesses
-  // lose to one interpreted pass over the materialized array. The
-  // interpreted-lambda rule has this exception: a single tight fold over
-  // an already-materialized numeric array is fine.
+    graft.functions.VectorExpressions.vectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -36,11 +34,8 @@ object Similarity {
     * each candidate pair a single dot product instead of dot + two
     * norms — pairwise stages are the hot path, vectors are not.
     */
-  def normalized(a: Column): Column = {
-    val v = asDouble(a)
-    val n = sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (acc, t) => acc + t))
-    when(n > 0.0, transform(v, x => x / n)).otherwise(v)
-  }
+  def normalized(a: Column): Column =
+    graft.functions.VectorExpressions.vectorNormalize(a)
 
   /** Cosine similarity (0 when either vector is all-zero). */
   def cosine(a: Column, b: Column): Column = {
@@ -72,30 +67,26 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
-    * plane p, dimension i — computed DRIVER-side (md5 of "hp<p>:<i>")
-    * and shipped as literals, so signature evaluation is pure
-    * arithmetic per row (the first version recomputed the md5 per row
-    * per plane per dimension: 10M hashes at sf0.1).
-    */
-  private def planeComponent(p: Int, i: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"hp$p:$i".getBytes("UTF-8"))
-    val hex = digest.take(8).map(b => f"$b%02x").mkString.take(15)
-    (java.lang.Long.parseLong(hex, 16).toDouble / 5.764607523034235e17) - 1.0
-  }
+  // hyperplane components live with the kernel (same md5 scheme as the
+  // round-1 literal shipping — signatures are unchanged)
+  private def planeComponent(p: Int, i: Int): Double =
+    graft.functions.VectorOps.planeComponent(p, i)
 
-  private val maxDims = 256
+  private def maxDims = graft.functions.VectorOps.maxDims
 
   /** Sign-bit LSH signature for one hash table: bit p = 1 iff
     * dot(vec, plane_{table*planes+p}) > 0. Supports up to `maxDims`
-    * dimensions (plane literals are pre-sliced to the vector size).
+    * dimensions. Scalar form for one-off use; the bulk path is
+    * `lshBuckets` (explode + grouped sums — interpreted per-plane folds
+    * here made sf0.1 s2 take 6s warm / 30s cold for 2000 rows, mostly
+    * plan-size pathology from 32x256 literal nodes per branch).
     */
   def lshSignature(vec: Column, numPlanes: Int, table: Int = 0): Column = {
     val v = asDouble(vec)
     val bits = (0 until numPlanes).map { p =>
-      val plane = (0 until maxDims).map(i => planeComponent(table * numPlanes + p, i))
-      val planeLit = array(plane.map(lit): _*)
+      // ONE Literal node (typedlit), not a 256-child CreateArray
+      val planeLit = typedlit(
+        (0 until maxDims).map(i => planeComponent(table * numPlanes + p, i)))
       val proj = aggregate(
         zip_with(v, slice(planeLit, lit(1), size(v)), (x, h) => x * h),
         lit(0.0), (acc, t) => acc + t)
@@ -104,10 +95,22 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** All per-table signatures as an array of (table, bucket) structs. */
-  def lshSignatures(vec: Column, planesPerTable: Int, numTables: Int): Column =
-    array((0 until numTables).map(t =>
-      struct(lit(t).as("table"), lshSignature(vec, planesPerTable, t).as("bucket"))): _*)
+  /** Bulk (id, table, bucket) LSH table rows: ONE codegen'd kernel call
+    * per row computes every table's sign-bit bucket (array<long>), then
+    * posexplode emits (table=pos, bucket). Pure per-row map — no
+    * shuffle, embarrassingly parallel at any scale. Bucket values are
+    * identical to `lshSignature` (same plane scheme, same left-to-right
+    * accumulation).
+    */
+  def lshBuckets(
+      df: DataFrame, idCol: String, outIdName: String,
+      planesPerTable: Int, numTables: Int,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as(outIdName),
+        posexplode(graft.functions.VectorExpressions.lshBuckets(
+          col(vecCol), planesPerTable, numTables)))
+      .select(col(outIdName), col("pos").cast("int").as("table"),
+        col("col").as("bucket"))
 
   /** Approximate top-k via multi-table hyperplane LSH: candidates =
     * docs sharing a bucket with the query in ANY of `numTables` tables
@@ -123,11 +126,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       planesPerTable: Int = 4, numTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigs = lshSignatures(col(vecCol), planesPerTable, numTables)
-    val cBuckets = corpus.select(col(idCol).as("neighbor_id"), explode(sigs).as("tb"))
-      .select(col("neighbor_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    val qBuckets = queries.select(col(idCol).as("query_id"), explode(sigs).as("tb"))
-      .select(col("query_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val cBuckets = lshBuckets(corpus, idCol, "neighbor_id", planesPerTable, numTables, vecCol)
+    val qBuckets = lshBuckets(queries, idCol, "query_id", planesPerTable, numTables, vecCol)
     val cands = cBuckets.join(broadcast(qBuckets), Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
