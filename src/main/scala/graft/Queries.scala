@@ -43,7 +43,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _))
   ) ++ QueriesTelemetry.queries ++ QueriesRelational.queries ++
-    QueriesTrainingData.queries
+    QueriesTrainingData.queries ++ QueriesExtended.queries
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -58,5 +58,5 @@ object Queries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ QueriesTelemetry.oracles ++ QueriesRelational.oracles ++
-    QueriesTrainingData.oracles
+    QueriesTrainingData.oracles ++ QueriesExtended.oracles
 }

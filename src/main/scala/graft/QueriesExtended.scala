@@ -1,0 +1,350 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Dedup, Graph, RangeJoin, TextAnalysis}
+
+/** Round-2 engine surface: range joins, subqueries, grouping sets,
+  * string aggregation, JSON extraction, TF-IDF, stratified sampling,
+  * k-means assignment, dedup cluster closure, a true Structured
+  * Streaming query, and IVF ANN.
+  *
+  * Same conventions as Queries.scala: aliases match the oracle SQL
+  * exactly, doubles are rounded on both sides, every query ends in a
+  * total-order ORDER BY, and no oracle column is HUGEINT/DECIMAL
+  * (cast to BIGINT/DOUBLE — the driver compare mangles those).
+  */
+object QueriesExtended {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // --- q20: range join (bucketed, not nested-loop) ---------------------
+
+  /** For each sampled order: how many lineitems (any order) shipped
+    * within 7 days from its order date. A genuine non-equi join —
+    * planned as bucket-equi-join + residual instead of O(n*m) BNLJ.
+    */
+  private def q20RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .where(col("o_orderkey") % 97 === 0)
+      .select("o_orderkey", "o_orderdate")
+    val line = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    val matched = RangeJoin.pointInInterval(
+        line, orders, "l_shipdate", "o_orderdate", 7L * 86400)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+    orders.select("o_orderkey").join(matched, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
+  // --- q21: correlated EXISTS / NOT EXISTS / scalar subquery -----------
+
+  private val q21Sql =
+    """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE o.o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  private def q21Subqueries(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q21Sql)
+  }
+
+  // --- q22: grouping sets ----------------------------------------------
+
+  private val q22Sql =
+    """SELECT event_type, user_mod, count(*) AS n, round(sum(value), 6) AS v,
+      |  CAST(grouping(event_type) AS TINYINT) AS g_et,
+      |  CAST(grouping(user_mod) AS TINYINT) AS g_um
+      |FROM (SELECT event_type, user_id % 10 AS user_mod, value FROM events)
+      |GROUP BY GROUPING SETS ((event_type, user_mod), (event_type), (user_mod), ())
+      |ORDER BY g_et, g_um, event_type NULLS FIRST, user_mod NULLS FIRST""".stripMargin
+
+  private def q22GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(q22Sql)
+  }
+
+  // --- q23: ordered string aggregation ---------------------------------
+
+  private def q23StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+        size(collect_set(col("event_type"))).as("n_types"))
+      .orderBy("user_id")
+
+  // --- q24: JSON extraction --------------------------------------------
+
+  private def q24Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        count(when(col("k") >= 50, 1)).as("n_hi"))
+      .orderBy("event_type")
+
+  // --- x6: TF-IDF top terms per document -------------------------------
+
+  /** Top-3 TF-IDF terms per doc. The idf is quantized to 6 dp BEFORE
+    * the tf multiply: Math.log and DuckDB ln differ in the last ulp for
+    * ~0.1% of inputs, but agree after round(,6); every operation after
+    * the quantization is exact, so the compare is deterministic.
+    */
+  private def x6Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count().toDouble
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("idf", round(log(lit(nDocs) / col("df")), 6))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("doc_id", "term", "tfidf", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  // --- x7: deterministic stratified sampling ---------------------------
+
+  /** Hash-based per-stratum sampling: md5(doc_id) mod 1000 under a
+    * per-language rate (en 50%, others 20%). Deterministic, re-runnable,
+    * and exactly reproducible in any engine — the property a training
+    * pipeline needs so reruns keep the same documents.
+    */
+  private def x7StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint") % 1000)
+      .where(col("h") < when(col("lang") === "en", 500).otherwise(200))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  // --- e2: k-means assignment ------------------------------------------
+
+  /** One assignment pass against deterministic seed centroids
+    * (vec_id 0..7): per-cluster population and distance stats. The
+    * per-row argmin is a pure map (no shuffle); only the final stats
+    * aggregate exchanges data.
+    */
+  private def e2Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Clustering.seedCentroids(e, 8)
+    Clustering.assign(e, cents)
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        round(avg("dist"), 6).as("avg_dist"),
+        round(min("dist"), 6).as("min_dist"),
+        round(max("dist"), 6).as("max_dist"))
+      .orderBy("centroid_id")
+  }
+
+  // --- d8: dedup clusters (connected components) -----------------------
+
+  /** Transitive closure of the MinHash-LSH near-dup pairs (Jaccard >=
+    * 0.1): (doc_id, cluster_id = min doc id in component). This is the
+    * step that turns pairwise dedup hits into keep/drop decisions.
+    */
+  private def d8DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = Dedup.shingleTable(docs, 3)
+    val sigs = Dedup.minhashFromShingles(st, numHashes = 8)
+    val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
+    val ex = st.select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint").as("h"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val edges = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .where(col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= 0.1)
+      .select("a_id", "b_id")
+    Graph.connectedComponents(edges, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  // --- st1: Structured Streaming through the gate ----------------------
+
+  private def st1StreamWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreaming.hourlyTypeStats(s, dir)
+      .orderBy("window_start", "event_type")
+
+  // --- s3: IVF approximate nearest neighbor (rows-only) ----------------
+
+  private def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Clustering.ivfTopK(e, e.where(col("vec_id") < 20), k = 5,
+        nCells = 16, nprobe = 4, iterations = 1)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_range_join" -> (q20RangeJoin(_, _)),
+    "q21_subqueries" -> (q21Subqueries(_, _)),
+    "q22_grouping_sets" -> (q22GroupingSets(_, _)),
+    "q23_string_agg" -> (q23StringAgg(_, _)),
+    "q24_json" -> (q24Json(_, _)),
+    "x6_tfidf" -> (x6Tfidf(_, _)),
+    "x7_stratified_sample" -> (x7StratifiedSample(_, _)),
+    "e2_kmeans" -> (e2Kmeans(_, _)),
+    "d8_dedup_clusters" -> (d8DedupClusters(_, _)),
+    "st1_stream_window" -> (st1StreamWindow(_, _)),
+    "s3_ann_ivf" -> (s3AnnIvf(_, _)))
+
+  // --- oracle SQL ------------------------------------------------------
+
+  private val toksSql =
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), x -> x <> '')"
+
+  private val minhashASql = Dedup.minhashA.take(8).mkString("[", ", ", "]")
+  private val minhashBSql = Dedup.minhashB.take(8).mkString("[", ", ", "]")
+  private val P = Dedup.minhashP
+
+  private def shinglesSql(n: Int): String = {
+    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' '))"
+    s"""CASE WHEN len($toksSql) >= $n
+       |  THEN list_distinct(list_transform(range(1, len($toksSql) - $n + 2),
+       |       i -> array_to_string(($toksSql)[i:i+${n - 1}], ' ')))
+       |  ELSE [$normSql] END""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q20_range_join" ->
+      """SELECT o.o_orderkey,
+        |  count(l.l_orderkey) AS n_shipped
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey % 97 = 0
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+    "q21_subqueries" -> q21Sql,
+    "q22_grouping_sets" -> q22Sql,
+    "q23_string_agg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types,
+        |  count(*) AS n_types
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q24_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+        |        THEN 1 END) AS n_hi
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x6_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+         |), n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+         |SELECT doc_id, term, tfidf, rank FROM (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * round(ln(n.n / dfreq.df), 6), 6) AS tfidf,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY round(tf.tf * round(ln(n.n / dfreq.df), 6), 6) DESC, tf.term)
+         |      AS rank
+         |  FROM tf JOIN dfreq USING (term), n
+         |) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "x7_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS h
+        |  FROM documents
+        |) WHERE h < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
+    "e2_kmeans" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        |  FROM embeddings WHERE vec_id < 8
+        |), v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+        |), d AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (ve[i] - ce[i]) * (ve[i] - ce[i]))) AS dist
+        |  FROM v CROSS JOIN c
+        |), a AS (
+        |  SELECT vec_id, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d
+        |)
+        |SELECT cid AS centroid_id, count(*) AS n_assigned,
+        |  round(avg(dist), 6) AS avg_dist,
+        |  round(min(dist), 6) AS min_dist,
+        |  round(max(dist), 6) AS max_dist
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY centroid_id""".stripMargin,
+    "d8_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |hx AS (SELECT doc_id, (('0x' || substr(md5(s), 1, 8))::BIGINT % $P) AS h FROM ex),
+         |sigs AS (
+         |  SELECT doc_id, k::INT AS k,
+         |    min(($minhashASql[k::INT + 1] * h + $minhashBSql[k::INT + 1]) % $P) AS minhash
+         |  FROM hx CROSS JOIN range(8) r(k) GROUP BY doc_id, k
+         |),
+         |bands AS (
+         |  SELECT doc_id, k // 2 AS band,
+         |    string_agg(k || ':' || minhash, ',' ORDER BY k) AS band_key
+         |  FROM sigs GROUP BY doc_id, k // 2
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), exh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM exh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cands c JOIN exh ea ON ea.doc_id = c.a_id
+         |               JOIN exh eb ON eb.doc_id = c.b_id AND eb.h = ea.h
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cands c
+         |  JOIN inter ON inter.a_id = c.a_id AND inter.b_id = c.b_id
+         |  JOIN sz sa ON sa.doc_id = c.a_id JOIN sz sb ON sb.doc_id = c.b_id
+         |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1
+         |), edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |  UNION SELECT a_id, a_id FROM pairs
+         |  UNION SELECT b_id, b_id FROM pairs
+         |), reach AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+         |)
+         |SELECT s AS doc_id, min(d) AS cluster_id
+         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "st1_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+}

@@ -61,6 +61,22 @@ object VectorOps {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Left-to-right sum of squared differences; null when lengths
+    * differ (mirrors [[dot]]).
+    */
+  def sqDist(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val d = elem(a, i, aFloat) - elem(b, i, bFloat)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** Unit-normalized copy (all-zero unchanged), double output. */
   def normalize(v: ArrayData, isFloat: Boolean): ArrayData = {
     val n = v.numElements()
@@ -139,6 +155,38 @@ case class VectorDot(left: Expression, right: Expression)
     copy(newLeft, newRight)
 }
 
+/** vector_sq_dist(a, b) -> double squared L2 (left-to-right accumulation). */
+case class VectorSqDist(left: Expression, right: Expression)
+    extends BinaryExpression with VectorExpr {
+  override def dataType: DataType = DoubleType
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else VectorOps.sqDist(
+      a.asInstanceOf[ArrayData], isFloatArray(left),
+      b.asInstanceOf[ArrayData], isFloatArray(right))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (la, lb) = (left.genCode(ctx), right.genCode(ctx))
+    val tmp = ctx.freshName("sqDistBoxed")
+    ev.copy(code = code"""
+      ${la.code}
+      ${lb.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!(${la.isNull} || ${lb.isNull})) {
+        java.lang.Double $tmp = graft.functions.VectorOps.sqDist(
+          ${la.value}, ${isFloatArray(left)}, ${lb.value}, ${isFloatArray(right)});
+        if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp.doubleValue(); }
+      }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
 /** vector_normalize(v) -> array<double> unit vector (zero stays zero). */
 case class VectorNormalize(child: Expression)
     extends UnaryExpression with VectorExpr {
@@ -198,6 +246,9 @@ object VectorExpressions {
 
   def vectorDot(a: Column, b: Column): Column =
     column(VectorDot(expression(a), expression(b)))
+
+  def vectorSqDist(a: Column, b: Column): Column =
+    column(VectorSqDist(expression(a), expression(b)))
 
   def vectorNormalize(v: Column): Column =
     column(VectorNormalize(expression(v)))

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** K-means-style clustering and IVF approximate nearest neighbor over
+  * embedding columns.
+  *
+  * Scale shape: centroids are tiny (k x dims doubles) and always live on
+  * the driver / in broadcast literals; assignments are a pure per-row
+  * argmin map (no shuffle). A Lloyd update is one explode + grouped-sum
+  * pass — the e1_centroids shape. IVF search = assignment of the corpus
+  * once (the index), then queries probe only the nprobe nearest cells:
+  * candidate set shrinks by ~k/nprobe vs brute force while staying an
+  * ordinary broadcast join + top-k window.
+  */
+object Clustering {
+
+  /** Squared L2 distance: left-to-right sum of (a_i - b_i)^2 — matches
+    * DuckDB `list_sum(list_transform(...))` for the oracle compare.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vectorSqDist(a, b)
+
+  /** Deterministic initial centroids: the vectors whose id is 0..k-1
+    * (as double arrays, collected driver-side — k x dims is tiny by
+    * construction at any corpus scale).
+    */
+  def seedCentroids(
+      corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Array[Double])] =
+    corpus.where(col(idCol) < k)
+      .select(col(idCol).cast("int"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Nearest-centroid id for a vector column (ties -> lowest centroid
+    * id): array_min over (dist, cid) structs, struct ordering.
+    */
+  def nearestCentroid(
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(sqDist(vec, typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
+    }
+    array_min(array(scored: _*)).getField("cid")
+  }
+
+  /** One assignment pass: adds `centroid_id` and `dist` (squared L2 to
+    * the assigned centroid).
+    */
+  def assign(
+      corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
+    }
+    val best = array_min(array(scored: _*))
+    corpus
+      .withColumn("_best", best)
+      .withColumn("centroid_id", col("_best.cid"))
+      .withColumn("dist", col("_best.dist"))
+      .drop("_best")
+  }
+
+  /** One Lloyd update: elementwise mean of each cluster's members
+    * (explode + grouped sums — one shuffle on (cluster, dim)). Empty
+    * clusters keep their previous centroid.
+    */
+  def lloydStep(
+      assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
+      vecCol: String = "embedding"): Seq[(Int, Array[Double])] = {
+    val dims = centroids.head._2.length
+    val byDim = assigned
+      .select(col("centroid_id"), posexplode(col(vecCol)))
+      .select(col("centroid_id"), col("pos"), col("col").cast("double").as("x"))
+      .groupBy("centroid_id", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(r => r.getAs[Int]("centroid_id"))
+    centroids.map { case (cid, prev) =>
+      byDim.get(cid) match {
+        case Some(rows) =>
+          val c = new Array[Double](dims)
+          rows.foreach { r =>
+            c(r.getAs[Int]("pos")) = r.getAs[Double]("sx") / r.getAs[Long]("n")
+          }
+          (cid, c)
+        case None => (cid, prev)
+      }
+    }
+  }
+
+  /** IVF (inverted-file) approximate top-k: index = corpus assigned to
+    * its nearest of k coarse cells (after `iterations` Lloyd rounds);
+    * each query probes its `nprobe` nearest cells and exact-ranks by
+    * cosine only within them.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nprobe: Int, iterations: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = seedCentroids(corpus, nCells, idCol, vecCol)
+    (0 until iterations).foreach { _ =>
+      cents = lloydStep(assign(corpus, cents, vecCol), cents, vecCol)
+    }
+    val cell = nearestCentroid(col(vecCol), cents)
+    val indexed = corpus.select(
+      col(idCol).as("neighbor_id"), cell.as("cell"),
+      Similarity.normalized(col(vecCol)).as("c_vec"))
+    // query -> its nprobe nearest cells, exploded to (query, cell)
+    val probeCells = {
+      val scored = cents.map { case (cid, c) =>
+        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
+      }
+      slice(array_sort(array(scored: _*)), 1, nprobe)
+    }
+    val probes = queries.select(
+        col(idCol).as("query_id"),
+        Similarity.normalized(col(vecCol)).as("q_vec"),
+        explode(probeCells).as("pc"))
+      .select(col("query_id"), col("q_vec"), col("pc.cid").as("cell"))
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal distributed graph utilities for dedup pipelines.
+  *
+  * Near-duplicate detection yields PAIRS; acting on them (keep one doc
+  * per duplicate group) needs the transitive closure — connected
+  * components. The implementation is min-label propagation with pointer
+  * doubling: each round every node adopts the smallest label in its
+  * neighborhood, then labels are compressed one pointer hop
+  * (label := label(label)), which halves remaining path lengths — so
+  * convergence takes O(log diameter) rounds, each round a constant
+  * number of hash joins/aggregations. Lineage is truncated per round
+  * with localCheckpoint so the logical plan stays flat no matter how
+  * many rounds run (iterative DataFrame loops otherwise accrete one
+  * plan layer per round and planning time explodes).
+  */
+object Graph {
+
+  /** Connected components of the undirected edge list (aCol, bCol).
+    * Returns (node, component) where component = min node id reachable.
+    * Only nodes that appear in an edge are returned.
+    */
+  def connectedComponents(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 25): DataFrame = {
+    // undirected: both directions (self-pairs collapse naturally)
+    val sym = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), min(col("src"))).as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // 1. adopt the minimum component among self and direct neighbors
+      val neigh = sym
+        .join(labels.select(col("node").as("dst"), col("component").as("dst_comp")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_comp")).as("neigh_comp"))
+      val adopted = labels.join(neigh, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("neigh_comp"), col("component")))
+            .as("component"))
+      // 2. pointer doubling: component := component(component) — halves
+      //    the distance to the component minimum each round. The
+      //    convergence flag rides along in the same materialization so
+      //    checking it is a scan of the checkpointed rows, not a new
+      //    join job.
+      val doubled = adopted
+        .join(adopted.select(col("node").as("component"),
+          col("component").as("parent_comp")), Seq("component"), "left")
+        .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
+        .select(col("node"),
+          least(col("component"), coalesce(col("parent_comp"), col("component")))
+            .as("component"),
+          col("prev"))
+        .withColumn("changed", col("component") =!= col("prev"))
+        .localCheckpoint()
+      converged = doubled.where(col("changed")).limit(1).count() == 0
+      labels = doubled.select("node", "component")
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior specs for the round-2 operators: bucketed range join
+  * equivalence, connected components, k-means assignment, and IVF
+  * recall.
+  */
+class ExtendedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed range join equals the naive non-equi join, incl. boundaries") {
+    val points = Seq(
+      (1L, "2024-01-01 00:00:00"), // == interval start (inclusive)
+      (2L, "2024-01-01 00:59:59"), // just inside
+      (3L, "2024-01-01 01:00:00"), // == interval end (exclusive)
+      (4L, "2024-01-01 01:30:00"), // inside second interval
+      (5L, "2023-12-31 23:59:59"), // before everything
+      (6L, "2024-01-01 00:30:30")) // inside, lands in bucket+1
+      .toDF("pid", "ts_s").select($"pid", $"ts_s".cast("timestamp").as("ts"))
+    val intervals = Seq(
+      (10L, "2024-01-01 00:00:00"),
+      (11L, "2024-01-01 01:10:00"))
+      .toDF("iid", "start_s").select($"iid", $"start_s".cast("timestamp").as("start"))
+    val got = RangeJoin.pointInInterval(points, intervals, "ts", "start", 3600L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .where($"ts" >= $"start" && $"ts" < $"start" + expr("INTERVAL 3600 SECONDS"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got == Set((1L, 10L), (2L, 10L), (6L, 10L), (4L, 11L)))
+  }
+
+  test("bucketed range join plans a hash join, not a nested loop") {
+    val points = Seq((1L, "2024-01-01 00:00:00")).toDF("pid", "ts_s")
+      .select($"pid", $"ts_s".cast("timestamp").as("ts"))
+    val intervals = Seq((10L, "2024-01-01 00:00:00")).toDF("iid", "start_s")
+      .select($"iid", $"start_s".cast("timestamp").as("start"))
+    val plan = RangeJoin.pointInInterval(points, intervals, "ts", "start", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
+  test("connected components: chain, triangle, isolated pair") {
+    // chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val cc = Graph.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components converges on a long chain within iteration cap") {
+    val n = 64 // needs ~log2(n) doubling rounds with min-propagation: <= cap
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Graph.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n.toInt + 1 && cc.values.forall(_ == 0L))
+  }
+
+  test("kmeans assignment: nearest centroid wins, ties break to lower id") {
+    val e = Seq(
+      (0L, Array(0f, 0f), 0),
+      (1L, Array(10f, 0f), 0),
+      (2L, Array(1f, 0f), 0),   // nearer to centroid 0
+      (3L, Array(9f, 0f), 0),   // nearer to centroid 1
+      (4L, Array(5f, 0f), 0))   // equidistant -> centroid 0
+      .toDF("vec_id", "embedding", "label")
+    val cents = Clustering.seedCentroids(e, 2)
+    assert(cents.map(_._1) == Seq(0, 1))
+    val assigned = Clustering.assign(e, cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+  }
+
+  test("lloyd step moves centroids to cluster means; empty cluster keeps seed") {
+    val e = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(2f, 0f), 0),
+      (2L, Array(100f, 100f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val seeds = Seq((0, Array(1.0, 0.0)), (1, Array(100.0, 100.0)),
+      (2, Array(-500.0, -500.0))) // nothing will be nearest to this
+    val next = Clustering.lloydStep(Clustering.assign(e, seeds), seeds)
+    assert(next(0)._2.toSeq == Seq(1.0, 0.0)) // mean of (0,0),(2,0)
+    assert(next(1)._2.toSeq == Seq(100.0, 100.0))
+    assert(next(2)._2.toSeq == Seq(-500.0, -500.0)) // kept
+  }
+
+  test("ivf topk recall vs brute force is sane at nprobe=4/16") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val queries = e.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Clustering.ivfTopK(e, queries, k = 5, nCells = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.5, s"IVF recall $recall collapsed")
+    assert(!ivf.exists { case (q, n) => q == n })
+  }
+
+  test("vector kernels: sqDist/dot/normalize numerics") {
+    val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
+    val r = df.select(
+      Clustering.sqDist($"a", $"b").as("sq"),
+      Similarity.dot($"a", $"b").as("d"),
+      Similarity.normalized($"a").as("na")).head()
+    assert(r.getDouble(0) == 25.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getSeq[Double](2) == Seq(0.6, 0.8))
+    // length mismatch -> null (zip_with parity)
+    val m = Seq((Array(1f), Array(1f, 2f))).toDF("a", "b")
+      .select(Clustering.sqDist($"a", $"b").as("sq")).head()
+    assert(m.isNullAt(0))
+  }
+}
