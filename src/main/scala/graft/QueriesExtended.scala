@@ -192,6 +192,108 @@ object QueriesExtended {
     graft.streaming.EventStreaming.hourlyTypeStats(s, dir)
       .orderBy("window_start", "event_type")
 
+  // --- st2: streaming dedup --------------------------------------------
+
+  private def st2StreamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreaming.dedupTypeCounts(s, dir)
+      .orderBy("event_type")
+
+  // --- q25: window frames (rolling rows + time-range) ------------------
+
+  /** Rolling aggregates in two frame flavors: ROWS (last 3 events) and
+    * RANGE (last hour by event time). Sums run in exact integer cents —
+    * engines disagree on sliding-sum algorithms (sequential vs segment
+    * tree), which drifts double sums by ulps; integer arithmetic is
+    * algorithm-independent.
+    */
+  private def q25WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("cents", round(col("value") * 100).cast("bigint"))
+      .withColumn("es", unix_timestamp(col("ts")))
+    val rowsW = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(-2, 0)
+    val rangeW = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-3600, 0)
+    e.select(col("event_id"), col("user_id"),
+        (sum(col("cents")).over(rowsW) / lit(100.0)).as("rows3_sum"),
+        count(lit(1)).over(rangeW).as("hour_n"),
+        (sum(col("cents")).over(rangeW) / lit(100.0)).as("hour_sum"))
+      .orderBy("event_id")
+  }
+
+  // --- q26: exact percentiles ------------------------------------------
+
+  /** Exact interpolated median + manual row-number median per order
+    * status (percentile_cont semantics on both engines).
+    */
+  private def q26Median(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    val manual = o
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+      .where(col("rn") === expr("(n + 1) div 2")) // lower median, 1-based
+      .select(col("o_orderstatus"), col("o_totalprice").as("median_lo"))
+    o.groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_cont"),
+        count(lit(1)).as("n"))
+      .join(manual, "o_orderstatus")
+      .select("o_orderstatus", "n", "median_cont", "median_lo")
+      .orderBy("o_orderstatus")
+  }
+
+  // --- x8: BM25 scoring --------------------------------------------------
+
+  private val bm25Query = Seq("spark", "data", "merge")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** BM25 score of a fixed query against every document. Same ulp
+    * discipline as x6: idf is quantized at 6 dp straight after ln();
+    * everything else (tf, doclen, avgdl from integer sums) is exact, so
+    * both engines compute bit-identical scores.
+    */
+  private def x8Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count().toDouble
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))).as("term"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = lens.agg(sum("dl").cast("double").as("s"), count(lit(1)).cast("double").as("c"))
+      .select((col("s") / col("c")).as("avgdl")).head().getDouble(0)
+    val tf = toks.where(col("term").isin(bm25Query: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.select("doc_id", "term").groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").join(lens, "doc_id")
+      .withColumn("idf",
+        round(log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(bm25K1 + 1.0)) /
+          (col("tf") + lit(bm25K1) *
+            (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / lit(avgdl))))
+    scored.groupBy("doc_id")
+      .agg(round(sum("contrib"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy("doc_id")
+  }
+
+  // --- x9: per-stratum fixed-size deterministic sample ------------------
+
+  /** "Reservoir-style" fixed-k sample per source: order by a
+    * deterministic hash and keep the first 10 — reproducible across
+    * engines and reruns, unlike rand()-based sampling.
+    */
+  private def x9ReservoirSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("bigint")
+    val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+  }
+
   // --- s3: IVF approximate nearest neighbor (rows-only) ----------------
 
   private def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -212,6 +314,11 @@ object QueriesExtended {
     "e2_kmeans" -> (e2Kmeans(_, _)),
     "d8_dedup_clusters" -> (d8DedupClusters(_, _)),
     "st1_stream_window" -> (st1StreamWindow(_, _)),
+    "st2_stream_dedup" -> (st2StreamDedup(_, _)),
+    "q25_window_frames" -> (q25WindowFrames(_, _)),
+    "q26_median" -> (q26Median(_, _)),
+    "x8_bm25" -> (x8Bm25(_, _)),
+    "x9_reservoir_sample" -> (x9ReservoirSample(_, _)),
     "s3_ann_ivf" -> (s3AnnIvf(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
@@ -346,5 +453,73 @@ object QueriesExtended {
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 6) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "st2_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_window_frames" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+        |    AS rows3_sum,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY es
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY es
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+        |    AS hour_sum
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q26_median" ->
+      """WITH agg AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    round(quantile_cont(o_totalprice, 0.5), 6) AS median_cont
+        |  FROM orders GROUP BY o_orderstatus
+        |), ranked AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders
+        |)
+        |SELECT agg.o_orderstatus, agg.n, agg.median_cont,
+        |  ranked.o_totalprice AS median_lo
+        |FROM agg JOIN ranked ON ranked.o_orderstatus = agg.o_orderstatus
+        |  AND ranked.rn = (ranked.cnt + 1) // 2
+        |ORDER BY agg.o_orderstatus""".stripMargin,
+    "x8_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), lens AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), stats AS (
+         |  SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM lens
+         |), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'data', 'merge') GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.doc_id,
+         |    round(ln((n.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 6)
+         |      * (tf.tf * (1.2 + 1.0))
+         |      / (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * lens.dl) / stats.avgdl))
+         |      AS contrib
+         |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), stats, n
+         |)
+         |SELECT doc_id, round(sum(contrib), 6) AS bm25, count(*) AS n_terms
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x9_reservoir_sample" ->
+      """SELECT source, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id)
+        |      AS rk
+        |  FROM documents
+        |) WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
 }

@@ -56,4 +56,34 @@ object EventStreaming {
     }
     spark.table("st1_mem")
   }
+
+  /** Streaming deduplication: dropDuplicates on (user_id, event_type)
+    * across micro-batches (state-store backed), then distinct-user
+    * counts per type. Complete-mode memory sink, drained to a batch
+    * DataFrame — the count is order-independent, so the batch oracle
+    * (count DISTINCT) matches whatever row each micro-batch kept.
+    */
+  def dedupTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsNanosSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = stream
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+    val query = agg.writeStream
+      .format("memory")
+      .queryName("st2_mem")
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+      query.awaitTermination()
+    }
+    spark.table("st2_mem")
+  }
 }
