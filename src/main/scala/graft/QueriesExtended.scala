@@ -294,6 +294,49 @@ object QueriesExtended {
       .orderBy("source", "rk")
   }
 
+  // --- m3/m4: multimodal frame sampling + resize planning --------------
+
+  /** Same synthetic media table as m1/m2 (payload = md5 of the text —
+    * 16 opaque bytes standing in for encoded media).
+    */
+  private def mediaDf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      md5(col("text").cast("binary")).cast("binary").as("payload"),
+      col("source"))
+
+  /** Frame sampling for video rows: every 4th byte offset is a
+    * pseudo-keyframe; the sampled frame's fingerprint is its byte
+    * value. The explode shape (one row per sampled frame, payload
+    * dropped) is what a real keyframe extractor emits.
+    */
+  private def m3FrameSample(s: SparkSession, dir: String): DataFrame =
+    mediaDf(s, dir)
+      .where(col("media_type") === "video")
+      .select(col("media_id"), col("payload"),
+        posexplode(operators.Multimodal.frameOffsets(col("payload"), 4)))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_off")
+      .withColumn("frame_fp",
+        conv(hex(expr("substring(payload, frame_off + 1, 1)")), 16, 10).cast("int"))
+      .select("media_id", "frame_idx", "frame_off", "frame_fp")
+      .orderBy("media_id", "frame_idx")
+
+  /** Resize planning: decode (stub) metadata, then compute the
+    * aspect-preserving target dimensions with the long edge capped at
+    * 512 px — all integer math, no codec needed for the plan itself.
+    */
+  private def m4Resize(s: SparkSession, dir: String): DataFrame = {
+    val meta = operators.Multimodal.withMeta(mediaDf(s, dir))
+      .where(col("format") =!= "corrupt")
+    val (tw, th) = operators.Multimodal.resizeTarget(col("width"), col("height"), 512)
+    meta.select(col("media_id"), col("width"), col("height"),
+        tw.as("target_w"), th.as("target_h"))
+      .orderBy("media_id")
+  }
+
   // --- s3: IVF approximate nearest neighbor (rows-only) ----------------
 
   private def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -316,6 +359,8 @@ object QueriesExtended {
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
     "q25_window_frames" -> (q25WindowFrames(_, _)),
+    "m3_frame_sample" -> (m3FrameSample(_, _)),
+    "m4_resize" -> (m4Resize(_, _)),
     "q26_median" -> (q26Median(_, _)),
     "x8_bm25" -> (x8Bm25(_, _)),
     "x9_reservoir_sample" -> (x9ReservoirSample(_, _)),
@@ -521,5 +566,40 @@ object QueriesExtended {
         |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id)
         |      AS rk
         |  FROM documents
-        |) WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
+        |) WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // NOTE: payload = md5 hex STRING cast to binary -> 32 ASCII bytes
+    // (each "byte" is the character code of a hex digit), same on both
+    // sides by construction.
+    "m3_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, md5(text) AS hx
+        |  FROM documents WHERE doc_id % 3 = 2  -- element 3 of the type array = 'video'
+        |)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(f * 4 AS INT) AS frame_off,
+        |  ord(substr(hx, CAST(f * 4 AS INT) + 1, 1)) AS frame_fp
+        |FROM media CROSS JOIN range(8) r(f)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "m4_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |    ord(substr(md5(text), 1, 1)) AS b0,
+        |    ord(substr(md5(text), 2, 1)) AS b1,
+        |    ord(substr(md5(text), 3, 1)) AS b2,
+        |    ord(substr(md5(text), 4, 1)) AS b3
+        |  FROM documents
+        |), wh AS (
+        |  SELECT media_id,
+        |    160 + ((b0 * 256 + b1) % 8) * 160 AS width,
+        |    120 + ((b2 * 256 + b3) % 8) * 120 AS height
+        |  FROM meta
+        |)
+        |SELECT media_id, width, height,
+        |  CASE WHEN greatest(width, height) <= 512 THEN width
+        |       ELSE greatest((width * 512) // greatest(width, height), 1) END
+        |    AS target_w,
+        |  CASE WHEN greatest(width, height) <= 512 THEN height
+        |       ELSE greatest((height * 512) // greatest(width, height), 1) END
+        |    AS target_h
+        |FROM wh ORDER BY media_id""".stripMargin)
 }

@@ -105,4 +105,22 @@ object Multimodal {
     when(length(payload) >= stride,
       sequence(lit(0), length(payload) - 1, lit(stride)))
       .otherwise(array(lit(0)))
+
+  /** Aspect-preserving resize target for a decoded (width, height):
+    * the longer edge is capped at `maxDim`, the other edge scales by
+    * the same integer ratio (floor). Integer arithmetic throughout so
+    * any engine computes identical targets. Returns (tw, th).
+    */
+  def resizeTarget(
+      width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+      maxDim: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val longEdge = greatest(width, height)
+    // floor((e * maxDim) / longEdge) == integer division for positive
+    // ints (exact in double well past any pixel dimension)
+    def scaled(e: org.apache.spark.sql.Column) =
+      greatest(floor(e.cast("long") * maxDim / longEdge).cast("int"), lit(1))
+    val tw = when(longEdge <= maxDim, width).otherwise(scaled(width))
+    val th = when(longEdge <= maxDim, height).otherwise(scaled(height))
+    (tw, th)
+  }
 }
