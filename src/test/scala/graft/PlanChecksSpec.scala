@@ -1,0 +1,74 @@
+package graft
+
+/** Plan-shape assertions for representative queries: the properties
+  * that make these operators survive a 100 TB scale-up are visible in
+  * the physical plan, so regressions (lost pushdown, a join degrading
+  * to nested-loop, a scan reading every column) fail here rather than
+  * in production.
+  */
+class PlanChecksSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Executed-plan string AFTER running the query — AQE only shows the
+    * final stages (and their codegen '*(n)' markers) post-execution.
+    */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2 filter+projection reach the parquet scan") {
+    val plan = planOf("q2_filter_project")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("l_shipdate"), "shipdate filter not pushed")
+    // column pruning: the scan must not read the full 11-column lineitem
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"),
+      "scan reads pruned columns")
+  }
+
+  test("q4 dimension join broadcasts the small side") {
+    val plan = planOf("q4_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("t2 decom joins definitions via broadcast, not shuffle") {
+    val plan = planOf("t2_decom")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "definition join degraded to SMJ")
+  }
+
+  test("q20 range join is hash/broadcast, never a nested loop") {
+    val plan = planOf("q20_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("s2 LSH signatures are a pure map - no shuffle before bucket join") {
+    val plan = planOf("s2_ann_lsh")
+    // the bucket derivation itself must not exchange: the only SHUFFLES
+    // allowed are candidate-distinct, window partial/final, output sort
+    // (AQE prints initial+final plans, so dedup by plan_id; broadcast
+    // exchanges are fine — they are how the small sides ship)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val shuffles = """Exchange (?:hash|range)partitioning[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSet
+    assert(shuffles.size <= 4,
+      s"${shuffles.size} shuffles — signature stage shuffles?\n$finalPlan")
+    assert(plan.contains("LshBuckets") || plan.contains("lshbuckets"),
+      "kernel expression missing from plan")
+  }
+
+  test("q17 as-of join does not degrade to nested loop") {
+    val plan = planOf("q17_asof_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->agg path of q1") {
+    val plan = planOf("q1_agg")
+    // '*(n)' prefixes mark codegen stages in Spark 4 plan strings
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      s"no codegen span:\n$plan")
+  }
+}
