@@ -104,14 +104,16 @@ object QueriesExtended {
     */
   private def x6Tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count().toDouble
+    // corpus size stays in-plan (one-row broadcast) — constructing the
+    // DataFrame must not run a driver-side job
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
-      .withColumn("idf", round(log(lit(nDocs) / col("df")), 6))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("n_docs") / col("df")), 6))
       .withColumn("tfidf", round(col("tf") * col("idf"), 6))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
@@ -255,23 +257,27 @@ object QueriesExtended {
     */
   private def x8Bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count().toDouble
+    // corpus stats (N, avgdl) stay in-plan as one-row broadcasts —
+    // constructing the DataFrame must not run driver-side jobs, and at
+    // scale the stats are one extra reduction, not a separate action
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))).as("term"))
     val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val avgdl = lens.agg(sum("dl").cast("double").as("s"), count(lit(1)).cast("double").as("c"))
-      .select((col("s") / col("c")).as("avgdl")).head().getDouble(0)
+    val avgdl = lens
+      .agg((sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val tf = toks.where(col("term").isin(bm25Query: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.select("doc_id", "term").groupBy("term")
       .agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term").join(lens, "doc_id")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
       .withColumn("idf",
-        round(log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
       .withColumn("contrib",
         col("idf") * (col("tf") * lit(bm25K1 + 1.0)) /
           (col("tf") + lit(bm25K1) *
-            (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / lit(avgdl))))
+            (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
     scored.groupBy("doc_id")
       .agg(round(sum("contrib"), 6).as("bm25"), count(lit(1)).as("n_terms"))
       .orderBy("doc_id")
@@ -368,20 +374,7 @@ object QueriesExtended {
 
   // --- oracle SQL ------------------------------------------------------
 
-  private val toksSql =
-    "list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), x -> x <> '')"
-
-  private val minhashASql = Dedup.minhashA.take(8).mkString("[", ", ", "]")
-  private val minhashBSql = Dedup.minhashB.take(8).mkString("[", ", ", "]")
-  private val P = Dedup.minhashP
-
-  private def shinglesSql(n: Int): String = {
-    val normSql = "trim(regexp_replace(lower(text), '\\s+', ' '))"
-    s"""CASE WHEN len($toksSql) >= $n
-       |  THEN list_distinct(list_transform(range(1, len($toksSql) - $n + 2),
-       |       i -> array_to_string(($toksSql)[i:i+${n - 1}], ' ')))
-       |  ELSE [$normSql] END""".stripMargin
-  }
+  private val toksSql = OracleFragments.toksSql
 
   val oracles: Map[String, String] = Map(
     "q20_range_join" ->
@@ -453,14 +446,7 @@ object QueriesExtended {
         |FROM a WHERE rn = 1 GROUP BY cid ORDER BY centroid_id""".stripMargin,
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE
-         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-         |hx AS (SELECT doc_id, (('0x' || substr(md5(s), 1, 8))::BIGINT % $P) AS h FROM ex),
-         |sigs AS (
-         |  SELECT doc_id, k::INT AS k,
-         |    min(($minhashASql[k::INT + 1] * h + $minhashBSql[k::INT + 1]) % $P) AS minhash
-         |  FROM hx CROSS JOIN range(8) r(k) GROUP BY doc_id, k
-         |),
+         |${OracleFragments.minhashSigsCte},
          |bands AS (
          |  SELECT doc_id, k // 2 AS band,
          |    string_agg(k || ':' || minhash, ',' ORDER BY k) AS band_key

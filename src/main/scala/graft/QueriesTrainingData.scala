@@ -208,19 +208,14 @@ object QueriesTrainingData {
 
   // --- oracle SQL fragments (DuckDB dialect) ---------------------------
 
-  private val toksSql =
-    "list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), x -> x <> '')"
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' '))"
+  private val toksSql = OracleFragments.toksSql
+  private val normSql = OracleFragments.normSql
   private val rawToksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
   private val stopListSql = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private def shinglesSql(n: Int): String =
-    s"""CASE WHEN len($toksSql) >= $n
-       |  THEN list_distinct(list_transform(range(1, len($toksSql) - $n + 2),
-       |       i -> array_to_string(($toksSql)[i:i+${n - 1}], ' ')))
-       |  ELSE [$normSql] END""".stripMargin
+  private def shinglesSql(n: Int): String = OracleFragments.shinglesSql(n)
 
-  private val hash60 = (expr: String) => s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+  private val hash60 = OracleFragments.hash60
 
   private val rawToksLowerSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
@@ -232,20 +227,8 @@ object QueriesTrainingData {
     }
 
 
-  private val minhashASql = graft.operators.Dedup.minhashA.take(8).mkString("[", ", ", "]")
-  private val minhashBSql = graft.operators.Dedup.minhashB.take(8).mkString("[", ", ", "]")
-  private val P = graft.operators.Dedup.minhashP
-
   /** Shared CTE text for the universal-hash minhash signatures (K=8). */
-  private def minhashSigsCte: String =
-    s"""sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents),
-       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-       |hx AS (SELECT doc_id, (('0x' || substr(md5(s), 1, 8))::BIGINT % $P) AS h FROM ex),
-       |sigs AS (
-       |  SELECT doc_id, k::INT AS k,
-       |    min(($minhashASql[k::INT + 1] * h + $minhashBSql[k::INT + 1]) % $P) AS minhash
-       |  FROM hx CROSS JOIN range(8) r(k) GROUP BY doc_id, k
-       |)""".stripMargin
+  private def minhashSigsCte: String = OracleFragments.minhashSigsCte
 
   /** Shared CTE text for the 48-bit simhash signatures. */
   private def simhashSigsCte: String =

@@ -49,11 +49,20 @@ object VectorOps {
   private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
 
-  /** Left-to-right dot product; null when lengths differ (zip_with
-    * semantics: the null-padded tail poisons the fold).
+  private def hasNullElement(v: ArrayData): Boolean = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { if (v.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  /** Left-to-right dot product; null when lengths differ or either
+    * array contains a null element (the HOF-fold semantics these
+    * kernels replaced: a null poisons the whole fold).
     */
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
+    if (hasNullElement(a) || hasNullElement(b)) return null
     var acc = 0.0
     var i = 0
     val n = a.numElements()
@@ -62,10 +71,11 @@ object VectorOps {
   }
 
   /** Left-to-right sum of squared differences; null when lengths
-    * differ (mirrors [[dot]]).
+    * differ or a null element appears (mirrors [[dot]]).
     */
   def sqDist(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
+    if (hasNullElement(a) || hasNullElement(b)) return null
     var acc = 0.0
     var i = 0
     val n = a.numElements()
@@ -77,8 +87,11 @@ object VectorOps {
     java.lang.Double.valueOf(acc)
   }
 
-  /** Unit-normalized copy (all-zero unchanged), double output. */
+  /** Unit-normalized copy (all-zero unchanged), double output; null
+    * when the input contains a null element.
+    */
   def normalize(v: ArrayData, isFloat: Boolean): ArrayData = {
+    if (hasNullElement(v)) return null
     val n = v.numElements()
     val out = new Array[Double](n)
     var i = 0
@@ -91,14 +104,18 @@ object VectorOps {
 
   /** Per-table sign-bit LSH buckets: bucket[t] has bit p set iff
     * dot(vec, plane_{t*planesPerTable+p}) > 0. One kernel call replaces
-    * numTables*planesPerTable interpreted folds.
+    * numTables*planesPerTable interpreted folds. Vectors longer than
+    * [[maxDims]] are projected on their first maxDims dimensions
+    * (documented clamp — never index into the next plane's row); null
+    * elements yield a null bucket array.
     */
   def lshBuckets(
       v: ArrayData, isFloat: Boolean,
       planesPerTable: Int, numTables: Int): ArrayData = {
+    if (hasNullElement(v)) return null
     val nPlanes = planesPerTable * numTables
     val pl = planes(nPlanes)
-    val dims = v.numElements()
+    val dims = math.min(v.numElements(), maxDims)
     val buckets = new Array[Long](numTables)
     var p = 0
     while (p < nPlanes) {
@@ -200,12 +217,12 @@ case class VectorNormalize(child: Expression)
     val c = child.genCode(ctx)
     ev.copy(code = code"""
       ${c.code}
-      boolean ${ev.isNull} = ${c.isNull};
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
-      if (!${ev.isNull}) {
+      if (!${c.isNull}) {
         ${ev.value} = graft.functions.VectorOps.normalize(
           ${c.value}, ${isFloatArray(child)});
       }
+      boolean ${ev.isNull} = (${ev.value} == null);
     """)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -229,12 +246,12 @@ case class LshBuckets(child: Expression, planesPerTable: Int, numTables: Int)
     val c = child.genCode(ctx)
     ev.copy(code = code"""
       ${c.code}
-      boolean ${ev.isNull} = ${c.isNull};
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
-      if (!${ev.isNull}) {
+      if (!${c.isNull}) {
         ${ev.value} = graft.functions.VectorOps.lshBuckets(
           ${c.value}, ${isFloatArray(child)}, $planesPerTable, $numTables);
       }
+      boolean ${ev.isNull} = (${ev.value} == null);
     """)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -30,15 +30,20 @@ object RangeJoin {
       points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, widthSeconds: Long): DataFrame = {
     require(widthSeconds > 0, "interval width must be positive")
+    // join-key column name must not collide with caller columns
+    val bucket = {
+      val taken = (points.columns ++ intervals.columns).toSet
+      Iterator.from(0).map(i => s"_rj_bucket$i").find(!taken(_)).get
+    }
     val w = lit(widthSeconds)
     val pBucket = (unix_timestamp(col(pointCol)) / w).cast("bigint")
     val iBucket = (unix_timestamp(col(startCol)) / w).cast("bigint")
-    val probe = points.withColumn("_bucket", pBucket)
+    val probe = points.withColumn(bucket, pBucket)
     val build = intervals
-      .withColumn("_bucket", explode(array(iBucket, iBucket + 1)))
-    probe.join(build, Seq("_bucket"))
+      .withColumn(bucket, explode(array(iBucket, iBucket + 1)))
+    probe.join(build, Seq(bucket))
       .where(col(pointCol) >= col(startCol) &&
         col(pointCol) < col(startCol) + expr(s"INTERVAL $widthSeconds SECONDS"))
-      .drop("_bucket")
+      .drop(bucket)
   }
 }

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events table, runnable inside the
-  * batch correctness gate: stream the parquet file through a windowed
-  * aggregation into a memory sink, drain it, and hand back the result
-  * table. Batch and streaming answers coincide once every input file is
-  * processed, so the same DuckDB SQL oracles the streaming pipeline.
+  * batch correctness gate: stream the parquet file through a
+  * transformation into a memory sink, drain it, and hand back the
+  * result table. Batch and streaming answers coincide once every input
+  * file is processed, so the same DuckDB SQL oracles the streaming
+  * pipeline.
   */
 object EventStreaming {
 
@@ -24,11 +25,14 @@ object EventStreaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Hourly tumbling-window counts/sums per event_type, computed by a
-    * real streaming query (micro-batch, complete output mode, memory
-    * sink). Returns the drained result as a batch DataFrame.
+  /** Shared harness: events file stream -> `transform` -> complete-mode
+    * memory sink, drained and returned as a batch DataFrame. The drain
+    * protocol (processAllAvailable inside try, stop+awaitTermination in
+    * finally) is the fragile part — keep it in one place.
     */
-  def hourlyTypeStats(spark: SparkSession, dir: String): DataFrame = {
+  private def runToMemorySink(
+      spark: SparkSession, dir: String, queryName: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory: stream the whole sf dir
     // but list only the events file (new matching files would be picked
@@ -38,14 +42,9 @@ object EventStreaming {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = stream
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("total_value"))
-    val query = agg.writeStream
+    val query = transform(stream).writeStream
       .format("memory")
-      .queryName("st1_mem")
+      .queryName(queryName)
       .outputMode("complete")
       .start()
     try {
@@ -54,36 +53,33 @@ object EventStreaming {
       query.stop()
       query.awaitTermination()
     }
-    spark.table("st1_mem")
+    spark.table(queryName)
   }
+
+  /** Hourly tumbling-window counts/sums per event_type, computed by a
+    * real streaming query (micro-batch, complete output mode, memory
+    * sink). Returns the drained result as a batch DataFrame.
+    */
+  def hourlyTypeStats(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(spark, dir, "st1_mem") { stream =>
+      stream
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+    }
 
   /** Streaming deduplication: dropDuplicates on (user_id, event_type)
     * across micro-batches (state-store backed), then distinct-user
-    * counts per type. Complete-mode memory sink, drained to a batch
-    * DataFrame — the count is order-independent, so the batch oracle
-    * (count DISTINCT) matches whatever row each micro-batch kept.
+    * counts per type. The count is order-independent, so the batch
+    * oracle (count DISTINCT) matches whatever row each micro-batch
+    * kept.
     */
-  def dedupTypeCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(eventsNanosSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val agg = stream
-      .dropDuplicates("user_id", "event_type")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_users"))
-    val query = agg.writeStream
-      .format("memory")
-      .queryName("st2_mem")
-      .outputMode("complete")
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally {
-      query.stop()
-      query.awaitTermination()
+  def dedupTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(spark, dir, "st2_mem") { stream =>
+      stream
+        .dropDuplicates("user_id", "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
     }
-    spark.table("st2_mem")
-  }
 }

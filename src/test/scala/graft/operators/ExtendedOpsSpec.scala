@@ -119,4 +119,26 @@ class ExtendedOpsSpec extends SparkSpec {
       .select(Clustering.sqDist($"a", $"b").as("sq")).head()
     assert(m.isNullAt(0))
   }
+
+  test("vector kernels: null elements poison the result, not the task") {
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.dot($"a", $"b").as("d"),
+      Clustering.sqDist($"a", $"b").as("sq"),
+      Similarity.normalized($"a").as("na"),
+      graft.functions.VectorExpressions.lshBuckets($"a", 4, 2).as("lb")).head()
+    assert((0 to 3).forall(r.isNullAt), s"expected all null, got $r")
+  }
+
+  test("lsh buckets clamp vectors beyond maxDims instead of cross-plane reads") {
+    val big = Array.fill(300)(1.0f)
+    val clamped = big.take(graft.functions.VectorOps.maxDims)
+    val df = Seq((big, clamped)).toDF("big", "clamped")
+    val r = df.select(
+      graft.functions.VectorExpressions.lshBuckets($"big", 4, 2).as("b1"),
+      graft.functions.VectorExpressions.lshBuckets($"clamped", 4, 2).as("b2")).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
 }
