@@ -48,19 +48,21 @@ object Graph {
         .select(col("node"),
           least(col("component"), coalesce(col("neigh_comp"), col("component")))
             .as("component"))
-      // 2. pointer doubling: component := component(component) — halves
-      //    the distance to the component minimum each round. The
-      //    convergence flag rides along in the same materialization so
-      //    checking it is a scan of the checkpointed rows, not a new
-      //    join job.
-      val doubled = adopted
-        .join(adopted.select(col("node").as("component"),
+      // 2. pointer doubling, applied twice: component :=
+      //    comp(comp(comp(node))) — each round costs fixed job overhead
+      //    (checkpoint + convergence scan), so compressing two extra
+      //    hops per materialization trades one cheap broadcast join for
+      //    a whole round at the tail. The convergence flag rides along
+      //    in the same materialization so checking it is a scan of the
+      //    checkpointed rows, not a new join job.
+      def chase(df: DataFrame): DataFrame = df
+        .join(df.select(col("node").as("component"),
           col("component").as("parent_comp")), Seq("component"), "left")
-        .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
         .select(col("node"),
           least(col("component"), coalesce(col("parent_comp"), col("component")))
-            .as("component"),
-          col("prev"))
+            .as("component"))
+      val doubled = chase(chase(adopted))
+        .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
         .withColumn("changed", col("component") =!= col("prev"))
         .localCheckpoint()
       converged = doubled.where(col("changed")).limit(1).count() == 0
