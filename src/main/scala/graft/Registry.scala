@@ -51,6 +51,11 @@ object Registry {
         case None => df
       }
     },
+    // generic parquet extractor — document/embedding pipelines start here
+    "parquet" -> { (spark, c) =>
+      spark.read.parquet(
+        str(c, "path").getOrElse(sys.error("parquet extractor needs 'path'")))
+    },
     "csv" -> { (spark, c) =>
       CsvTelemetrySource.readSamples(spark,
         str(c, "path").getOrElse(sys.error("csv extractor needs 'path'")),
@@ -75,6 +80,43 @@ object Registry {
     },
     "calibration" -> { c => df =>
       Calibration(df, (c \ "calibrations").extract[Seq[CalibrationEntry]])
+    },
+    // --- training-data stages (document pipelines) ---------------------
+    "exact_dedup" -> { c => df =>
+      // keep one row per normalized-content group (the min id)
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val survivors = operators.Dedup.exactGroups(df, id, text)
+        .select(org.apache.spark.sql.functions.col("survivor_id").as(id))
+      df.join(survivors, Seq(id), "left_semi")
+    },
+    "quality_filter" -> { c => df =>
+      val text = str(c, "text_column").getOrElse("text")
+      val minScore = (c \ "min_score").extractOpt[Double].getOrElse(0.5)
+      df.where(operators.TextAnalysis.qualityScore(
+        org.apache.spark.sql.functions.col(text)) >= minScore)
+    },
+    "lang_filter" -> { c => df =>
+      val text = str(c, "text_column").getOrElse("text")
+      val langs = (c \ "languages").extractOpt[Seq[String]].filter(_.nonEmpty)
+        .getOrElse(sys.error("lang_filter needs 'languages'"))
+      df.where(operators.TextAnalysis.langId(
+        org.apache.spark.sql.functions.col(text)).getField("code")
+        .isin(langs.map(x => x: Any): _*))
+    },
+    "stratified_sample" -> { c => df =>
+      // deterministic hash-mod sampling: rate_permille per stratum value
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val stratum = str(c, "stratum_column").getOrElse("lang")
+      val default = int(c, "default_permille").getOrElse(200)
+      val rates = (c \ "rates_permille").extractOpt[Map[String, Int]].getOrElse(Map.empty)
+      val h = conv(substring(md5(col(id).cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000
+      val rate = rates.foldLeft(lit(default)) { case (acc, (k, v)) =>
+        when(col(stratum) === k, lit(v)).otherwise(acc)
+      }
+      df.where(h < rate)
     })
 
   val loaders: Map[String, Loader] = Map(

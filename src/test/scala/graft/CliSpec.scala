@@ -5,8 +5,9 @@ import graft.telemetry.Fixtures
 class CliSpec extends SparkSpec {
 
   test("registry resolves stages and errors helpfully on unknown names") {
-    assert(Registry.allStages("extractors") == Seq("binary", "csv"))
-    assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration", "decom"))
+    assert(Registry.allStages("extractors") == Seq("binary", "csv", "parquet"))
+    assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration",
+      "decom", "exact_dedup", "lang_filter", "quality_filter", "stratified_sample"))
     assert(Registry.allStages("loaders") == Seq("csv", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
     assert(e.getMessage.contains("binary"))
@@ -51,5 +52,26 @@ class CliSpec extends SparkSpec {
     assert(opts.transformers.map(_._1) == Seq("decom", "apid_filter"))
     assert(opts.transformers.head._2.contains("parameters"))
     assert(opts.dryRun)
+  }
+
+  test("document pipeline via registry stages (parquet -> dedup -> lang -> sample)") {
+    val extract = Registry.getExtractor("parquet")
+    val docs = extract(spark, Registry.parseConfig(
+      """{"path": "/root/testdata/sf0.001/documents.parquet"}"""))
+    val dedup = Registry.getTransformer("exact_dedup")(Registry.parseConfig("{}"))
+    val lang = Registry.getTransformer("lang_filter")(Registry.parseConfig(
+      """{"languages": ["en"]}"""))
+    val sample = Registry.getTransformer("stratified_sample")(Registry.parseConfig(
+      """{"stratum_column": "lang", "rates_permille": {"en": 500}, "default_permille": 200}"""))
+    val out = sample(lang(dedup(docs)))
+    val n = out.count()
+    assert(n > 0 && n < docs.count()) // each stage actually filtered
+    // dedup kept one survivor per content group
+    val survivors = dedup(docs)
+    import org.apache.spark.sql.functions._
+    val dupGroups = survivors
+      .groupBy(md5(operators.TextAnalysis.normalize(col("text")).cast("binary")))
+      .count().where(col("count") > 1).count()
+    assert(dupGroups == 0)
   }
 }
