@@ -7,9 +7,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup so the first measured query doesn't absorb
+    // scheduler/codegen/parquet-footer init (whichever query Map order
+    // puts first was charged ~5s of one-time JVM cost)
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000L).select(sum(col("id"))).collect()
+      Tables(spark, sfDir, "region").groupBy("r_name").count().collect()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
