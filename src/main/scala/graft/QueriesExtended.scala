@@ -200,6 +200,12 @@ object QueriesExtended {
     graft.streaming.EventStreaming.dedupTypeCounts(s, dir)
       .orderBy("event_type")
 
+  // --- st3: stream-stream interval join --------------------------------
+
+  private def st3StreamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreaming.clickPurchaseJoin(s, dir)
+      .orderBy("user_id", "click_id", "purchase_id")
+
   // --- q25: window frames (rolling rows + time-range) ------------------
 
   /** Rolling aggregates in two frame flavors: ROWS (last 3 events) and
@@ -300,6 +306,35 @@ object QueriesExtended {
       .orderBy("source", "rk")
   }
 
+  // --- x10: winnowing fingerprints -------------------------------------
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    * every word 3-gram, slide a window of 4 consecutive hashes, keep
+    * each window's minimum — the classic rolling-fingerprint scheme
+    * used for near-dup/plagiarism detection. Output: distinct selected
+    * fingerprints per doc (the document's sketch). All positions are
+    * window rows; hashes are the house 60-bit md5 scheme so the oracle
+    * reproduces them exactly.
+    */
+  private def x10Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val winnowW = 4
+    val docs = t(s, dir, "documents")
+    val grams = Dedup.shingleTablePos(docs, 3)
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, winnowW - 1)
+    grams
+      .withColumn("h",
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint"))
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("wmin", min(col("h")).over(win))
+      // a window starting at pos is complete iff pos + W <= n_grams
+      .where(col("pos") <= col("n_grams") - winnowW || col("pos") === 0)
+      .select(col("doc_id"), col("wmin").as("fingerprint"))
+      .distinct()
+      .orderBy("doc_id", "fingerprint")
+  }
+
   // --- m3/m4: multimodal frame sampling + resize planning --------------
 
   /** Same synthetic media table as m1/m2 (payload = md5 of the text —
@@ -364,6 +399,8 @@ object QueriesExtended {
     "d8_dedup_clusters" -> (d8DedupClusters(_, _)),
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
+    "st3_stream_join" -> (st3StreamJoin(_, _)),
+    "x10_winnowing" -> (x10Winnowing(_, _)),
     "q25_window_frames" -> (q25WindowFrames(_, _)),
     "m3_frame_sample" -> (m3FrameSample(_, _)),
     "m4_resize" -> (m4Resize(_, _)),
@@ -488,6 +525,38 @@ object QueriesExtended {
     "st2_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st3_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts - INTERVAL 30 MINUTE
+        | AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "x10_winnowing" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) >= 3
+         |      THEN list_transform(range(1, len($toksSql) - 1),
+         |           i -> array_to_string(($toksSql)[i:i+2], ' '))
+         |      ELSE [${OracleFragments.normSql}] END AS grams
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, grams[CAST(i AS INT)] AS s
+         |  FROM base CROSS JOIN unnest(range(1, len(grams) + 1)) AS r(i)
+         |), h AS (
+         |  SELECT doc_id, pos, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+         |  FROM g
+         |), wm AS (
+         |  SELECT doc_id, pos, n_grams,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM h
+         |)
+         |SELECT DISTINCT doc_id, wmin AS fingerprint
+         |FROM wm WHERE pos <= n_grams - 4 OR pos = 0
+         |ORDER BY doc_id, fingerprint""".stripMargin,
     "q25_window_frames" ->
       """WITH e AS (
         |  SELECT event_id, user_id,

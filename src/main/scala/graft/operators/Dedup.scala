@@ -73,6 +73,34 @@ object Dedup {
     grams.unionByName(small).distinct()
   }
 
+  /** Positional (ordered, NON-distinct) n-gram table: one row per
+    * (id, pos, gram) with pos = 0-based gram position — the input shape
+    * for order-sensitive fingerprinting (winnowing). Same token/edge
+    * semantics as [[shingleTable]]: documents with fewer than n tokens
+    * contribute their normalized text as the single gram at pos 0.
+    */
+  def shingleTablePos(
+      docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+        posexplode(TextAnalysis.wsTokens(normalize(col(textCol)))))
+      .withColumnRenamed("col", "tok")
+    val byDoc = Window.partitionBy(col(idCol))
+    val ordered = byDoc.orderBy(col("pos"))
+    val gram = concat_ws(" ",
+      (0 until n).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(ordered)): _*)
+    val grams = toks
+      .withColumn("n_toks", count(lit(1)).over(byDoc))
+      .withColumn("s", gram)
+      .where(col("n_toks") >= n && col("pos") <= col("n_toks") - n)
+      .select(col(idCol), col("pos"), col("s"))
+    val small = docs
+      .where(size(TextAnalysis.wsTokens(normalize(col(textCol)))) < n)
+      .select(col(idCol), lit(0).as("pos"), normalize(col(textCol)).as("s"))
+    grams.unionByName(small)
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct
     * content, with group size and the surviving (minimum) doc id.
     */

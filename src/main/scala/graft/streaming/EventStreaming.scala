@@ -31,7 +31,8 @@ object EventStreaming {
     * finally) is the fragile part — keep it in one place.
     */
   private def runToMemorySink(
-      spark: SparkSession, dir: String, queryName: String)(
+      spark: SparkSession, dir: String, queryName: String,
+      outputMode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory: stream the whole sf dir
@@ -45,7 +46,7 @@ object EventStreaming {
     val query = transform(stream).writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .start()
     try {
       query.processAllAvailable()
@@ -82,4 +83,29 @@ object EventStreaming {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
     }
+
+  /** Stream-stream inner join: each click matched to the same user's
+    * purchases within ±30 minutes. Append output mode (the only mode
+    * stream-stream joins support); no watermark, so no state eviction —
+    * every match is eventually emitted and the drained table equals the
+    * batch join (at production scale you'd add watermarks and accept
+    * the lateness bound). One source stream, filtered two ways — the
+    * join is still planned as a genuine stream-stream join with two
+    * state stores.
+    */
+  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(spark, dir, "st3_mem", outputMode = "append") { stream =>
+      val clicks = stream.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select("user_id", "click_id", "purchase_id")
+    }
+
 }
