@@ -16,8 +16,12 @@ object Bench {
     // puts first was charged ~5s of one-time JVM cost)
     locally {
       import org.apache.spark.sql.functions._
-      spark.range(1000000L).select(sum(col("id"))).collect()
-      Tables(spark, sfDir, "region").groupBy("r_name").count().collect()
+      // best-effort: a bad SF dir must not kill the run before the
+      // JSON metric line is emitted (per-query failures are caught too)
+      try {
+        spark.range(1000000L).select(sum(col("id"))).collect()
+        Tables(spark, sfDir, "region").groupBy("r_name").count().collect()
+      } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -133,8 +133,7 @@ object QueriesExtended {
   private def x7StratifiedSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("bigint") % 1000)
+        Dedup.hash60(col("doc_id").cast("string")) % 1000)
       .where(col("h") < when(col("lang") === "en", 500).otherwise(200))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
@@ -171,7 +170,7 @@ object QueriesExtended {
     val sigs = Dedup.minhashFromShingles(st, numHashes = 8)
     val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
     val ex = st.select(col("doc_id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint").as("h"))
+      Dedup.hash60(col("s")).as("h"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
@@ -296,8 +295,7 @@ object QueriesExtended {
     * engines and reruns, unlike rand()-based sampling.
     */
   private def x9ReservoirSample(s: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("bigint")
+    val h = Dedup.hash60(col("doc_id").cast("string"))
     val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
     t(s, dir, "documents")
       .withColumn("rk", row_number().over(w))
@@ -323,8 +321,7 @@ object QueriesExtended {
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(0, winnowW - 1)
     grams
-      .withColumn("h",
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint"))
+      .withColumn("h", Dedup.hash60(col("s")))
       .withColumn("n_grams",
         count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("wmin", min(col("h")).over(win))

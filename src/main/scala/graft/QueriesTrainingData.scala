@@ -74,7 +74,7 @@ object QueriesTrainingData {
     // exact Jaccard verify on the surviving candidates only, via the
     // hashed inverted index (same 60-bit hash as the oracle)
     val ex = st.select(col("doc_id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint").as("h"))
+      Dedup.hash60(col("s")).as("h"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")

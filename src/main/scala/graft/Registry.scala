@@ -111,8 +111,7 @@ object Registry {
       val stratum = str(c, "stratum_column").getOrElse("lang")
       val default = int(c, "default_permille").getOrElse(200)
       val rates = (c \ "rates_permille").extractOpt[Map[String, Int]].getOrElse(Map.empty)
-      val h = conv(substring(md5(col(id).cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 1000
+      val h = operators.Dedup.hash60(col(id).cast("string")) % 1000
       val rate = rates.foldLeft(lit(default)) { case (acc, (k, v)) =>
         when(col(stratum) === k, lit(v)).otherwise(acc)
       }

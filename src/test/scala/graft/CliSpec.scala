@@ -61,11 +61,25 @@ class CliSpec extends SparkSpec {
     val dedup = Registry.getTransformer("exact_dedup")(Registry.parseConfig("{}"))
     val lang = Registry.getTransformer("lang_filter")(Registry.parseConfig(
       """{"languages": ["en"]}"""))
+    // sf0.001 quality scores span ~[0.32, ...] with 25% below 0.449 —
+    // 0.45 filters some docs without emptying the pipeline
+    val quality = Registry.getTransformer("quality_filter")(Registry.parseConfig(
+      """{"min_score": 0.45}"""))
     val sample = Registry.getTransformer("stratified_sample")(Registry.parseConfig(
       """{"stratum_column": "lang", "rates_permille": {"en": 500}, "default_permille": 200}"""))
-    val out = sample(lang(dedup(docs)))
+    // each stage individually filters (strictly shrinking counts)
+    val n0 = docs.count()
+    val n1 = dedup(docs).count()
+    val n2 = lang(dedup(docs)).count()
+    val n3 = quality(lang(dedup(docs))).count()
+    val out = sample(quality(lang(dedup(docs))))
     val n = out.count()
-    assert(n > 0 && n < docs.count()) // each stage actually filtered
+    // sf0.001 documents have no exact dups: dedup keeps all rows here;
+    // its per-group semantics are pinned by the dupGroups check below
+    assert(n1 <= n0)
+    assert(n2 < n1, s"lang_filter was a no-op ($n2)")
+    assert(n3 < n2, s"quality_filter was a no-op ($n3)")
+    assert(n > 0 && n < n3, s"stratified_sample was a no-op ($n)")
     // dedup kept one survivor per content group
     val survivors = dedup(docs)
     import org.apache.spark.sql.functions._
