@@ -304,6 +304,21 @@ object QueriesExtended {
       .orderBy("source", "rk")
   }
 
+  // --- q27: bag-semantics set operations -------------------------------
+
+  /** INTERSECT ALL / EXCEPT ALL (multiset semantics — q9 covers the
+    * DISTINCT variants): nation keys of two customer segments with
+    * multiplicity preserved.
+    */
+  private def q27SetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.where(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+    val b = c.where(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey")
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .orderBy("op", "c_nationkey")
+  }
+
   // --- x10: winnowing fingerprints -------------------------------------
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
@@ -402,6 +417,7 @@ object QueriesExtended {
     "m3_frame_sample" -> (m3FrameSample(_, _)),
     "m4_resize" -> (m4Resize(_, _)),
     "q26_median" -> (q26Median(_, _)),
+    "q27_setops_all" -> (q27SetopsAll(_, _)),
     "x8_bm25" -> (x8Bm25(_, _)),
     "x9_reservoir_sample" -> (x9ReservoirSample(_, _)),
     "s3_ann_ivf" -> (s3AnnIvf(_, _)))
@@ -588,6 +604,18 @@ object QueriesExtended {
         |FROM agg JOIN ranked ON ranked.o_orderstatus = agg.o_orderstatus
         |  AND ranked.rn = (ranked.cnt + 1) // 2
         |ORDER BY agg.o_orderstatus""".stripMargin,
+    "q27_setops_all" ->
+      """SELECT c_nationkey, op FROM (
+        |  SELECT c_nationkey, 'intersect_all' AS op FROM (
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    INTERSECT ALL
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |  UNION ALL
+        |  SELECT c_nationkey, 'except_all' AS op FROM (
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    EXCEPT ALL
+        |    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |) ORDER BY op, c_nationkey""".stripMargin,
     "x8_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($toksSql) AS term FROM documents
