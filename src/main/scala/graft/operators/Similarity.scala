@@ -125,9 +125,21 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       planesPerTable: Int = 4, numTables: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      multiProbe: Boolean = false): DataFrame = {
     val cBuckets = lshBuckets(corpus, idCol, "neighbor_id", planesPerTable, numTables, vecCol)
-    val qBuckets = lshBuckets(queries, idCol, "query_id", planesPerTable, numTables, vecCol)
+    val qBuckets0 = lshBuckets(queries, idCol, "query_id", planesPerTable, numTables, vecCol)
+    // multi-probe: the QUERY side also visits every bucket at hamming
+    // distance 1 (flip each sign bit) — recall of vectors that fell
+    // just on the other side of one hyperplane, at planesPerTable extra
+    // probes per table per query (query-side only: the corpus index
+    // doesn't grow, which is the property that matters at scale)
+    val qBuckets =
+      if (!multiProbe) qBuckets0
+      else qBuckets0.select(col("query_id"), col("table"),
+        explode(array(col("bucket") +:
+          (0 until planesPerTable).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
     val cands = cBuckets.join(broadcast(qBuckets), Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")

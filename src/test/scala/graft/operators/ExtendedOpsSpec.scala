@@ -105,6 +105,23 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(!ivf.exists { case (q, n) => q == n })
   }
 
+  test("multi-probe LSH recall >= single-probe recall") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val queries = e.where($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, queries, k = 5))
+    val single = pairs(Similarity.lshTopK(e, queries, k = 5, 4, 8))
+    val multi = pairs(Similarity.lshTopK(e, queries, k = 5, 4, 8,
+      multiProbe = true))
+    val rSingle = (exact & single).size.toDouble / exact.size
+    val rMulti = (exact & multi).size.toDouble / exact.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+    assert(rMulti > 0.6, s"multi-probe recall $rMulti too low")
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(
