@@ -1,6 +1,44 @@
 package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.GraftSparkShims
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":"total",...}.
+  *
+  * Measurement discipline (the round-2 artifact recorded 3-9x inflated
+  * per-query numbers from single-shot timing in a 71-query session):
+  *   - each query runs TWICE and the MIN is reported — the first run
+  *     absorbs codegen/JIT/GC noise, the min is the query's cost;
+  *   - per-query failures are NOT folded into the timing: a failed
+  *     query reports -1 and lands in an "errors" map, so a breakage is
+  *     visible in the artifact instead of silently distorting the total;
+  *   - per-query shuffle read/write and spill bytes ride along in a
+  *     "shuffle" map (task-metrics listener), so pollution-vs-regression
+  *     questions are answerable from the artifact alone;
+  *   - the JSON line is also written to BENCH_LAST.json — truncated
+  *     stdout cannot lose the metric line.
+  */
 object Bench {
+
+  private final class MetricsTap extends SparkListener {
+    val read = new AtomicLong
+    val write = new AtomicLong
+    val spill = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (read.get, write.get, spill.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,9 +49,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tap = new MetricsTap
+    spark.sparkContext.addSparkListener(tap)
     // session warmup so the first measured query doesn't absorb
-    // scheduler/codegen/parquet-footer init (whichever query Map order
-    // puts first was charged ~5s of one-time JVM cost)
+    // scheduler/codegen/parquet-footer init (one-time JVM cost was
+    // ~5s charged to whichever query ran first)
     locally {
       import org.apache.spark.sql.functions._
       // best-effort: a bad SF dir must not kill the run before the
@@ -23,15 +63,54 @@ object Bench {
         Tables(spark, sfDir, "region").groupBy("r_name").count().collect()
       } catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // one measured run: (seconds, shuffleRead, shuffleWrite, spill)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[(Double, Long, Long, Long)] = {
+      GraftSparkShims.waitForListeners(spark.sparkContext)
+      val (r0, w0, s0) = tap.snapshot
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        GraftSparkShims.waitForListeners(spark.sparkContext)
+        val (r1, w1, s1) = tap.snapshot
+        Some((sec, r1 - r0, w1 - w0, s1 - s0))
+      } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = Seq(once(name, fn), once(name, fn)).flatten
+      if (runs.isEmpty) name -> (-1.0, 0L, 0L, 0L)
+      else {
+        val best = runs.minBy(_._1)
+        name -> (best._1, best._2, best._3, best._4)
+      }
+    }
+    val ok = results.filter(_._2._1 >= 0.0)
+    val total = ok.map(_._2._1).sum
+    val qs = results.map { case (k, (v, _, _, _)) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sh = results.map { case (k, (_, r, w, s)) =>
+      s""""$k":{"read":$r,"write":$w,"spill":$s}"""
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","runs_per_query":2,"errors":$errJson,"shuffle":$sh}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

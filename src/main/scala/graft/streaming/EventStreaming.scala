@@ -54,7 +54,17 @@ object EventStreaming {
       query.stop()
       query.awaitTermination()
     }
-    spark.table(queryName)
+    // Detach the result from the sink and DROP the sink's temp view:
+    // the memory sink holds every drained row on the driver for as
+    // long as the view is registered, which pollutes long sessions
+    // (the round-2 bench leaked st1/st2/st3 tables for its lifetime).
+    // The sink's rows are already driver-resident, so materializing a
+    // local DataFrame copies nothing across the cluster.
+    val drained = spark.table(queryName)
+    val schema = drained.schema
+    val rows = java.util.Arrays.asList(drained.collect(): _*)
+    spark.catalog.dropTempView(queryName)
+    spark.createDataFrame(rows, schema)
   }
 
   /** Hourly tumbling-window counts/sums per event_type, computed by a
@@ -86,21 +96,27 @@ object EventStreaming {
 
   /** Stream-stream inner join: each click matched to the same user's
     * purchases within ±30 minutes. Append output mode (the only mode
-    * stream-stream joins support); no watermark, so no state eviction —
-    * every match is eventually emitted and the drained table equals the
-    * batch join (at production scale you'd add watermarks and accept
-    * the lateness bound). One source stream, filtered two ways — the
-    * join is still planned as a genuine stream-stream join with two
-    * state stores.
+    * stream-stream joins support). BOTH sides carry a 2-hour watermark:
+    * with the time-interval join condition this makes join state
+    * evictable (rows older than watermark - 30 min are dropped from the
+    * state stores), which is what keeps an unbounded stream from
+    * accumulating unbounded state. The drained table still equals the
+    * batch join because the file source delivers the whole input as one
+    * micro-batch (watermarks only discard rows arriving LATER than the
+    * watermark of a previous batch). One source stream, filtered two
+    * ways — the join is still planned as a genuine stream-stream join
+    * with two state stores.
     */
   def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame =
     runToMemorySink(spark, dir, "st3_mem", outputMode = "append") { stream =>
       val clicks = stream.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
       val purchases = stream.where(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
           col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
       clicks.join(purchases,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES") &&

@@ -10,4 +10,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Free the block-manager storage behind a `localCheckpoint()`ed
+    * Dataset (its logical plan is a LogicalRDD wrapping the persisted
+    * RDD — `Dataset.unpersist` does NOT reach it because local
+    * checkpoints bypass the cache manager). No-op for non-checkpoint
+    * plans. Callers must only free checkpoints whose data is no longer
+    * reachable from any live result: local checkpoints are
+    * non-recomputable by construction.
+    */
+  def unpersistLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.logical match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
