@@ -39,4 +39,42 @@ private[graft] object OracleFragments {
        |    min(($minhashASql[k::INT + 1] * h + $minhashBSql[k::INT + 1]) % $minhashP) AS minhash
        |  FROM hx CROSS JOIN range(8) r(k) GROUP BY doc_id, k
        |)""".stripMargin
+
+  /** CTEs ve/vn0/vn: raw double vectors and unit-normalized vectors
+    * over `embeddings` — Similarity.normalized's exact math (DuckDB's
+    * list_sum folds left-to-right, matching the kernel's accumulation).
+    */
+  val normVecCte: String =
+    """ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |vn0 AS (SELECT vec_id, label, e,
+      |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM ve),
+      |vn AS (SELECT vec_id, label,
+      |       CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS en
+      |       FROM vn0)""".stripMargin
+
+  /** CTEs planes/lshbits/lshbuckets: per-table sign-bit hyperplane LSH
+    * buckets — VectorOps.lshBuckets' exact math (md5-derived plane
+    * components on the RAW vector, left-to-right accumulation, bucket
+    * bit p set iff the projection is strictly positive). Requires the
+    * `ve` CTE from [[normVecCte]] in scope.
+    */
+  def lshBucketsCte(planesPerTable: Int, numTables: Int, dims: Int): String = {
+    val nPlanes = planesPerTable * numTables
+    val scale = graft.functions.VectorOps.planeScale
+    s"""planes AS (
+       |  SELECT p, list_transform(range(0, $dims), i ->
+       |    (('0x' || substr(md5('hp' || p::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT
+       |      / $scale) - 1.0) AS w
+       |  FROM range($nPlanes) pp(p)
+       |), lshbits AS (
+       |  SELECT v.vec_id, p.p // $planesPerTable AS tbl,
+       |    CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
+       |           i -> v.e[i] * p.w[i])) > 0.0
+       |         THEN (1::BIGINT << (p.p % $planesPerTable)) ELSE 0::BIGINT END AS bit
+       |  FROM ve v CROSS JOIN planes p
+       |), lshbuckets AS (
+       |  SELECT vec_id, tbl, sum(bit)::BIGINT AS bucket
+       |  FROM lshbits GROUP BY vec_id, tbl
+       |)""".stripMargin
+  }
 }

@@ -390,7 +390,7 @@ object QueriesExtended {
       .orderBy("media_id")
   }
 
-  // --- s3: IVF approximate nearest neighbor (rows-only) ----------------
+  // --- s3: IVF approximate nearest neighbor ----------------------------
 
   private def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -531,6 +531,59 @@ object QueriesExtended {
          |)
          |SELECT s AS doc_id, min(d) AS cluster_id
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "s3_ann_ivf" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < 16),
+         |d0 AS (
+         |  SELECT v.vec_id, s.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (v.e[i] - s.ce[i]) * (v.e[i] - s.ce[i]))) AS dist
+         |  FROM ve v CROSS JOIN seeds s
+         |), a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d0) WHERE rn = 1
+         |), means AS (
+         |  SELECT a0.cid, i AS pos, round(sum(v.e[i::INT]) / count(*), 6) AS m
+         |  FROM a0 JOIN ve v USING (vec_id) CROSS JOIN range(1, 65) r(i)
+         |  GROUP BY a0.cid, i
+         |), newc AS (
+         |  SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid
+         |), cents AS (
+         |  SELECT s.cid, coalesce(n.ce, s.ce) AS ce
+         |  FROM seeds s LEFT JOIN newc n USING (cid)
+         |), d1 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
+         |  FROM ve v CROSS JOIN cents c
+         |), cellassign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1) WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), cands AS (
+         |  SELECT p.query_id, ix.vec_id AS neighbor_id
+         |  FROM probes p JOIN cellassign ix ON ix.cell = p.cell
+         |  WHERE ix.vec_id <> p.query_id
+         |), scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM cands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 6) AS total_value

@@ -209,16 +209,27 @@ object QueriesRelational {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("session_value"))
       .orderBy("user_id", "session_id")
 
-  /** Sketch aggregates (HLL++ count-distinct, approximate percentiles):
-    * values are engine-specific, so this is a rows-only query — the
-    * relative-error bound vs exact is asserted in ScalaTest instead.
+  /** Sketch aggregates (HLL++ count-distinct, approximate percentiles).
+    * Raw sketch values are engine-specific, so the query emits the
+    * EXACT aggregates plus booleans asserting the sketch landed within
+    * its error bound; the oracle computes the exact side identically
+    * and asserts the booleans as literal TRUE — a sketch drifting out
+    * of bound flips a flag and breaks the hash (the quantitative curve
+    * is additionally asserted in ApproxSpec).
     */
   private def q19Approx(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"))
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("ac"),
+        expr("percentile(o_totalprice, 0.5)").as("em"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("am"))
+      .select(col("o_orderstatus"), col("exact_custs"),
+        round(col("em"), 6).as("exact_median"),
+        (abs(col("ac") - col("exact_custs"))
+          <= col("exact_custs") * lit(0.05)).as("custs_ok"),
+        (abs(col("am") - col("em")) <= abs(col("em")) * lit(0.05)).as("median_ok"))
       .orderBy("o_orderstatus")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,6 +253,13 @@ object QueriesRelational {
     "q15_union_distinct" -> (q15UnionDistinct(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q19_approx" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS exact_custs,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS exact_median,
+        |  TRUE AS custs_ok, TRUE AS median_ok
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q16_cube" ->
       """SELECT event_type, user_id, count(*) AS n, round(sum(value), 6) AS v,
         |  CAST(grouping(event_type) AS TINYINT) AS g_et,

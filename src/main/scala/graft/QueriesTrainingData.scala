@@ -6,10 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Training-data pipeline facade: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with a
-  * DuckDB oracle where the math is SQL-expressible in both engines
-  * (hashes are md5-derived for exactly this reason). `s2_ann_lsh` and
-  * `m2_media_features` are rows-only (float32 accumulation / recall
-  * semantics are asserted in ScalaTest instead).
+  * DuckDB oracle — every hash, plane component, and accumulation order
+  * is md5-derived / left-to-right for exactly this reason (even the LSH
+  * ANN pipeline is deterministic enough to hash-match, s2).
   */
 object QueriesTrainingData {
 
@@ -248,13 +247,7 @@ object QueriesTrainingData {
        |)""".stripMargin
 
   /** Shared CTE text for unit-normalized embedding vectors. */
-  private def normVecCte: String =
-    """ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-      |vn0 AS (SELECT vec_id, label, e,
-      |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM ve),
-      |vn AS (SELECT vec_id, label,
-      |       CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS en
-      |       FROM vn0)""".stripMargin
+  private def normVecCte: String = OracleFragments.normVecCte
 
   val oracles: Map[String, String] = Map(
     "x1_token_stats" ->
@@ -367,6 +360,26 @@ object QueriesTrainingData {
          |  FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
          |) WHERE cos_sim >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH $normVecCte,
+         |${OracleFragments.lshBucketsCte(planesPerTable = 4, numTables = 8, dims = 64)},
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM lshbuckets q JOIN lshbuckets c
+         |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |), scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM cands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s1_cosine_topk" ->
       s"""WITH $normVecCte,
          |scored AS (

@@ -27,6 +27,11 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
+  /** 2^59 as a double: scales a 60-bit hash into [0, 2) (shared with
+    * the DuckDB oracle so the plane math is single-sourced).
+    */
+  val planeScale: Double = 5.764607523034235e17
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
     * plane p, dimension i (md5 of "hp<p>:<i>"), identical across runs
     * and engines. Matches the round-1 literal-shipping scheme.
@@ -35,7 +40,7 @@ object VectorOps {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"hp$p:$i".getBytes("UTF-8"))
     val hex = digest.take(8).map(b => f"$b%02x").mkString.take(15)
-    (java.lang.Long.parseLong(hex, 16).toDouble / 5.764607523034235e17) - 1.0
+    (java.lang.Long.parseLong(hex, 16).toDouble / planeScale) - 1.0
   }
 
   val maxDims = 256

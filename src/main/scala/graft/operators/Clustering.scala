@@ -70,6 +70,13 @@ object Clustering {
   /** One Lloyd update: elementwise mean of each cluster's members
     * (explode + grouped sums — one shuffle on (cluster, dim)). Empty
     * clusters keep their previous centroid.
+    *
+    * Centroid components are QUANTIZED to 6 dp: the grouped double sum
+    * is order-nondeterministic across runs/engines (ulp drift), and an
+    * unquantized centroid would make downstream probe/top-k choices
+    * run-dependent. Rounding in-plan (Spark `round` = DuckDB `round`
+    * half-away-from-zero) makes the post-step centroids — and therefore
+    * every assignment computed from them — exactly reproducible.
     */
   def lloydStep(
       assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
@@ -79,7 +86,7 @@ object Clustering {
       .select(col("centroid_id"), posexplode(col(vecCol)))
       .select(col("centroid_id"), col("pos"), col("col").cast("double").as("x"))
       .groupBy("centroid_id", "pos")
-      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .agg(round(sum("x") / count(lit(1)), 6).as("m"))
       .collect()
       .groupBy(r => r.getAs[Int]("centroid_id"))
     centroids.map { case (cid, prev) =>
@@ -87,7 +94,7 @@ object Clustering {
         case Some(rows) =>
           val c = new Array[Double](dims)
           rows.foreach { r =>
-            c(r.getAs[Int]("pos")) = r.getAs[Double]("sx") / r.getAs[Long]("n")
+            c(r.getAs[Int]("pos")) = r.getAs[Double]("m")
           }
           (cid, c)
         case None => (cid, prev)
