@@ -98,7 +98,8 @@ object QueriesTrainingData {
       .orderBy("a_id", "b_id")
 
   private def d7EmbedDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineDupPairs(embs(s, dir), threshold = 0.3, blockCol = "label")
+    Similarity.cosineDupPairsLsh(embs(s, dir), threshold = 0.3, blockCol = "label",
+        planesPerTable = 2, numTables = 8)
       .orderBy("a_id", "b_id")
 
   // --- similarity search ----------------------------------------------
@@ -353,11 +354,20 @@ object QueriesTrainingData {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 14
          |ORDER BY a_id, b_id""".stripMargin,
     "d7_embed_dup" ->
-      s"""WITH $normVecCte
+      s"""WITH $normVecCte,
+         |${OracleFragments.lshBucketsCte(planesPerTable = 2, numTables = 8, dims = 64)},
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM lshbuckets a JOIN lshbuckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  JOIN vn va ON va.vec_id = a.vec_id
+         |  JOIN vn vb ON vb.vec_id = b.vec_id AND vb.label = va.label
+         |  WHERE a.vec_id < b.vec_id
+         |)
          |SELECT a_id, b_id, cos_sim FROM (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  SELECT c.a_id, c.b_id,
          |    round(list_sum(list_transform(range(1, 65), i -> a.en[i] * b.en[i])), 6) AS cos_sim
-         |  FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  FROM cands c JOIN vn a ON a.vec_id = c.a_id JOIN vn b ON b.vec_id = c.b_id
          |) WHERE cos_sim >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
     "s2_ann_lsh" ->

@@ -256,16 +256,52 @@ object Dedup {
 
   /** SimHash near-dup pairs within a blocking key: hamming distance of
     * the 48-bit signatures <= maxHamming.
+    *
+    * Candidate generation is PIGEONHOLE BIT-SEGMENT BANDING, not a
+    * block-wide self-join: the 48-bit signature is split into
+    * maxHamming + 1 contiguous segments, and any pair within the
+    * hamming budget must agree on at least one whole segment (at most
+    * maxHamming bits differ, so some segment holds none of them). The
+    * candidate join is an equi-join on (segment_id, segment_value,
+    * block) — its bucket sizes scale with 2^segment_bits x block
+    * cardinality instead of O(block_size²) — and candidates are then
+    * verified with the exact popcount. Same output contract as the
+    * naive join; the metadata block only tightens the key (correct at
+    * any block cardinality, including blockCol with millions of
+    * groups). At very loose budgets (maxHamming close to the signature
+    * width) segments approach single bits and banding selectivity
+    * fades — shrink the budget or widen the signature there.
     */
   def simhashPairs(
       docs: DataFrame, maxHamming: Int, blockCol: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigBits = 48
+    require(maxHamming >= 0 && maxHamming < sigBits, s"0 <= maxHamming < $sigBits")
+    val numSegments = maxHamming + 1
+    val base = sigBits / numSegments
+    val rem = sigBits % numSegments
+    // first `rem` segments carry base+1 bits; offsets tile the 48 bits
+    val widths = Seq.tabulate(numSegments)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sigs = simhashTable(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(blockCol).as("block")), idCol)
-    val a = sigs.select(col("block"), col(idCol).as("a_id"), col("simhash").as("a_sig"))
-    val b = sigs.select(col("block"), col(idCol).as("b_id"), col("simhash").as("b_sig"))
-    a.join(b, "block")
+    val segVals = offsets.zip(widths).map { case (off, w) =>
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1L))
+    }
+    // (id, block, seg, segval) — ids and small keys only; signatures
+    // are re-joined per surviving candidate, never shipped per segment
+    val segs = sigs.select(col(idCol), col("block"),
+        posexplode(array(segVals: _*)))
+      .select(col(idCol), col("block"), col("pos").as("seg"), col("col").as("segval"))
+    val cands = segs.select(col("block"), col("seg"), col("segval"), col(idCol).as("a_id"))
+      .join(segs.select(col("block"), col("seg"), col("segval"), col(idCol).as("b_id")),
+        Seq("block", "seg", "segval"))
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    cands
+      .join(sigs.select(col(idCol).as("a_id"), col("simhash").as("a_sig")), "a_id")
+      .join(sigs.select(col(idCol).as("b_id"), col("simhash").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)

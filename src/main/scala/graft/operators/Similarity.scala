@@ -156,6 +156,13 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs, blocked by a metadata
     * column (label): cosine >= threshold within a block.
+    *
+    * EXACT but block-quadratic: every within-block pair is scored, so
+    * cost is O(sum block²) — fine when blocks are small and bounded,
+    * wrong when block count is a fixed metadata cardinality and block
+    * size grows with the corpus. The scale path is
+    * [[cosineDupPairsLsh]]; this form stays as the exact baseline its
+    * recall is measured against.
     */
   def cosineDupPairs(
       corpus: DataFrame, threshold: Double, blockCol: String,
@@ -166,6 +173,45 @@ object Similarity {
     val b = v.select(col("block"), col(idCol).as("b_id"), col("vec").as("b_vec"))
     a.join(b, "block")
       .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_vec"), col("b_vec")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: candidates are
+    * pairs sharing a sign-bit LSH bucket in ANY of `numTables` tables
+    * (AND the metadata block), then the exact cosine >= threshold
+    * verify — the [[Dedup.lshCandidates]] shape applied to vectors.
+    *
+    * Candidate bucket sizes scale with 2^planesPerTable x block
+    * cardinality, so planesPerTable is the knob that grows with the
+    * corpus (log n planes keeps buckets bounded) — unlike the fixed
+    * metadata cardinality the all-pairs form leans on. Recall is
+    * 1-(1-p^planes)^tables per pair (p = 1 - angle/pi): approximate by
+    * construction, asserted against [[cosineDupPairs]] in spec; the
+    * oracle reproduces the identical bucket math, so the output is
+    * still exactly deterministic.
+    *
+    * Shuffles carry (id, table, bucket) keys only — vectors are
+    * re-joined per surviving candidate, never exploded per table.
+    */
+  def cosineDupPairsLsh(
+      corpus: DataFrame, threshold: Double, blockCol: String,
+      planesPerTable: Int = 2, numTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = lshBuckets(corpus, idCol, "id", planesPerTable, numTables, vecCol)
+      .join(corpus.select(col(idCol).as("id"), col(blockCol).as("block")), "id")
+    val cands = buckets
+      .select(col("block"), col("table"), col("bucket"), col("id").as("a_id"))
+      .join(buckets.select(col("block"), col("table"), col("bucket"), col("id").as("b_id")),
+        Seq("block", "table", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val v = corpus.select(col(idCol), normalized(col(vecCol)).as("vec"))
+    cands
+      .join(v.select(col(idCol).as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(v.select(col(idCol).as("b_id"), col("vec").as("b_vec")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(dot(col("a_vec"), col("b_vec")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)

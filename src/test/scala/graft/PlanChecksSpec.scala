@@ -60,6 +60,23 @@ class PlanChecksSpec extends SparkSpec {
       "kernel expression missing from plan")
   }
 
+  test("d6 simhash candidates join on bit segments, not the block alone") {
+    val plan = planOf("d6_simhash_pairs")
+    // the candidate equi-join must carry the segment value in its keys:
+    // a block-only self-join is the O(block²) shape that dies at scale
+    assert(plan.contains("segval"), s"no segment key in candidate join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "simhash candidates degraded to an unblocked product")
+  }
+
+  test("d7 embedding dedup candidates come from LSH buckets, not block alone") {
+    val plan = planOf("d7_embed_dup")
+    assert(plan.contains("LshBuckets") || plan.contains("lshbuckets"),
+      s"no LSH bucket kernel in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "embedding dedup degraded to an unblocked product")
+  }
+
   test("q17 as-of join does not degrade to nested loop") {
     val plan = planOf("q17_asof_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$plan")

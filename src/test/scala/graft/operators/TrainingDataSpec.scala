@@ -74,6 +74,39 @@ class TrainingDataSpec extends SparkSpec {
     assert(!exactPairs.exists { case (q, n) => q == n })
   }
 
+  test("banded simhash pairs equal the naive block-wide join") {
+    // pigeonhole guarantee: segment banding must lose NO pair within
+    // the hamming budget — compare against the O(block²) definition
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, dir, "documents")
+    val banded = Dedup.simhashPairs(docs, maxHamming = 14, blockCol = "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simhashTable(docs)
+      .join(docs.select($"doc_id", $"source".as("block")), "doc_id")
+    val naive = sigs.select($"block", $"doc_id".as("a_id"), $"simhash".as("a_sig"))
+      .join(sigs.select($"block", $"doc_id".as("b_id"), $"simhash".as("b_sig")), "block")
+      .where($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        bit_count($"a_sig".bitwiseXOR($"b_sig")).as("hamming"))
+      .where($"hamming" <= 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == naive, s"banding lost/invented pairs: ${(banded diff naive).take(3)} / ${(naive diff banded).take(3)}")
+    assert(naive.nonEmpty)
+  }
+
+  test("lsh-blocked embedding dedup: exact subset, recall holds") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val exact = Similarity.cosineDupPairs(e, threshold = 0.3, blockCol = "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineDupPairsLsh(e, threshold = 0.3, blockCol = "label",
+        planesPerTable = 2, numTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh diff exact).isEmpty, "LSH path invented pairs the exact verify should have dropped")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH dedup recall $recall collapsed (${exact.size} exact pairs)")
+  }
+
   test("multimodal meta/feature stages: schema, determinism, corrupt input") {
     val media = Seq(
       (1L, "image", "abcdef0123456789".getBytes("UTF-8"), "s1"),
