@@ -59,7 +59,8 @@ object QueriesTrainingData {
     Dedup.exactGroups(docs(s, dir)).orderBy("content_md5")
 
   private def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05, blockCol = "source")
+    Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.05, blockCol = "source",
+        maxDfFraction = Some(0.01))
       .orderBy("a_id", "b_id")
 
   private def d3MinhashSig(s: SparkSession, dir: String): DataFrame =
@@ -304,9 +305,15 @@ object QueriesTrainingData {
          |), ex AS (
          |  SELECT doc_id, source, ('0x' || substr(md5(s_raw), 1, 15))::BIGINT AS s
          |  FROM (SELECT doc_id, source, unnest(sh) AS s_raw FROM sh)
+         |), dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |exf AS (
+         |  SELECT e.doc_id, e.source, e.s
+         |  FROM ex e JOIN dfq USING (s), nd
+         |  WHERE dfq.df <= ceil(nd.n_docs * 0.01)
          |), inter AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-         |  FROM ex a JOIN ex b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM exf a JOIN exf b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |), sz AS (SELECT doc_id, len(sh) AS sz FROM sh)
          |SELECT a_id, b_id,

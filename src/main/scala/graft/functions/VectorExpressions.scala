@@ -137,6 +137,24 @@ object VectorOps {
 
 private[graft] trait VectorExpr extends Expression {
   override def nullable: Boolean = true
+
+  /** Reject non-numeric-array inputs at ANALYSIS time: without this, a
+    * mistyped column (e.g. array<int>) surfaced as an executor-side
+    * IllegalArgumentException from [[isFloatArray]] mid-job instead of
+    * an AnalysisException before any task ran.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    children.map(_.dataType).find {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double> arguments, got ${bad.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   protected def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false

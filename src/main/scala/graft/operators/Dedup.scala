@@ -200,10 +200,21 @@ object Dedup {
     * shuffle-parallel, vs. the quadratic array_intersect-per-pair
     * alternative. Requires threshold > 0 (zero-overlap pairs never
     * surface, which is exactly the pairs a positive threshold drops).
+    *
+    * `maxDfFraction`: optional stop-gram cap — shingles appearing in
+    * more than ceil(fraction x corpus) documents are dropped from the
+    * INVERTED INDEX ONLY (union sizes stay exact). A shingle with a
+    * long posting list costs O(df²) join rows while contributing
+    * almost no Jaccard discrimination, so at corpus scale one hot
+    * shingle turns the index join quadratic; the cap bounds every
+    * posting list. The similarity is then a documented underestimate
+    * (intersection loses at most the capped shingles two docs share),
+    * i.e. the cap can only DROP borderline pairs, never invent them.
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, threshold: Double, blockCol: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDfFraction: Option[Double] = None): DataFrame = {
     require(threshold > 0.0, "inverted-index jaccard requires threshold > 0")
     // join/shuffle on a 60-bit hash of the shingle, not the string:
     // same result (both sides of the oracle hash identically), far
@@ -212,8 +223,21 @@ object Dedup {
       .select(col(blockCol).as("block"), col(idCol).as("id"),
         hash60(col("s")).as("s"))
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = ex.select(col("block"), col("id").as("a_id"), col("s"))
-      .join(ex.select(col("block"), col("id").as("b_id"), col("s")), Seq("block", "s"))
+    val index = maxDfFraction match {
+      case None => ex
+      case Some(f) =>
+        // df is corpus-global (one row per doc per distinct shingle);
+        // the doc count rides along as a one-row broadcast — no
+        // driver-side job, the x6 corpus-stats pattern
+        val nDocs = docs.select(count(lit(1)).as("n_docs"))
+        val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        ex.join(dfq, "s")
+          .crossJoin(broadcast(nDocs))
+          .where(col("df") <= ceil(col("n_docs") * lit(f)))
+          .select("block", "id", "s")
+    }
+    val inter = index.select(col("block"), col("id").as("a_id"), col("s"))
+      .join(index.select(col("block"), col("id").as("b_id"), col("s")), Seq("block", "s"))
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))

@@ -129,6 +129,15 @@ class TrainingDataSpec extends SparkSpec {
     assert(f3.forall(_ == 0.0f)) // null payload -> zero vector
   }
 
+  test("vector kernels reject non-float arrays at analysis time") {
+    val df = Seq((1L, Array(1, 2, 3))).toDF("id", "v")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.VectorExpressions.vectorDot($"v", $"v")).collect()
+    }
+    assert(ex.getMessage.contains("array<float>"),
+      s"unexpected analysis error: ${ex.getMessage}")
+  }
+
   test("text analysis edge cases: empty and whitespace-only text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "the the the")).toDF("doc_id", "text")
     val out = df.select(
