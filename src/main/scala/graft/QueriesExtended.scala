@@ -335,10 +335,10 @@ object QueriesExtended {
     val grams = Dedup.shingleTablePos(docs, 3)
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(0, winnowW - 1)
+    // n_grams rides along from the gram table's own window pass — no
+    // second unbounded count().over sweep of the hot gram table
     grams
       .withColumn("h", Dedup.hash60(col("s")))
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("wmin", min(col("h")).over(win))
       // a window starting at pos is complete iff pos + W <= n_grams
       .where(col("pos") <= col("n_grams") - winnowW || col("pos") === 0)

@@ -47,8 +47,10 @@ object Dedup {
         .otherwise(array(normalize(text))))
   }
 
-  /** Shared n-gram core: one row per (id, carry..., pos, gram) with
-    * pos = 0-based gram position. posexplode tokens (one
+  /** Shared n-gram core: one row per (id, carry..., pos, gram,
+    * n_grams) with pos = 0-based gram position and n_grams the per-doc
+    * gram count (derived from the same window pass that assembles the
+    * grams — no second count().over sweep). posexplode tokens (one
     * normalize+split per document), then n-gram assembly via window
     * `lead` over token position — fully codegen'd, linear in token
     * count. Documents with fewer than n tokens contribute their
@@ -78,11 +80,13 @@ object Dedup {
       .withColumn("n_toks", count(lit(1)).over(byDoc))
       .withColumn("s", gram)
       .where(col("n_toks") >= n && col("pos") <= col("n_toks") - n)
-      .select((Seq(col(idCol)) ++ carry ++ Seq(col("pos"), col("s"))): _*)
+      .select((Seq(col(idCol)) ++ carry ++ Seq(col("pos"), col("s"),
+        (col("n_toks") - (n - 1)).cast("long").as("n_grams"))): _*)
     val small = docs
       .where(size(TextAnalysis.wsTokens(normalize(col(textCol)))) < n)
       .select((Seq(col(idCol)) ++ carry ++
-        Seq(lit(0).as("pos"), normalize(col(textCol)).as("s"))): _*)
+        Seq(lit(0).as("pos"), normalize(col(textCol)).as("s"),
+          lit(1L).as("n_grams"))): _*)
     grams.unionByName(small)
   }
 
@@ -94,11 +98,11 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       carryCols: Seq[String] = Nil): DataFrame =
     gramRows(docs, n, idCol, textCol, carryCols)
-      .drop("pos")
+      .drop("pos", "n_grams")
       .distinct()
 
   /** Positional (ordered, NON-distinct) n-gram table: one row per
-    * (id, pos, gram) — the input shape for order-sensitive
+    * (id, pos, gram, n_grams) — the input shape for order-sensitive
     * fingerprinting (winnowing).
     */
   def shingleTablePos(
