@@ -21,6 +21,16 @@ private[graft] object OracleFragments {
   val hash60: String => String =
     expr => s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
+  /** Positional (ordered, NON-distinct) n-grams — Dedup.shingleTablePos'
+    * exact semantics including the small-doc fallback to the normalized
+    * text as a single gram.
+    */
+  def posGramsSql(n: Int): String =
+    s"""CASE WHEN len($toksSql) >= $n
+       |  THEN list_transform(range(1, len($toksSql) - ${n - 2}),
+       |       i -> array_to_string(($toksSql)[i:i+${n - 1}], ' '))
+       |  ELSE [$normSql] END""".stripMargin
+
   val minhashASql: String =
     graft.operators.Dedup.minhashA.take(8).mkString("[", ", ", "]")
   val minhashBSql: String =

@@ -53,6 +53,34 @@ object QueriesTrainingData {
       TextAnalysis.fingerprint64(col("text")).as("fp64"))
       .orderBy("doc_id")
 
+  private def x11Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
+
+  /** PII detection/redaction over deterministically synthesized
+    * PII-bearing text (the raw corpus contains none — the same
+    * synthesize-from-documents pattern as the media table, so the
+    * regex machinery is exercised with non-trivial matches and the
+    * oracle recomputes the identical input).
+    */
+  private def x12Pii(s: SparkSession, dir: String): DataFrame = {
+    val piiText = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".17 call 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+    docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.emailCount(piiText).as("n_emails"),
+        TextAnalysis.ipv4Count(piiText).as("n_ipv4"),
+        TextAnalysis.phoneCount(piiText).as("n_phones"),
+        TextAnalysis.redactPii(piiText).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  private def d9Contamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.contaminationPairs(docs(s, dir), n = 3, minShared = 3,
+        evalPred = Dedup.hash60(col("doc_id").cast("string")) % 20 === 0)
+      .orderBy("train_id", "eval_id")
+
   // --- dedup -----------------------------------------------------------
 
   private def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -192,6 +220,9 @@ object QueriesTrainingData {
     "x2_quality" -> (x2Quality(_, _)),
     "x3_langid" -> (x3LangId(_, _)),
     "x4_fingerprint" -> (x4Fingerprint(_, _)),
+    "x11_repetition" -> (x11Repetition(_, _)),
+    "x12_pii" -> (x12Pii(_, _)),
+    "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
     "d3_minhash_sig" -> (d3MinhashSig(_, _)),
@@ -295,6 +326,69 @@ object QueriesTrainingData {
       s"""SELECT doc_id, md5($normSql) AS fp_md5,
          |  ${hash60(normSql)} AS fp64
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x11_repetition" ->
+      s"""WITH w AS (SELECT doc_id, unnest($toksSql) AS s FROM documents),
+         |wc AS (SELECT doc_id, s, count(*) AS c FROM w GROUP BY 1, 2),
+         |ws AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM wc GROUP BY 1),
+         |g2 AS (SELECT doc_id, unnest(${OracleFragments.posGramsSql(2)}) AS s FROM documents),
+         |g2c AS (SELECT doc_id, s, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |g2s AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM g2c GROUP BY 1),
+         |g3 AS (SELECT doc_id, unnest(${OracleFragments.posGramsSql(3)}) AS s FROM documents),
+         |g3s AS (SELECT doc_id,
+         |          1.0 - count(DISTINCT s)::DOUBLE / count(*) AS f FROM g3 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round(coalesce(ws.f, 0.0), 6) AS top_word_frac,
+         |  round(coalesce(g2s.f, 0.0), 6) AS top_bigram_frac,
+         |  round(coalesce(g3s.f, 0.0), 6) AS dup_3gram_frac
+         |FROM documents d
+         |LEFT JOIN ws USING (doc_id) LEFT JOIN g2s USING (doc_id)
+         |LEFT JOIN g3s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "x12_pii" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com ip 10.0.'
+         |      || (doc_id % 256) || '.17 call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+         |      AS pii_text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pii_text, '${TextAnalysis.emailRe}')) AS n_emails,
+         |  len(regexp_extract_all(pii_text, '${TextAnalysis.ipv4Re}')) AS n_ipv4,
+         |  len(regexp_extract_all(pii_text, '${TextAnalysis.phoneRe}')) AS n_phones,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(pii_text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "d9_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents
+         |), ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s_raw), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s_raw FROM sh)
+         |), tag AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 20 = 0) AS is_eval
+         |  FROM documents
+         |), train AS (
+         |  SELECT e.doc_id AS train_id, e.h FROM ex e JOIN tag USING (doc_id)
+         |  WHERE NOT is_eval
+         |), ev AS (
+         |  SELECT e.doc_id AS eval_id, e.h FROM ex e JOIN tag USING (doc_id)
+         |  WHERE is_eval
+         |), sz AS (SELECT train_id, count(*) AS sz FROM train GROUP BY 1),
+         |shared AS (
+         |  SELECT t.train_id, ev.eval_id, count(*) AS n_shared
+         |  FROM train t JOIN ev ON t.h = ev.h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.train_id, s.eval_id, s.n_shared,
+         |  round(s.n_shared::DOUBLE / sz.sz, 6) AS overlap_frac
+         |FROM shared s JOIN sz USING (train_id)
+         |WHERE s.n_shared >= 3
+         |ORDER BY s.train_id, s.eval_id""".stripMargin,
     "d1_exact_dedup" ->
       s"""SELECT md5($normSql) AS content_md5,
          |  min(doc_id) AS survivor_id, count(*) AS n_docs

@@ -116,6 +116,42 @@ object Registry {
         when(col(stratum) === k, lit(v)).otherwise(acc)
       }
       df.where(h < rate)
+    },
+    "repetition_filter" -> { c => df =>
+      // drop degenerate repetition-heavy documents (Gopher-style rule)
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val maxTopWord = (c \ "max_top_word_frac").extractOpt[Double].getOrElse(0.2)
+      val maxDupTrigram = (c \ "max_dup_3gram_frac").extractOpt[Double].getOrElse(0.5)
+      val keep = operators.TextAnalysis.repetitionStats(df, id, text)
+        .where(col("top_word_frac") <= maxTopWord &&
+          col("dup_3gram_frac") <= maxDupTrigram)
+        .select(col(id))
+      df.join(keep, Seq(id), "left_semi")
+    },
+    "pii_redact" -> { c => df =>
+      // replace emails / IPv4s / phone-shaped substrings with tags
+      import org.apache.spark.sql.functions._
+      val text = str(c, "text_column").getOrElse("text")
+      df.withColumn(text, operators.TextAnalysis.redactPii(col(text)))
+    },
+    "decontaminate" -> { c => df =>
+      // drop training docs sharing >= min_shared n-gram shingles with
+      // the eval split (eval_ids or an is_eval flag column)
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val n = int(c, "ngram").getOrElse(3)
+      val minShared = int(c, "min_shared").getOrElse(3)
+      val evalPred = (c \ "eval_ids").extractOpt[Seq[Long]].filter(_.nonEmpty)
+        .map(ids => col(id).isin(ids.map(x => x: Any): _*))
+        .orElse(str(c, "eval_flag_column").map(col(_) === true))
+        .getOrElse(sys.error("decontaminate needs 'eval_ids' or 'eval_flag_column'"))
+      val contaminated = operators.Dedup
+        .contaminationPairs(df, n, minShared.toLong, evalPred, id, text)
+        .select(col("train_id").as(id)).distinct()
+      df.where(!evalPred).join(contaminated, Seq(id), "left_anti")
     })
 
   val loaders: Map[String, Loader] = Map(

@@ -254,6 +254,40 @@ object Dedup {
       .where(col("jaccard_sim") >= threshold)
   }
 
+  /** Train/eval contamination pairs: training documents sharing at
+    * least `minShared` n-gram shingles with any document of the eval
+    * split (`evalPred` over the docs columns selects the split). The
+    * decontamination primitive every benchmark-clean training pipeline
+    * needs — emitted as (train_id, eval_id, n_shared, overlap_frac)
+    * with overlap_frac = shared / train's distinct shingles.
+    *
+    * Scale shape: inverted-index join on 60-bit shingle hashes, like
+    * [[ngramJaccardPairs]] — but here join cost is bounded by the EVAL
+    * side's posting lists (benchmark sets are small by construction),
+    * so a corpus-hot shingle costs train_df x eval_df, not train_df².
+    */
+  def contaminationPairs(
+      docs: DataFrame, n: Int, minShared: Long,
+      evalPred: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = shingleTable(docs, n, idCol, textCol)
+      .select(col(idCol), hash60(col("s")).as("h"))
+    val tagged = st.join(docs.select(col(idCol), evalPred.as("is_eval")), idCol)
+    val train = tagged.where(!col("is_eval"))
+      .select(col(idCol).as("train_id"), col("h"))
+    val evalSide = tagged.where(col("is_eval"))
+      .select(col(idCol).as("eval_id"), col("h"))
+    val sizes = train.groupBy("train_id").agg(count(lit(1)).as("sz"))
+    train.join(evalSide, "h")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sizes, "train_id")
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("sz").cast("double"), 6)
+          .as("overlap_frac"))
+  }
+
   /** 48-bit SimHash per doc (48 keeps every intermediate in
     * non-negative BIGINT range on all engines). Bit b of the signature
     * is set iff more than half the token hashes have bit b set

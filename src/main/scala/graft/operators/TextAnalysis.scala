@@ -100,4 +100,64 @@ object TextAnalysis {
 
   def fingerprint64(text: Column): Column =
     conv(substring(fingerprintMd5(text), 1, 15), 16, 10).cast("bigint")
+
+  // --- repetition flags (Gopher-style quality rules) -------------------
+
+  /** Per-document repetition fractions — the degenerate-text signals
+    * repetition-heavy quality filters key on: fraction of the document
+    * covered by its single most frequent word / bigram, and the
+    * duplicate-trigram fraction (1 - distinct/total). Three
+    * grouped-count passes sharing the one doc_id exchange the gram
+    * core already pays; zero extra shuffle kinds. Documents too short
+    * for an n-gram count their normalized text as the single gram
+    * (fraction 1), matching the dedup family's small-doc rule.
+    */
+  def repetitionStats(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    def topFrac(grams: org.apache.spark.sql.DataFrame, out: String) =
+      grams.groupBy(id, col("s")).agg(count(lit(1)).as("c"))
+        .groupBy(id).agg((max(col("c")) / sum(col("c"))).as(out))
+    val words = docs
+      .select(id, explode(wsTokens(normalize(col(textCol)))).as("s"))
+    val topWord = topFrac(words, "top_word_frac")
+    val topBigram = topFrac(Dedup.shingleTablePos(docs, 2, idCol, textCol), "top_bigram_frac")
+    val dupTrigram = Dedup.shingleTablePos(docs, 3, idCol, textCol)
+      .groupBy(id)
+      .agg((lit(1.0) - countDistinct(col("s")) / count(lit(1))).as("dup_3gram_frac"))
+    docs.select(id)
+      .join(topWord, Seq(idCol), "left")
+      .join(topBigram, Seq(idCol), "left")
+      .join(dupTrigram, Seq(idCol), "left")
+      .select(id,
+        round(coalesce(col("top_word_frac"), lit(0.0)), 6).as("top_word_frac"),
+        round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"),
+        round(coalesce(col("dup_3gram_frac"), lit(0.0)), 6).as("dup_3gram_frac"))
+  }
+
+  // --- PII detection / redaction ---------------------------------------
+
+  /** Conservative PII patterns (lowercase text): chosen for identical
+    * semantics in Java regex and RE2-style engines — no lookaround, no
+    * backreferences, explicit character classes only.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailRe)).cast("bigint")
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(ipv4Re)).cast("bigint")
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phoneRe)).cast("bigint")
+
+  /** All three PII classes replaced by placeholder tags. Order matters
+    * and is fixed (email, then ip, then phone) so engines agree; a
+    * map-only pass like everything else in this object.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

@@ -129,6 +129,64 @@ class TrainingDataSpec extends SparkSpec {
     assert(f3.forall(_ == 0.0f)) // null payload -> zero vector
   }
 
+  test("repetition stats flag degenerate docs and clear clean ones") {
+    val df = Seq(
+      (1L, "the the the the"),                       // one word repeated
+      (2L, "alpha beta gamma delta epsilon zeta"),   // no repetition
+      (3L, "ab cd ab cd ab cd ab cd"))               // repeated bigram/trigram
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 1.0)                         // top word covers everything
+    assert(out(1L)._3 == 0.5)                         // "the the the" x2 -> 1 distinct of 2
+    assert(out(2L)._1 < 0.2 && out(2L)._3 == 0.0)     // all unique
+    assert(out(3L)._2 == 0.571429)                    // "ab cd" = 4 of 7 bigrams
+    assert(out(3L)._3 > 0.5)                          // trigram cycle repeats
+  }
+
+  test("pii counts and redaction") {
+    val df = Seq((1L, "mail john.doe@acme.io from 192.168.0.1 or dial 555-1234 now"))
+      .toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.emailCount($"text"), TextAnalysis.ipv4Count($"text"),
+      TextAnalysis.phoneCount($"text"), TextAnalysis.redactPii($"text")).head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    assert(r.getString(3) == "mail <EMAIL> from <IP> or dial <PHONE> now")
+  }
+
+  test("contamination pairs find the planted train/eval overlap") {
+    val df = Seq(
+      (0L, "spark shuffles hash partitions across the executor fleet tonight"),
+      (1L, "completely unrelated words about gardens and slow cooking herbs"),
+      (10L, "spark shuffles hash partitions across the executor fleet at dawn"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(df, n = 3, minShared = 3,
+        evalPred = $"doc_id" >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 10L)))
+    assert(pairs.head._3 >= 5) // long shared prefix -> many shared trigrams
+  }
+
+  test("registry: repetition_filter, pii_redact, decontaminate stages") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    implicit val fmts: Formats = DefaultFormats
+    val df = Seq(
+      (0L, "the the the the the the"),
+      (1L, "a healthy varied document mentioning john@acme.io by mail"),
+      (10L, "a healthy varied document mentioning nobody at all today"))
+      .toDF("doc_id", "text")
+    val rep = graft.Registry.transformers("repetition_filter")(parse("{}"))(df)
+    assert(!rep.collect().map(_.getLong(0)).contains(0L))
+    val red = graft.Registry.transformers("pii_redact")(parse("{}"))(df)
+    val t1 = red.where($"doc_id" === 1L).head().getString(1)
+    assert(t1.contains("<EMAIL>") && !t1.contains("acme.io"))
+    val dec = graft.Registry.transformers("decontaminate")(
+      parse("""{"eval_ids": [10], "min_shared": 2}"""))(df)
+    val kept = dec.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L)) // doc 1 shares "a healthy varied document mentioning" with eval 10
+  }
+
   test("vector kernels reject non-float arrays at analysis time") {
     val df = Seq((1L, Array(1, 2, 3))).toDF("id", "v")
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
