@@ -205,6 +205,12 @@ object QueriesExtended {
     graft.streaming.EventStreaming.clickPurchaseJoin(s, dir)
       .orderBy("user_id", "click_id", "purchase_id")
 
+  // --- st4: native session-window streaming sessionization -------------
+
+  private def st4StreamSession(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreaming.sessionStats(s, dir)
+      .orderBy("user_id", "session_start")
+
   // --- q25: window frames (rolling rows + time-range) ------------------
 
   /** Rolling aggregates in two frame flavors: ROWS (last 3 events) and
@@ -412,6 +418,7 @@ object QueriesExtended {
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
     "st3_stream_join" -> (st3StreamJoin(_, _)),
+    "st4_stream_session" -> (st4StreamSession(_, _)),
     "x10_winnowing" -> (x10Winnowing(_, _)),
     "q25_window_frames" -> (q25WindowFrames(_, _)),
     "m3_frame_sample" -> (m3FrameSample(_, _)),
@@ -599,6 +606,26 @@ object QueriesExtended {
         | AND p.ts >= c.ts - INTERVAL 30 MINUTE
         | AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "st4_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+        |         THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+        |  count(*) AS n_events, round(sum(value), 6) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "x10_winnowing" ->
       s"""WITH base AS (
          |  SELECT doc_id,

@@ -94,6 +94,25 @@ object EventStreaming {
         .agg(count(lit(1)).as("n_users"))
     }
 
+  /** Sessionization as a NATIVE streaming aggregation: Spark's
+    * session_window merges events with gaps under 30 minutes into one
+    * growing per-user window (state-store-backed window merge — the
+    * streaming analog of the batch lag/running-sum sessionize).
+    * Complete output mode at the gate. session_window's `end` is
+    * last-event + gap, so the last event time is end - 30 min; a gap of
+    * EXACTLY the window size starts a new session (merge requires
+    * next < end), which the oracle mirrors with >= in its gap test.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(spark, dir, "st4_mem") { stream =>
+      stream
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          (col("w.end") - expr("INTERVAL 30 MINUTES")).as("session_last"),
+          col("n_events"), col("session_value"))
+    }
+
   /** Stream-stream inner join: each click matched to the same user's
     * purchases within ±30 minutes. Append output mode (the only mode
     * stream-stream joins support). BOTH sides carry a 2-hour watermark:
