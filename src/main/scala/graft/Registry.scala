@@ -144,10 +144,14 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val n = int(c, "ngram").getOrElse(3)
       val minShared = int(c, "min_shared").getOrElse(3)
-      val evalPred = (c \ "eval_ids").extractOpt[Seq[Long]].filter(_.nonEmpty)
-        .map(ids => col(id).isin(ids.map(x => x: Any): _*))
-        .orElse(str(c, "eval_flag_column").map(col(_) === true))
-        .getOrElse(sys.error("decontaminate needs 'eval_ids' or 'eval_flag_column'"))
+      // coalesce to false: a NULL flag/id marks a TRAINING doc — without
+      // this, !pred is NULL and where() silently drops every such row
+      val evalPred = coalesce(
+        (c \ "eval_ids").extractOpt[Seq[Long]].filter(_.nonEmpty)
+          .map(ids => col(id).isin(ids.map(x => x: Any): _*))
+          .orElse(str(c, "eval_flag_column").map(col(_) === true))
+          .getOrElse(sys.error("decontaminate needs 'eval_ids' or 'eval_flag_column'")),
+        lit(false))
       val contaminated = operators.Dedup
         .contaminationPairs(df, n, minShared.toLong, evalPred, id, text)
         .select(col("train_id").as(id)).distinct()

@@ -350,20 +350,24 @@ object Dedup {
     val segVals = offsets.zip(widths).map { case (off, w) =>
       shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1L))
     }
-    // (id, block, seg, segval) — ids and small keys only; signatures
-    // are re-joined per surviving candidate, never shipped per segment
-    val segs = sigs.select(col(idCol), col("block"),
+    // (id, sig, block, seg, segval): the 8-byte signature RIDES the
+    // segment rows so the verify needs no join back to the signature
+    // aggregation — referencing that subtree again would recompute the
+    // 48-aggregate pass wherever exchange reuse doesn't fire
+    val segs = sigs.select(col(idCol), col("simhash"), col("block"),
         posexplode(array(segVals: _*)))
-      .select(col(idCol), col("block"), col("pos").as("seg"), col("col").as("segval"))
-    val cands = segs.select(col("block"), col("seg"), col("segval"), col(idCol).as("a_id"))
-      .join(segs.select(col("block"), col("seg"), col("segval"), col(idCol).as("b_id")),
-        Seq("block", "seg", "segval"))
+      .select(col(idCol), col("simhash"), col("block"),
+        col("pos").as("seg"), col("col").as("segval"))
+    val a = segs.select(col("block"), col("seg"), col("segval"),
+      col(idCol).as("a_id"), col("simhash").as("a_sig"))
+    val b = segs.select(col("block"), col("seg"), col("segval"),
+      col(idCol).as("b_id"), col("simhash").as("b_sig"))
+    a.join(b, Seq("block", "seg", "segval"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+      // sig is functionally dependent on id, so distinct cardinality
+      // is the same as on the id pair alone
+      .select("a_id", "b_id", "a_sig", "b_sig")
       .distinct()
-    cands
-      .join(sigs.select(col(idCol).as("a_id"), col("simhash").as("a_sig")), "a_id")
-      .join(sigs.select(col(idCol).as("b_id"), col("simhash").as("b_sig")), "b_id")
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
