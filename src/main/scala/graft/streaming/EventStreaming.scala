@@ -43,11 +43,27 @@ object EventStreaming {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val query = transform(stream).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .start()
+    // Stateful streaming cost here is dominated by state-store
+    // INSTANCES (one per shuffle partition per store, re-opened every
+    // micro-batch), not by data volume — pin the streaming query to
+    // fewer partitions than the batch engine uses. The query's state
+    // partitioning is fixed at its first run, which is exactly the
+    // per-query scoping we want; answers are partitioning-independent.
+    // At production stream volumes this knob rises with throughput.
+    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try {
+        transform(stream).writeStream
+          .format("memory")
+          .queryName(queryName)
+          .outputMode(outputMode)
+          .start()
+      } finally {
+        // the plan captured the setting at start(); restore for the
+        // rest of the (shared) session immediately
+        spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+      }
     try {
       query.processAllAvailable()
     } finally {
