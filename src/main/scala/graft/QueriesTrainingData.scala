@@ -76,6 +76,12 @@ object QueriesTrainingData {
       .orderBy("doc_id")
   }
 
+  /** Docs with no tokens have no unigram rows and drop out — the same
+    * inner-join semantics as the oracle's per-doc grouping.
+    */
+  private def x13UnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(s, dir)).orderBy("doc_id")
+
   private def d9Contamination(s: SparkSession, dir: String): DataFrame =
     Dedup.contaminationPairs(docs(s, dir), n = 3, minShared = 3,
         evalPred = Dedup.hash60(col("doc_id").cast("string")) % 20 === 0)
@@ -222,6 +228,7 @@ object QueriesTrainingData {
     "x4_fingerprint" -> (x4Fingerprint(_, _)),
     "x11_repetition" -> (x11Repetition(_, _)),
     "x12_pii" -> (x12Pii(_, _)),
+    "x13_unigram_logprob" -> (x13UnigramLogprob(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -362,6 +369,15 @@ object QueriesTrainingData {
          |      '${TextAnalysis.ipv4Re}', '<IP>', 'g'),
          |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS redacted
          |FROM p ORDER BY doc_id""".stripMargin,
+    "x13_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |tot AS (SELECT count(*)::DOUBLE AS n_total FROM toks),
+         |freq AS (SELECT w, count(*) AS cf FROM toks GROUP BY w)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(sum(round(ln(cf / n_total) * 1e6)::BIGINT)::DOUBLE
+         |        / (count(*) * 1e6), 6) AS avg_logprob
+         |FROM toks JOIN freq USING (w), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d9_contamination" ->
       s"""WITH sh AS (
          |  SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents

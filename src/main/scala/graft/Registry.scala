@@ -136,6 +136,18 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       df.withColumn(text, operators.TextAnalysis.redactPii(col(text)))
     },
+    "perplexity_filter" -> { c => df =>
+      // keep docs whose mean unigram log-prob (corpus-trained) clears
+      // the floor — the CCNet-style fluency filter
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val minAvg = (c \ "min_avg_logprob").extractOpt[Double].getOrElse(-8.0)
+      val keep = operators.TextAnalysis.unigramLogProb(df, id, text)
+        .where(col("avg_logprob") >= minAvg)
+        .select(col(id))
+      df.join(keep, Seq(id), "left_semi")
+    },
     "decontaminate" -> { c => df =>
       // drop training docs sharing >= min_shared n-gram shingles with
       // the eval split (eval_ids or an is_eval flag column)

@@ -136,6 +136,38 @@ object TextAnalysis {
         round(coalesce(col("dup_3gram_frac"), lit(0.0)), 6).as("dup_3gram_frac"))
   }
 
+  // --- unigram language-model scoring ----------------------------------
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the CCNet-style perplexity proxy: fluent,
+    * typical documents score high; rare-token noise scores low.
+    *
+    * Shape: one token-frequency aggregate (vocab-sized), the corpus
+    * token count as a one-row broadcast, then a hash join of the token
+    * stream against the frequency table and one groupBy(doc). For
+    * cross-engine determinism each term's ln(cf/N) is quantized to an
+    * exact INTEGER number of micro-nats before the per-doc sum — long
+    * addition commutes, so shuffle order can't move the result (sums
+    * of raw doubles are order-dependent; the q25 integer-cents rule).
+    */
+  def unigramLogProb(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(wsTokens(normalize(col(textCol)))).as("w"))
+    val total = toks.select(count(lit(1)).cast("double").as("n_total"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("cf"))
+    val microNats = round(log(col("cf") / col("n_total")) * 1e6).cast("long")
+    toks.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), microNats.as("lq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lq")).as("slq"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("slq").cast("double") / (col("n_tokens") * 1e6), 6)
+          .as("avg_logprob"))
+  }
+
   // --- PII detection / redaction ---------------------------------------
 
   /** Conservative PII patterns (lowercase text): chosen for identical

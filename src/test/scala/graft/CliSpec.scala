@@ -7,8 +7,8 @@ class CliSpec extends SparkSpec {
   test("registry resolves stages and errors helpfully on unknown names") {
     assert(Registry.allStages("extractors") == Seq("binary", "csv", "parquet"))
     assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration",
-      "decom", "decontaminate", "exact_dedup", "lang_filter", "pii_redact",
-      "quality_filter", "repetition_filter", "stratified_sample"))
+      "decom", "decontaminate", "exact_dedup", "lang_filter", "perplexity_filter",
+      "pii_redact", "quality_filter", "repetition_filter", "stratified_sample"))
     assert(Registry.allStages("loaders") == Seq("csv", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
     assert(e.getMessage.contains("binary"))

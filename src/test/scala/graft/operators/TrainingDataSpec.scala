@@ -154,6 +154,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(r.getString(3) == "mail <EMAIL> from <IP> or dial <PHONE> now")
   }
 
+  test("unigram logprob ranks typical docs above rare-token noise") {
+    val df = Seq(
+      (1L, "data data data data"),            // only the most common token
+      (2L, "data table data table"),          // common tokens
+      (3L, "zyx qwv bnm plk"))                // singleton tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+    assert(out.values.forall(_ < 0.0)) // log-probs are negative
+  }
+
   test("contamination pairs find the planted train/eval overlap") {
     val df = Seq(
       (0L, "spark shuffles hash partitions across the executor fleet tonight"),
