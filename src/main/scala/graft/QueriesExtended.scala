@@ -396,6 +396,40 @@ object QueriesExtended {
       .orderBy("media_id")
   }
 
+  // --- q28: sequential funnel analysis ---------------------------------
+
+  /** Classic ordered funnel with conversion windows: per user, the
+    * first view, the first click within (view, view + 1h], the first
+    * purchase within (click, click + 1h] — then users counted by
+    * deepest stage reached. Each stage is one filtered aggregate
+    * joined to the previous stage's per-user scalar; all joins are on
+    * user_id, the exchange every per-user analysis shares.
+    */
+  private def q28Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = e.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") > col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") > col("c_ts") &&
+        col("ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    e.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(when(col("p_ts").isNotNull, 3)
+        .when(col("c_ts").isNotNull, 2)
+        .when(col("v_ts").isNotNull, 1)
+        .otherwise(0).as("stage_reached"))
+      .groupBy("stage_reached")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage_reached")
+  }
+
   // --- s3: IVF approximate nearest neighbor ----------------------------
 
   private def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -427,6 +461,7 @@ object QueriesExtended {
     "q27_setops_all" -> (q27SetopsAll(_, _)),
     "x8_bm25" -> (x8Bm25(_, _)),
     "x9_reservoir_sample" -> (x9ReservoirSample(_, _)),
+    "q28_funnel" -> (q28Funnel(_, _)),
     "s3_ann_ivf" -> (s3AnnIvf(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
@@ -538,6 +573,25 @@ object QueriesExtended {
          |)
          |SELECT s AS doc_id, min(d) AS cluster_id
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "q28_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |        AND e.ts <= v.v_ts + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |        AND e.ts <= c.c_ts + INTERVAL 1 HOUR GROUP BY 1)
+        |SELECT CASE WHEN p_ts IS NOT NULL THEN 3
+        |            WHEN c_ts IS NOT NULL THEN 2
+        |            WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+        |  count(*) AS n_users
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s3_ann_ivf" ->
       s"""WITH ${OracleFragments.normVecCte},
          |seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < 16),

@@ -220,7 +220,16 @@ object QueriesTelemetry {
     Telemetry.tidy(Calibration(Decom(packets, Fixtures.hkParamDefs), Fixtures.hkCalibrations))
   }
 
+  /** Batch sequence-gap report over the synthetic packet stream (the
+    * streaming analog is TelemetryStreaming.sequenceGapMonitor — same
+    * wrap-aware modular arithmetic).
+    */
+  private def t14SeqGaps(s: SparkSession, dir: String): DataFrame =
+    Telemetry.sequenceGapReport(synthPackets(s, dir))
+      .orderBy("apid", "time_tai")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_seq_gaps" -> (t14SeqGaps(_, _)),
     "t1_header_roundtrip" -> (t1HeaderRoundtrip(_, _)),
     "t2_decom" -> (t2Decom(_, _)),
     "t3_calibration" -> (t3Calibration(_, _)),
@@ -287,6 +296,22 @@ object QueriesTelemetry {
       |END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t14_seq_gaps" ->
+      s"""WITH pk AS (
+         |  SELECT $apidSql AS apid, $seqSql AS seq_count, $timeSql AS time_tai
+         |  FROM lineitem
+         |), lagged AS (
+         |  SELECT apid, time_tai,
+         |    lag(seq_count) OVER (PARTITION BY apid ORDER BY time_tai) AS prev_seq,
+         |    seq_count
+         |  FROM pk
+         |)
+         |SELECT apid, time_tai, prev_seq, seq_count,
+         |  (seq_count - prev_seq - 1 + 16384) % 16384 AS missing
+         |FROM lagged
+         |WHERE prev_seq IS NOT NULL
+         |  AND (seq_count - prev_seq - 1 + 16384) % 16384 > 0
+         |ORDER BY apid, time_tai""".stripMargin,
     "t1_header_roundtrip" ->
       s"""SELECT $timeSql AS time_tai, 0 AS version, 0 AS type_flag, 0 AS sec_hdr_flag,
          |  $apidSql AS apid, 3 AS seq_flags, $seqSql AS seq_count,

@@ -63,6 +63,27 @@ object Telemetry {
       min("time_tai").as("time_min"),
       max("time_tai").as("time_max"))
 
+  /** Batch sequence-gap report: per APID, packets whose 14-bit
+    * seq_count is not the successor of the previous packet's (by
+    * source time), with the wrap-aware missing count — the batch form
+    * of the streaming sequenceGapMonitor, same modular arithmetic.
+    * One window pass on the (apid, time) order every per-APID
+    * telemetry analysis shuffles on anyway.
+    */
+  def sequenceGapReport(packets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("apid").orderBy("source_time_tai")
+    packets
+      .select(col("apid"), col("seq_count"), col("source_time_tai"))
+      .withColumn("prev_seq", lag(col("seq_count"), 1).over(w))
+      .where(col("prev_seq").isNotNull)
+      .withColumn("missing",
+        (col("seq_count") - col("prev_seq") - 1 + 16384) % 16384)
+      .where(col("missing") > 0)
+      .select(col("apid"), col("source_time_tai").as("time_tai"),
+        col("prev_seq"), col("seq_count"), col("missing"))
+  }
+
   /** `mdp inspect` projection (cli/main.py:117-133): per-packet summary
     * with hex APID, capped at maxPackets.
     */
