@@ -222,11 +222,15 @@ object QueriesTelemetry {
 
   /** Batch sequence-gap report over the synthetic packet stream (the
     * streaming analog is TelemetryStreaming.sequenceGapMonitor — same
-    * wrap-aware modular arithmetic).
+    * wrap-aware modular arithmetic). Duplicate lineitem rows make tied
+    * (apid, time_tai) pairs whose report rows differ in prev_seq, so
+    * the sort carries prev_seq/seq_count too — the driver's hash
+    * compare is ROW-ORDER-sensitive and needs a total order (the
+    * t9/t13 tiebreak rule).
     */
   private def t14SeqGaps(s: SparkSession, dir: String): DataFrame =
     Telemetry.sequenceGapReport(synthPackets(s, dir))
-      .orderBy("apid", "time_tai")
+      .orderBy("apid", "time_tai", "prev_seq", "seq_count")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_seq_gaps" -> (t14SeqGaps(_, _)),
@@ -307,11 +311,14 @@ object QueriesTelemetry {
          |  FROM pk
          |)
          |SELECT apid, time_tai, prev_seq, seq_count,
-         |  (seq_count - prev_seq - 1 + 16384) % 16384 AS missing
+         |  CASE WHEN seq_count = prev_seq THEN 0
+         |       ELSE (seq_count - prev_seq - 1 + 16384) % 16384 END AS missing,
+         |  (seq_count = prev_seq) AS is_dup
          |FROM lagged
          |WHERE prev_seq IS NOT NULL
-         |  AND (seq_count - prev_seq - 1 + 16384) % 16384 > 0
-         |ORDER BY apid, time_tai""".stripMargin,
+         |  AND (seq_count <> prev_seq AND (seq_count - prev_seq - 1 + 16384) % 16384 > 0
+         |       OR seq_count = prev_seq)
+         |ORDER BY apid, time_tai, prev_seq, seq_count""".stripMargin,
     "t1_header_roundtrip" ->
       s"""SELECT $timeSql AS time_tai, 0 AS version, 0 AS type_flag, 0 AS sec_hdr_flag,
          |  $apidSql AS apid, 3 AS seq_flags, $seqSql AS seq_count,

@@ -138,15 +138,22 @@ object Registry {
     },
     "perplexity_filter" -> { c => df =>
       // keep docs whose mean unigram log-prob (corpus-trained) clears
-      // the floor — the CCNet-style fluency filter
+      // the floor — the CCNet-style fluency filter. Token-less docs
+      // (empty/null text) have no defined score: dropped by default,
+      // kept when keep_empty is set — never silently threshold-exempt
       import org.apache.spark.sql.functions._
       val id = str(c, "id_column").getOrElse("doc_id")
       val text = str(c, "text_column").getOrElse("text")
       val minAvg = (c \ "min_avg_logprob").extractOpt[Double].getOrElse(-8.0)
+      val keepEmpty = bool(c, "keep_empty").getOrElse(false)
       val keep = operators.TextAnalysis.unigramLogProb(df, id, text)
         .where(col("avg_logprob") >= minAvg)
         .select(col(id))
-      df.join(keep, Seq(id), "left_semi")
+      val scored = df.join(keep, Seq(id), "left_semi")
+      if (!keepEmpty) scored
+      else scored.unionByName(
+        df.where(size(operators.TextAnalysis.wsTokens(
+          operators.TextAnalysis.normalize(col(text)))) === 0))
     },
     "decontaminate" -> { c => df =>
       // drop training docs sharing >= min_shared n-gram shingles with

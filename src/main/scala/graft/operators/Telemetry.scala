@@ -65,9 +65,11 @@ object Telemetry {
 
   /** Batch sequence-gap report: per APID, packets whose 14-bit
     * seq_count is not the successor of the previous packet's (by
-    * source time), with the wrap-aware missing count — the batch form
-    * of the streaming sequenceGapMonitor, same modular arithmetic.
-    * One window pass on the (apid, time) order every per-APID
+    * source time) — the batch form of the streaming
+    * sequenceGapMonitor, same modular arithmetic. A REPEATED seq_count
+    * is a retransmit/duplicate, not a near-full-cycle loss: it is
+    * flagged `is_dup` with missing = 0 instead of the naive modular
+    * 16383. One window pass on the (apid, time) order every per-APID
     * telemetry analysis shuffles on anyway.
     */
   def sequenceGapReport(packets: DataFrame): DataFrame = {
@@ -77,11 +79,13 @@ object Telemetry {
       .select(col("apid"), col("seq_count"), col("source_time_tai"))
       .withColumn("prev_seq", lag(col("seq_count"), 1).over(w))
       .where(col("prev_seq").isNotNull)
+      .withColumn("is_dup", col("seq_count") === col("prev_seq"))
       .withColumn("missing",
-        (col("seq_count") - col("prev_seq") - 1 + 16384) % 16384)
-      .where(col("missing") > 0)
+        when(col("is_dup"), lit(0))
+          .otherwise((col("seq_count") - col("prev_seq") - 1 + 16384) % 16384))
+      .where(col("missing") > 0 || col("is_dup"))
       .select(col("apid"), col("source_time_tai").as("time_tai"),
-        col("prev_seq"), col("seq_count"), col("missing"))
+        col("prev_seq"), col("seq_count"), col("missing"), col("is_dup"))
   }
 
   /** `mdp inspect` projection (cli/main.py:117-133): per-packet summary

@@ -155,8 +155,10 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol),
       explode(wsTokens(normalize(col(textCol)))).as("w"))
-    val total = toks.select(count(lit(1)).cast("double").as("n_total"))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("cf"))
+    // n_total = sum of the vocab counts — derived from the (small)
+    // frequency aggregate rather than a third scan of the token stream
+    val total = freq.select(sum(col("cf")).cast("double").as("n_total"))
     val microNats = round(log(col("cf") / col("n_total")) * 1e6).cast("long")
     toks.join(freq, "w")
       .crossJoin(broadcast(total))
