@@ -230,13 +230,15 @@ object Dedup {
     val index = maxDfFraction match {
       case None => ex
       case Some(f) =>
-        // df is corpus-global (one row per doc per distinct shingle);
-        // the doc count rides along as a one-row broadcast — no
-        // driver-side job, the x6 corpus-stats pattern
+        // df is corpus-global (one row per doc per distinct shingle),
+        // computed as an unbounded window count over the shingle hash —
+        // ONE exchange on s, no aggregate+join-back round trip. The doc
+        // count rides along as a one-row broadcast (x6 corpus-stats
+        // pattern, no driver-side job).
+        import org.apache.spark.sql.expressions.Window
         val nDocs = docs.select(count(lit(1)).as("n_docs"))
-        val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-        ex.join(dfq, "s")
-          .crossJoin(broadcast(nDocs))
+        ex.crossJoin(broadcast(nDocs))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
           .where(col("df") <= ceil(col("n_docs") * lit(f)))
           .select("block", "id", "s")
     }
