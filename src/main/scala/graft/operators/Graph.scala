@@ -72,11 +72,32 @@ object Graph {
         .select(col("node"),
           least(col("component"), coalesce(col("parent_comp"), col("component")))
             .as("component"))
+      // the changed-count is OBSERVED during the checkpoint
+      // materialization itself (CollectMetrics rides the same job), so
+      // convergence costs zero extra scans per round
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val doubled = chase(chase(adopted))
         .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
         .withColumn("changed", col("component") =!= col("prev"))
+        .observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"))
         .localCheckpoint()
-      converged = doubled.where(col("changed")).limit(1).count() == 0
+      converged = {
+        // bounded wait for listener delivery; if the metric never lands
+        // (defensive — the eager checkpoint runs through withAction, so
+        // it should), fall back to the explicit one-row scan rather
+        // than blocking forever on obs.get
+        import org.apache.spark.GraftSparkShims.observedMetrics
+        var m = observedMetrics(obs)
+        var waitedMs = 0
+        while (!m.contains("n_changed") && waitedMs < 2000) {
+          Thread.sleep(10); waitedMs += 10; m = observedMetrics(obs)
+        }
+        m.get("n_changed") match {
+          case Some(n: java.lang.Long) => n.longValue() == 0L
+          case Some(null) => true // zero rows: nothing left to change
+          case _ => doubled.where(col("changed")).limit(1).count() == 0
+        }
+      }
       labels = doubled.select("node", "component")
       org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint(prevCkpt)
       prevCkpt = doubled
