@@ -86,7 +86,7 @@ object Graph {
         // (defensive — the eager checkpoint runs through withAction, so
         // it should), fall back to the explicit one-row scan rather
         // than blocking forever on obs.get
-        import org.apache.spark.GraftSparkShims.observedMetrics
+        import org.apache.spark.sql.GraftShims.observedMetrics
         var m = observedMetrics(obs)
         var waitedMs = 0
         while (!m.contains("n_changed") && waitedMs < 2000) {

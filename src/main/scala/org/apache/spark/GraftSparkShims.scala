@@ -6,11 +6,4 @@ package org.apache.spark
   */
 object GraftSparkShims {
   def waitForListeners(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
-
-  /** Non-blocking read of an Observation's metrics (empty until the
-    * observed action's listener fires) — `getOrEmpty` is
-    * private[spark]; the public `get` blocks with no timeout.
-    */
-  def observedMetrics(obs: org.apache.spark.sql.Observation): Map[String, Any] =
-    obs.getOrEmpty
 }

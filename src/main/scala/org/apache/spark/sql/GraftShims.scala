@@ -24,4 +24,11 @@ object GraftShims {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Non-blocking read of an Observation's metrics (empty until the
+    * observed action's listener fires) — `getOrEmpty` is
+    * private[sql]; the public `get` blocks with no timeout.
+    */
+  def observedMetrics(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
 }
