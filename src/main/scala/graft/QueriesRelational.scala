@@ -232,7 +232,27 @@ object QueriesRelational {
         (abs(col("am") - col("em")) <= abs(col("em")) * lit(0.05)).as("median_ok"))
       .orderBy("o_orderstatus")
 
+  /** Skew-salted join (operators/Scale.saltedJoin): the pathological
+    * single-hot-key shape AQE cannot split further. Salting must be
+    * result-invariant — the oracle is the PLAIN join, so any deviation
+    * (lost rows on a salt boundary, duplicated right rows) hash-fails.
+    */
+  private def q29SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_quantity"), col("l_extendedprice"))
+    val pt = t(s, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    graft.operators.Scale.saltedJoin(li, pt, "partkey", saltFactor = 8)
+      .groupBy("p_brand")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_salted_join" -> (q29SaltedJoin(_, _)),
     "q19_approx" -> (q19Approx(_, _)),
     "q16_cube" -> (q16Cube(_, _)),
     "q17_asof_join" -> (q17AsofJoin(_, _)),
@@ -253,6 +273,13 @@ object QueriesRelational {
     "q15_union_distinct" -> (q15UnionDistinct(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q29_salted_join" ->
+      """SELECT p_brand,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q19_approx" ->
       """SELECT o_orderstatus,
         |  count(DISTINCT o_custkey) AS exact_custs,

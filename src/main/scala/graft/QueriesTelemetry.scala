@@ -232,7 +232,28 @@ object QueriesTelemetry {
     Telemetry.sequenceGapReport(synthPackets(s, dir))
       .orderBy("apid", "time_tai", "prev_seq", "seq_count")
 
+  /** Full binary round-trip through the splittable V2 source WITH apid
+    * pushdown: serialize the synthetic packets to raw CCSDS files (one
+    * per partition, Sinks.writeCcsdsFiles), read them back through
+    * `format("ccsds")`, and decode the user_data arithmetically. The
+    * `apid = 0x100` predicate reaches the byte walk via
+    * SupportsPushDownFilters (plan-asserted in PlanChecksSpec); here the
+    * RESULT of the pushed scan is oracle-checked too.
+    */
+  private def t15V2Pushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t15").toString
+    graft.sinks.Sinks.writeCcsdsFiles(synthPackets(s, dir), tmp)
+    s.read.format("ccsds").option("path", tmp).load()
+      .where(col("apid") === 0x100)
+      .select(col("apid"), col("seq_count"),
+        uintBE(col("user_data"), 0, 2).as("qty"),
+        uintBE(col("user_data"), 2, 2).as("part_mod"),
+        uintBE(col("user_data"), 4, 4).as("ext_cents"))
+      .orderBy("seq_count", "qty", "part_mod", "ext_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_v2_pushdown" -> (t15V2Pushdown(_, _)),
     "t14_seq_gaps" -> (t14SeqGaps(_, _)),
     "t1_header_roundtrip" -> (t1HeaderRoundtrip(_, _)),
     "t2_decom" -> (t2Decom(_, _)),
@@ -300,6 +321,13 @@ object QueriesTelemetry {
       |END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t15_v2_pushdown" ->
+      s"""SELECT 256 AS apid, $seqSql AS seq_count,
+         |  CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+         |  CAST(l_partkey % 65536 AS BIGINT) AS part_mod,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) % 4294967296 AS ext_cents
+         |FROM lineitem WHERE l_linenumber % 2 = 0
+         |ORDER BY seq_count, qty, part_mod, ext_cents""".stripMargin,
     "t14_seq_gaps" ->
       s"""WITH pk AS (
          |  SELECT $apidSql AS apid, $seqSql AS seq_count, $timeSql AS time_tai

@@ -82,17 +82,15 @@ object Graph {
         .observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"))
         .localCheckpoint()
       converged = {
-        // bounded wait for listener delivery; if the metric never lands
-        // (defensive — the eager checkpoint runs through withAction, so
-        // it should), fall back to the explicit one-row scan rather
-        // than blocking forever on obs.get
+        // metrics are delivered via the listener bus; draining it is the
+        // precise wait condition (the checkpoint job has already finished
+        // by this point, so the QueryExecutionListener event is enqueued).
+        // If the metric still never lands (defensive), fall back to the
+        // explicit one-row scan rather than blocking forever on obs.get
         import org.apache.spark.sql.GraftShims.observedMetrics
-        var m = observedMetrics(obs)
-        var waitedMs = 0
-        while (!m.contains("n_changed") && waitedMs < 2000) {
-          Thread.sleep(10); waitedMs += 10; m = observedMetrics(obs)
-        }
-        m.get("n_changed") match {
+        org.apache.spark.GraftSparkShims.waitForListeners(
+          doubled.sparkSession.sparkContext)
+        observedMetrics(obs).get("n_changed") match {
           case Some(n: java.lang.Long) => n.longValue() == 0L
           case Some(null) => true // zero rows: nothing left to change
           case _ => doubled.where(col("changed")).limit(1).count() == 0

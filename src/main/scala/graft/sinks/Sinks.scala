@@ -1,6 +1,10 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import graft.sources.v2.SerializableHadoopConf
+import graft.telemetry.CcsdsColumns
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** File sinks (reference loaders, SURVEY.md §2.9).
@@ -35,6 +39,37 @@ object Sinks {
   /** Wide sink (parquet.py wide mode → single pivoted table). */
   def writeWideParquet(wide: DataFrame, dir: String, overwrite: Boolean = true): Unit =
     wide.write.mode(if (overwrite) "overwrite" else "append").parquet(dir)
+
+  /** CCSDS packet-stream sink: serializes parsed packets (the ccsds V2
+    * source schema) back to raw big-endian byte streams, one file per
+    * partition — the write-side counterpart of the splittable reader,
+    * and the inverse of CCSDSPrimaryHeader.from_bytes
+    * (/root/reference/src/mdp/models/packet.py:57-71). The byte pack is
+    * a codegen'd column expression; only the final file append is
+    * imperative. Each task re-creates its own file (overwrite=true), so
+    * retries are idempotent; like any non-committed sink, concurrent
+    * speculative attempts of one task should be disabled when using it
+    * on a real cluster.
+    */
+  def writeCcsdsFiles(packets: DataFrame, dir: String): Unit = {
+    val bytes = packets.select(concat(
+      CcsdsColumns.packHeader(col("version"), col("type_flag"),
+        col("sec_hdr_flag"), col("apid"), col("seq_flags"),
+        col("seq_count"), col("data_length")),
+      coalesce(col("secondary_header"), lit(Array.emptyByteArray)),
+      coalesce(col("user_data"), lit(Array.emptyByteArray))).as("pkt"))
+    val conf = new SerializableHadoopConf(
+      packets.sparkSession.sparkContext.hadoopConfiguration)
+    bytes.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val path = new Path(dir, f"part-${TaskContext.getPartitionId()}%05d.bin")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(path, true)
+        try it.foreach(r => out.write(r.getAs[Array[Byte]](0)))
+        finally out.close()
+      }
+    }
+  }
 
   /** CSV sink (csv loader, header on, per-parameter partitioning). */
   def writeTidyCsv(
