@@ -90,6 +90,41 @@ object Registry {
         .select(org.apache.spark.sql.functions.col("survivor_id").as(id))
       df.join(survivors, Seq(id), "left_semi")
     },
+    "near_dedup" -> { c => df =>
+      // n-gram Jaccard near-dup removal: pair graph -> connected
+      // components -> keep the min-id doc per cluster. max_df_fraction
+      // is the stop-gram cap that bounds hot-shingle posting lists
+      // (Dedup.ngramJaccardPairs) — surfaced here so the CLI pipeline
+      // can set it per corpus.
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val block = str(c, "block_column").getOrElse("lang")
+      val n = int(c, "ngram").getOrElse(3)
+      val threshold = (c \ "threshold").extractOpt[Double].getOrElse(0.8)
+      val maxDf = (c \ "max_df_fraction").extractOpt[Double]
+      val pairs = operators.Dedup.ngramJaccardPairs(
+        df, n, threshold, block, id, text, maxDf)
+      val losers = operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+        .where(col("node") =!= col("component"))
+        .select(col("node").as(id))
+      df.join(losers, Seq(id), "left_anti")
+    },
+    "simhash_dedup" -> { c => df =>
+      // SimHash near-dup removal; max_hamming is the bit budget that
+      // drives the pigeonhole banding (Dedup.simhashPairs) — config-
+      // surfaced for the same reason as max_df_fraction above.
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val block = str(c, "block_column").getOrElse("lang")
+      val maxHamming = int(c, "max_hamming").getOrElse(3)
+      val pairs = operators.Dedup.simhashPairs(df, maxHamming, block, id, text)
+      val losers = operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+        .where(col("node") =!= col("component"))
+        .select(col("node").as(id))
+      df.join(losers, Seq(id), "left_anti")
+    },
     "quality_filter" -> { c => df =>
       val text = str(c, "text_column").getOrElse("text")
       val minScore = (c \ "min_score").extractOpt[Double].getOrElse(0.5)

@@ -7,8 +7,9 @@ class CliSpec extends SparkSpec {
   test("registry resolves stages and errors helpfully on unknown names") {
     assert(Registry.allStages("extractors") == Seq("binary", "csv", "parquet"))
     assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration",
-      "decom", "decontaminate", "exact_dedup", "lang_filter", "perplexity_filter",
-      "pii_redact", "quality_filter", "repetition_filter", "stratified_sample"))
+      "decom", "decontaminate", "exact_dedup", "lang_filter", "near_dedup",
+      "perplexity_filter", "pii_redact", "quality_filter", "repetition_filter",
+      "simhash_dedup", "stratified_sample"))
     assert(Registry.allStages("loaders") == Seq("csv", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
     assert(e.getMessage.contains("binary"))
@@ -53,6 +54,28 @@ class CliSpec extends SparkSpec {
     assert(opts.transformers.map(_._1) == Seq("decom", "apid_filter"))
     assert(opts.transformers.head._2.contains("parameters"))
     assert(opts.dryRun)
+  }
+
+  test("near_dedup and simhash_dedup stages honor their tuning configs") {
+    val docs = Registry.getExtractor("parquet")(spark, Registry.parseConfig(
+      """{"path": "/root/testdata/sf0.001/documents.parquet"}"""))
+    val n0 = docs.count()
+    // near_dedup: the stop-gram cap can only DROP pairs, so the capped
+    // run must keep at least as many docs as the uncapped one
+    def nearDedup(cfg: String) =
+      Registry.getTransformer("near_dedup")(Registry.parseConfig(cfg))(docs).count()
+    val uncapped = nearDedup("""{"threshold": 0.4, "ngram": 3}""")
+    val capped = nearDedup("""{"threshold": 0.4, "ngram": 3, "max_df_fraction": 0.01}""")
+    assert(uncapped > 0 && uncapped <= n0)
+    assert(capped >= uncapped, s"df cap invented pairs: $capped < $uncapped")
+    // simhash_dedup: a looser hamming budget admits a superset of pairs,
+    // so survivors are monotonically non-increasing in max_hamming
+    def simhashDedup(cfg: String) =
+      Registry.getTransformer("simhash_dedup")(Registry.parseConfig(cfg))(docs).count()
+    val tight = simhashDedup("""{"max_hamming": 0}""")
+    val loose = simhashDedup("""{"max_hamming": 8}""")
+    assert(tight > 0 && tight <= n0)
+    assert(loose <= tight, s"looser budget removed fewer docs: $loose > $tight")
   }
 
   test("document pipeline via registry stages (parquet -> dedup -> lang -> sample)") {
