@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# End-of-session invariant: the committed tree must compile, every
+# registry query must hash-match its DuckDB oracle, and the bench must
+# produce a metric line. Run this before the final commit of a session;
+# it exits non-zero (and says why) on any failure.
+#
+#   scripts/preflight.sh [sf_dir_verify] [sf_dir_bench]
+#
+# Defaults mirror the driver's gates: verify at sf0.01, bench at sf0.1.
+# Pass sf0.001 for both while iterating.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+VERIFY_SF="${1:-/root/testdata/sf0.01}"
+BENCH_SF="${2:-/root/testdata/sf0.1}"
+OUT="$(mktemp -d /tmp/preflight.XXXXXX)"
+
+fail() { echo "PREFLIGHT FAIL: $*" >&2; exit 1; }
+
+echo "== preflight: compile =="
+sbt -batch Test/compile >"$OUT/compile.log" 2>&1 \
+  || fail "sbt Test/compile is red (see $OUT/compile.log)"
+
+echo "== preflight: tests =="
+sbt -batch test >"$OUT/test.log" 2>&1 \
+  || fail "sbt test is red (see $OUT/test.log)"
+
+echo "== preflight: verify @ $VERIFY_SF =="
+sbt -batch "runMain graft.Verify $VERIFY_SF $OUT/verify" >"$OUT/verify.log" 2>&1 \
+  || fail "graft.Verify crashed (see $OUT/verify.log)"
+python3 scripts/check_correctness.py "$VERIFY_SF" "$OUT/verify" \
+  || fail "oracle mismatch (scroll up for the per-query FAIL rows)"
+
+echo "== preflight: bench @ $BENCH_SF =="
+SPARK_GRAFT_SF_DIR="$BENCH_SF" sbt -batch "runMain graft.Bench" \
+  >"$OUT/bench.log" 2>&1 \
+  || fail "graft.Bench crashed (see $OUT/bench.log)"
+grep '"metric"' "$OUT/bench.log" | tail -1 | tee "$OUT/bench.json"
+[ -s "$OUT/bench.json" ] || fail "bench emitted no metric line (see $OUT/bench.log)"
+python3 - "$OUT/bench.json" <<'EOF' || exit 1
+import json, sys
+b = json.load(open(sys.argv[1]))
+errs = {k: v for k, v in b.get("errors", {}).items()} if isinstance(b.get("errors"), dict) else {}
+if errs:
+    print(f"PREFLIGHT FAIL: bench reported per-query errors: {errs}", file=sys.stderr)
+    sys.exit(1)
+print(f"bench total: {b['value']} {b['unit']} over {len(b.get('queries', {}))} queries")
+EOF
+
+echo "== preflight: clean tree check =="
+if [ -n "$(git status --porcelain)" ]; then
+  git status --short
+  fail "working tree is dirty - commit (or clean) before calling a session done"
+fi
+
+echo "PREFLIGHT OK (logs in $OUT)"
