@@ -48,7 +48,9 @@ print(f"bench total: {b['value']} {b['unit']} over {len(b.get('queries', {}))} q
 EOF
 
 echo "== preflight: clean tree check =="
-if [ -n "$(git status --porcelain)" ]; then
+# BENCH_LAST.json is rewritten by the bench run itself - commit it with
+# the preflight result, but don't let it fail the check
+if [ -n "$(git status --porcelain | grep -v ' BENCH_LAST.json$')" ]; then
   git status --short
   fail "working tree is dirty - commit (or clean) before calling a session done"
 fi
