@@ -197,6 +197,28 @@ object QueriesTrainingData {
       .orderBy("source")
   }
 
+  // --- training mixture ------------------------------------------------
+
+  /** Sequence packing (Mixture.packSequences): 512-token concat-then-
+    * chunk layout per source in deterministic hash order.
+    */
+  private def x14SeqPack(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.packSequences(docs(s, dir), budget = 512L)
+      .orderBy("source", "pack_id", "pack_offset", "doc_id")
+
+  /** Source-weighted mixture sampling (Mixture.sourceMix): weights
+    * 1/2/3 cycling by source number; the binding source keeps all its
+    * rows, everything else down-samples by deterministic hash-mod.
+    */
+  private def x15SourceMix(s: SparkSession, dir: String): DataFrame = {
+    val weight = (lit(1.0) +
+      (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 3).cast("double"))
+    operators.Mixture.sourceMix(docs(s, dir), weight)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   // --- multimodal ------------------------------------------------------
 
   /** Media table synthesized from documents: payload = md5-hex bytes
@@ -229,6 +251,8 @@ object QueriesTrainingData {
     "x11_repetition" -> (x11Repetition(_, _)),
     "x12_pii" -> (x12Pii(_, _)),
     "x13_unigram_logprob" -> (x13UnigramLogprob(_, _)),
+    "x14_seq_pack" -> (x14SeqPack(_, _)),
+    "x15_source_mix" -> (x15SourceMix(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -290,6 +314,37 @@ object QueriesTrainingData {
   private def normVecCte: String = OracleFragments.normVecCte
 
   val oracles: Map[String, String] = Map(
+    "x14_seq_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+         |    ${hash60("doc_id::VARCHAR")} AS h
+         |  FROM documents
+         |), cum AS (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+         |  FROM toks
+         |)
+         |SELECT doc_id, source, n_toks,
+         |  cum_prev // 512 AS pack_id,
+         |  cum_prev % 512 AS pack_offset
+         |FROM cum ORDER BY source, pack_id, pack_offset, doc_id""".stripMargin,
+    "x15_source_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_s,
+         |    1.0 + CAST(regexp_extract(source, '([0-9]+)', 1)::INT % 3 AS DOUBLE) AS w
+         |  FROM documents GROUP BY source
+         |), cap AS (
+         |  SELECT min(n_s::DOUBLE / w) AS t_cap FROM counts
+         |), rates AS (
+         |  SELECT source, w * t_cap / n_s::DOUBLE AS rate
+         |  FROM counts CROSS JOIN cap
+         |)
+         |SELECT source, count(*) AS n_kept
+         |FROM documents d JOIN rates USING (source)
+         |WHERE (${hash60("d.doc_id::VARCHAR")} % 1000000)::DOUBLE < rate * 1000000.0
+         |GROUP BY source ORDER BY source""".stripMargin,
     "x1_token_stats" ->
       s"""SELECT doc_id,
          |  len($rawToksSql) AS n_ws_tokens,

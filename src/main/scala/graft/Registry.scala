@@ -139,6 +139,32 @@ object Registry {
         org.apache.spark.sql.functions.col(text)).getField("code")
         .isin(langs.map(x => x: Any): _*))
     },
+    "pack_sequences" -> { c => df =>
+      // annotate each doc with its (pack_id, pack_offset) in the
+      // concat-then-chunk layout (Mixture.packSequences); docs keep
+      // their columns so later stages can still see text/metadata
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val block = str(c, "block_column").getOrElse("source")
+      val budget = (c \ "token_budget").extractOpt[Long].getOrElse(2048L)
+      val packs = operators.Mixture.packSequences(df, budget, block, id, text)
+        .select(col(id), col("pack_id"), col("pack_offset"))
+      df.join(packs, Seq(id))
+    },
+    "source_mix" -> { c => df =>
+      // down-sample sources toward configured mixture weights
+      // (Mixture.sourceMix); unlisted sources take default_weight
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val source = str(c, "source_column").getOrElse("source")
+      val default = (c \ "default_weight").extractOpt[Double].getOrElse(1.0)
+      val weights = (c \ "weights").extractOpt[Map[String, Double]].getOrElse(Map.empty)
+      val weight = weights.foldLeft(lit(default)) { case (acc, (k, v)) =>
+        when(col(source) === k, lit(v)).otherwise(acc)
+      }
+      operators.Mixture.sourceMix(df, weight, source, id)
+    },
     "stratified_sample" -> { c => df =>
       // deterministic hash-mod sampling: rate_permille per stratum value
       import org.apache.spark.sql.functions._

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mixture operators: deterministic sequence packing and
+  * source-weighted mixture sampling — the two steps between a filtered
+  * corpus and a token stream a trainer can actually consume.
+  *
+  * Both are pure DataFrame plans: packing is one window pass per block,
+  * mixing is one aggregate + a broadcast rate table. Determinism comes
+  * from 60-bit md5 hashes (never RNG), so results are reproducible
+  * across runs, partitionings and engines — each has a DuckDB oracle.
+  */
+object Mixture {
+
+  /** Concat-then-chunk sequence packing: within each block (default:
+    * source), documents are laid out in deterministic hash order and
+    * the concatenated token stream is cut every `budget` tokens. Emits
+    * (id, block, n_toks, pack_id, pack_offset); a doc whose tokens
+    * straddle a cut belongs to the pack where it starts, at
+    * pack_offset tokens in — the standard pack-with-splitting layout
+    * (documents are not reordered to fill fragments, so packs are
+    * contiguous and the layout is one window pass, not a bin-packing
+    * search).
+    *
+    * Scale: one shuffle on the block column; the running sum is a
+    * single pass per partition. Blocks are independent, so
+    * parallelism = |blocks| — at corpus scale use a composite block
+    * (e.g. source x shard) to keep window partitions executor-sized.
+    */
+  def packSequences(
+      docs: DataFrame, budget: Long, blockCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val toks = size(TextAnalysis.wsTokens(TextAnalysis.normalize(col(textCol))))
+      .cast("long")
+    val h = Dedup.hash60(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(blockCol)).orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(blockCol), toks.as("n_toks"), h.as("h"))
+      .withColumn("cum_prev", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col(idCol), col(blockCol), col("n_toks"),
+        floor(col("cum_prev") / budget).cast("long").as("pack_id"),
+        (col("cum_prev") % budget).as("pack_offset"))
+  }
+
+  /** Source-weighted mixture sampling: down-sample each source so the
+    * kept corpus approaches the relative `weight` per source while
+    * retaining as much data as possible — the binding source (smallest
+    * n_s/w_s) keeps everything and every other source keeps
+    * w_s * T / n_s where T = min_s(n_s / w_s). Selection is
+    * deterministic hash-mod over the id, so re-runs (and the oracle)
+    * keep the identical rows.
+    *
+    * `weight` is a Column over the docs columns (typically a CASE on
+    * the source column), so weights live in the pipeline config, not
+    * in data.
+    *
+    * Scale: the rate table is one grouped count, |sources| rows,
+    * broadcast back; the filter itself is per-row column math.
+    */
+  def sourceMix(
+      docs: DataFrame, weight: Column, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w", weight)
+    val cap = counts.select(min(col("n_s").cast("double") / col("w")).as("t_cap"))
+    val rates = counts.crossJoin(broadcast(cap))
+      .select(col(sourceCol),
+        (col("w") * col("t_cap") / col("n_s").cast("double")).as("rate"))
+    docs.join(broadcast(rates), sourceCol)
+      .where(pmod(Dedup.hash60(col(idCol).cast("string")), lit(1000000L))
+        .cast("double") < col("rate") * lit(1000000.0))
+      .drop("rate")
+  }
+}

@@ -8,8 +8,8 @@ class CliSpec extends SparkSpec {
     assert(Registry.allStages("extractors") == Seq("binary", "csv", "parquet"))
     assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration",
       "decom", "decontaminate", "exact_dedup", "lang_filter", "near_dedup",
-      "perplexity_filter", "pii_redact", "quality_filter", "repetition_filter",
-      "simhash_dedup", "stratified_sample"))
+      "pack_sequences", "perplexity_filter", "pii_redact", "quality_filter",
+      "repetition_filter", "simhash_dedup", "source_mix", "stratified_sample"))
     assert(Registry.allStages("loaders") == Seq("csv", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
     assert(e.getMessage.contains("binary"))
@@ -76,6 +76,28 @@ class CliSpec extends SparkSpec {
     val loose = simhashDedup("""{"max_hamming": 8}""")
     assert(tight > 0 && tight <= n0)
     assert(loose <= tight, s"looser budget removed fewer docs: $loose > $tight")
+  }
+
+  test("pack_sequences and source_mix stages") {
+    import org.apache.spark.sql.functions._
+    val docs = Registry.getExtractor("parquet")(spark, Registry.parseConfig(
+      """{"path": "/root/testdata/sf0.001/documents.parquet"}"""))
+    val n0 = docs.count()
+    val packed = Registry.getTransformer("pack_sequences")(Registry.parseConfig(
+      """{"token_budget": 256}"""))(docs)
+    assert(packed.count() == n0) // annotation, not a filter
+    assert(packed.columns.contains("pack_id") && packed.columns.contains("text"))
+    // offsets always fit inside the budget; pack ids are dense per source
+    assert(packed.where(col("pack_offset") >= 256 || col("pack_offset") < 0).count() == 0)
+    val mixed = Registry.getTransformer("source_mix")(Registry.parseConfig(
+      """{"weights": {"src0": 3.0}, "default_weight": 1.0}"""))(docs)
+    val kept = mixed.count()
+    assert(kept > 0 && kept < n0, s"source_mix was a no-op ($kept of $n0)")
+    // src0 is triple-weighted: it must retain a larger fraction of its
+    // rows than the corpus-wide retention rate
+    val src0Frac = mixed.where(col("source") === "src0").count().toDouble /
+      docs.where(col("source") === "src0").count()
+    assert(src0Frac > kept.toDouble / n0)
   }
 
   test("document pipeline via registry stages (parquet -> dedup -> lang -> sample)") {
