@@ -26,7 +26,8 @@ object TelemetryStreaming {
     */
   def packetFileStream(
       spark: SparkSession, dir: String,
-      opts: graft.sources.CcsdsSource.Options = graft.sources.CcsdsSource.Options()): DataFrame = {
+      opts: graft.sources.CcsdsSource.Options = graft.sources.CcsdsSource.Options(),
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
     // streaming sources require an explicit schema; this is binaryFile's
@@ -35,9 +36,11 @@ object TelemetryStreaming {
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    spark.readStream
+    val reader = spark.readStream
       .format("binaryFile")
       .schema(binaryFileSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .load(dir)
       .select("content")
       .as[Array[Byte]]

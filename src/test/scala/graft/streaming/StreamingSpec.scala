@@ -82,6 +82,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("max-batches early stop processes exactly N micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_maxb")
+    // 3 files, 1 file per trigger -> 3 available batches; stop after 2
+    Fixtures.writeHkFile(dir.resolve("a.bin"), 10)
+    Fixtures.writeHkFile(dir.resolve("b.bin"), 10)
+    Fixtures.writeHkFile(dir.resolve("c.bin"), 10)
+    val packets = TelemetryStreaming.packetFileStream(
+      spark, dir.toString, CcsdsSource.Options(secHdrLength = 4),
+      maxFilesPerTrigger = Some(1))
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ran = StreamControl.runMaxBatches(
+      packets, maxBatches = 2,
+      writeBatch = (batch, _) => sizes.add(batch.count()))
+    // exactly 2 of the 3 one-file batches were written, 10 packets each
+    assert(ran == 2, s"expected 2 written batches, got $ran")
+    import scala.jdk.CollectionConverters._
+    assert(sizes.asScala.toSeq == Seq(10L, 10L), s"batch sizes: $sizes")
+  }
+
   test("stateful sequence-gap monitor counts gaps across batches") {
     // seqs 0,1,2,4,5 -> one gap (3 missing) for apid 0x100
     val packets = Seq((0x100, 0), (0x100, 1), (0x100, 2), (0x100, 4), (0x100, 5),
