@@ -82,6 +82,39 @@ class PlanChecksSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$plan")
   }
 
+  test("t15 pushes the apid predicate into the V2 byte walk") {
+    val plan = planOf("t15_v2_pushdown")
+    // CcsdsScan prints its pushed apids in description(); an empty
+    // pushdown would show 'pushed apids: *'
+    assert(plan.contains("pushed apids: 256"), s"apid not pushed:\n$plan")
+  }
+
+  test("q29 salted join stays an equi-join with no right-side blowup") {
+    val plan = planOf("q29_salted_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"salted join degraded to a product:\n$plan")
+    // the salt must be part of the join key, or the salted left side
+    // would multiply the right side saltFactor times
+    assert(plan.contains("_salt"), s"salt column missing from plan:\n$plan")
+  }
+
+  test("x15 mixture rates ship broadcast; the doc filter is row-local") {
+    val plan = planOf("x15_source_mix")
+    assert(plan.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("x14 sequence packing is one exchange per block column") {
+    val plan = planOf("x14_seq_pack")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // one hash exchange for the per-source window; the output sort's
+    // range exchange is the only other allowed shuffle
+    val hashShuffles = """Exchange hashpartitioning[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSet
+    assert(hashShuffles.size <= 1,
+      s"${hashShuffles.size} hash shuffles — packing should need one:\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the scan->agg path of q1") {
     val plan = planOf("q1_agg")
     // '*(n)' prefixes mark codegen stages in Spark 4 plan strings
