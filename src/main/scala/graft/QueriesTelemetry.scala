@@ -229,7 +229,10 @@ object QueriesTelemetry {
     * t9/t13 tiebreak rule).
     */
   private def t14SeqGaps(s: SparkSession, dir: String): DataFrame =
-    Telemetry.sequenceGapReport(synthPackets(s, dir))
+    // bucketed two-pass lag: with 2 APIDs the plain window has
+    // parallelism 2; 1000-second buckets give (apid x bucket)
+    // parallelism with identical output (boundary handover)
+    Telemetry.sequenceGapReport(synthPackets(s, dir), timeBucketSeconds = Some(1000.0))
       .orderBy("apid", "time_tai", "prev_seq", "seq_count")
 
   /** Full binary round-trip through the splittable V2 source WITH apid
@@ -334,7 +337,7 @@ object QueriesTelemetry {
          |  FROM lineitem
          |), lagged AS (
          |  SELECT apid, time_tai,
-         |    lag(seq_count) OVER (PARTITION BY apid ORDER BY time_tai) AS prev_seq,
+         |    lag(seq_count) OVER (PARTITION BY apid ORDER BY time_tai, seq_count) AS prev_seq,
          |    seq_count
          |  FROM pk
          |)

@@ -69,15 +69,47 @@ object Telemetry {
     * sequenceGapMonitor, same modular arithmetic. A REPEATED seq_count
     * is a retransmit/duplicate, not a near-full-cycle loss: it is
     * flagged `is_dup` with missing = 0 instead of the naive modular
-    * 16383. One window pass on the (apid, time) order every per-APID
-    * telemetry analysis shuffles on anyway.
+    * 16383. The (time, seq) order is total modulo fully-identical
+    * rows, so the lag pairing is deterministic.
+    *
+    * `timeBucketSeconds`: the scale path. A plain per-APID window has
+    * parallelism = |APIDs| — a spacecraft with 2 chatty APIDs leaves
+    * 998 of 1000 executors idle and builds two giant sort partitions.
+    * With a bucket width set, the lag runs per (apid, time-bucket) and
+    * bucket boundaries are stitched by handing each bucket's last
+    * seq_count to the next bucket's first row via a window over the
+    * one-row-per-bucket summary (metadata-scale, so its per-APID
+    * ordering is free). Output is row-identical to the plain pass.
     */
-  def sequenceGapReport(packets: DataFrame): DataFrame = {
+  def sequenceGapReport(
+      packets: DataFrame, timeBucketSeconds: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("apid").orderBy("source_time_tai")
-    packets
-      .select(col("apid"), col("seq_count"), col("source_time_tai"))
-      .withColumn("prev_seq", lag(col("seq_count"), 1).over(w))
+    val base = packets.select(col("apid"), col("seq_count"), col("source_time_tai"))
+    val paired = timeBucketSeconds match {
+      case None =>
+        val w = Window.partitionBy("apid").orderBy("source_time_tai", "seq_count")
+        base.withColumn("prev_seq", lag(col("seq_count"), 1).over(w))
+      case Some(b) =>
+        require(b > 0, "bucket width must be positive")
+        val bucketed = base.withColumn("bucket",
+          floor(col("source_time_tai") / b).cast("long"))
+        val w = Window.partitionBy("apid", "bucket")
+          .orderBy("source_time_tai", "seq_count")
+        val inBucket = bucketed
+          .withColumn("prev_seq", lag(col("seq_count"), 1).over(w))
+        // one row per non-empty (apid, bucket): its last seq in the
+        // total order, handed to the NEXT non-empty bucket's first row
+        val wb = Window.partitionBy("apid").orderBy("bucket")
+        val handover = bucketed.groupBy("apid", "bucket")
+          .agg(max_by(col("seq_count"),
+            struct(col("source_time_tai"), col("seq_count"))).as("last_seq"))
+          .withColumn("prev_last", lag(col("last_seq"), 1).over(wb))
+          .select(col("apid"), col("bucket"), col("prev_last"))
+        inBucket.join(handover, Seq("apid", "bucket"), "left")
+          .withColumn("prev_seq", coalesce(col("prev_seq"), col("prev_last")))
+          .drop("bucket", "prev_last")
+    }
+    paired
       .where(col("prev_seq").isNotNull)
       .withColumn("is_dup", col("seq_count") === col("prev_seq"))
       .withColumn("missing",

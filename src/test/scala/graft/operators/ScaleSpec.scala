@@ -31,6 +31,18 @@ class ScaleSpec extends SparkSpec {
     assert(hot.join(dim, "k").count() == 1000)
   }
 
+  test("bucketed seq-gap report equals the single-window pass row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val packets = graft.QueriesTelemetry.synthPackets(spark, dir)
+    val plain = Telemetry.sequenceGapReport(packets)
+    val bucketed = Telemetry.sequenceGapReport(packets, timeBucketSeconds = Some(500.0))
+    assert(plain.count() > 0, "gap report empty - the comparison would be vacuous")
+    // identical multisets: boundary handover must reproduce exactly the
+    // pairs the global window produces, including across empty buckets
+    assert(plain.exceptAll(bucketed).isEmpty && bucketed.exceptAll(plain).isEmpty,
+      "bucketed two-pass lag diverged from the plain window")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_bkt")
