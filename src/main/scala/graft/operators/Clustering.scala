@@ -102,6 +102,30 @@ object Clustering {
     }
   }
 
+  /** Persist an IVF index partitioned by cell: one directory per coarse
+    * cell holding (neighbor_id, normalized vector). At corpus scale
+    * this is what makes nprobe real I/O savings, not just fewer
+    * candidate rows — a probe reads nprobe/nCells of the FILES
+    * (Spark's partition pruning, asserted in ScaleSpec), so a 100 TB
+    * index serves a query from the few cells it touches.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, centroids: Seq[(Int, Array[Double])], dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(
+        col(idCol).as("neighbor_id"),
+        nearestCentroid(col(vecCol), centroids).as("cell"),
+        Similarity.normalized(col(vecCol)).as("c_vec"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+
+  /** Read only the probed cells of a persisted IVF index. The `isin`
+    * predicate on the partition column prunes at planning time — the
+    * scan never lists, opens or reads the other cells' files.
+    */
+  def readIvfCells(spark: SparkSession, dir: String, cells: Seq[Int]): DataFrame =
+    spark.read.parquet(dir)
+      .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+
   /** IVF (inverted-file) approximate top-k: index = corpus assigned to
     * its nearest of k coarse cells (after `iterations` Lloyd rounds);
     * each query probes its `nprobe` nearest cells and exact-ranks by

@@ -43,6 +43,25 @@ class ScaleSpec extends SparkSpec {
       "bucketed two-pass lag diverged from the plain window")
   }
 
+  test("persisted IVF index prunes unprobed cells at the file level") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val embs = graft.Tables(spark, dir, "embeddings")
+    val cents = Clustering.seedCentroids(embs, k = 8)
+    Clustering.writeIvfIndex(embs, cents, out)
+    // one directory per cell on disk
+    val cellDirs = new java.io.File(out).listFiles().count(_.getName.startsWith("cell="))
+    assert(cellDirs == 8, s"expected 8 cell partitions, found $cellDirs")
+    val probe = Clustering.readIvfCells(spark, out, Seq(1, 3))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"cell predicate not a partition filter:\n$plan")
+    // pruned read returns exactly the two cells' members
+    val full = spark.read.parquet(out)
+    assert(probe.count() == full.where(col("cell").isin(1, 3)).count())
+    assert(probe.select("cell").distinct().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_bkt")
