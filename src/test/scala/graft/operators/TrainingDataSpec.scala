@@ -199,6 +199,43 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Set(0L)) // doc 1 shares "a healthy varied document mentioning" with eval 10
   }
 
+  test("sequence packing invariants: offsets in budget, dense packs, full coverage") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 128L
+    val packed = Mixture.packSequences(docs, budget)
+    assert(packed.count() == docs.count()) // every doc placed exactly once
+    assert(packed.where(col("pack_offset") < 0 || col("pack_offset") >= budget).count() == 0)
+    // pack ids are dense 0..max per source: count(distinct) == max+1
+    val dense = packed.groupBy("source")
+      .agg(countDistinct("pack_id").as("n"), max("pack_id").as("mx"))
+      .where(col("n") =!= col("mx") + 1)
+    assert(dense.count() == 0, "pack ids have holes")
+    // total layout length is conserved: last pack start + content = sum of tokens
+    val bySource = packed.groupBy("source")
+      .agg(sum("n_toks").as("toks"), max(col("pack_id") * budget + col("pack_offset")).as("last_start"))
+      .where(col("last_start") >= col("toks"))
+    assert(bySource.count() == 0, "a doc starts at or past the end of the token stream")
+  }
+
+  test("source mix hits configured proportions and keeps the binding source whole") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    // weight 3 on src1, 1 elsewhere: src1 should end up ~3x any other
+    // source's share relative to their sizes
+    val weight = when(col("source") === "src1", 3.0).otherwise(1.0)
+    val mixed = Mixture.sourceMix(docs, weight)
+    val n = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding source = argmin(n_s / w_s); with near-equal sizes that is
+    // src1 (weight 3): it must keep every row
+    val binding = n.keys.minBy(s => n(s) / (if (s == "src1") 3.0 else 1.0))
+    assert(kept(binding) == n(binding), s"binding source $binding lost rows")
+    // deterministic: rerun keeps the identical documents
+    val again = Mixture.sourceMix(docs, weight).select("doc_id")
+    assert(mixed.select("doc_id").exceptAll(again).isEmpty)
+  }
+
   test("vector kernels reject non-float arrays at analysis time") {
     val df = Seq((1L, Array(1, 2, 3))).toDF("id", "v")
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
