@@ -239,6 +239,12 @@ object Registry {
     })
 
   val loaders: Map[String, Loader] = Map(
+    // write-side counterpart of the `binary` extractor: raw CCSDS
+    // packet files, one per partition
+    "ccsds" -> { (df, c) =>
+      graft.sinks.Sinks.writeCcsdsFiles(df,
+        str(c, "output_dir").getOrElse(sys.error("ccsds loader needs 'output_dir'")))
+    },
     "parquet" -> { (df, c) =>
       graft.sinks.Sinks.writeTidyParquet(df,
         str(c, "output_dir").getOrElse(sys.error("parquet loader needs 'output_dir'")),

@@ -34,8 +34,11 @@ object Mixture {
       docs: DataFrame, budget: Long, blockCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    val toks = size(TextAnalysis.wsTokens(TextAnalysis.normalize(col(textCol))))
-      .cast("long")
+    // null text = zero tokens (size(NULL) is NULL and would poison the
+    // running sum for every later doc in the block)
+    val toks = coalesce(
+      size(TextAnalysis.wsTokens(TextAnalysis.normalize(col(textCol)))).cast("long"),
+      lit(0L))
     val h = Dedup.hash60(col(idCol).cast("string"))
     val w = Window.partitionBy(col(blockCol)).orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -10,7 +10,7 @@ class CliSpec extends SparkSpec {
       "decom", "decontaminate", "exact_dedup", "lang_filter", "near_dedup",
       "pack_sequences", "perplexity_filter", "pii_redact", "quality_filter",
       "repetition_filter", "simhash_dedup", "source_mix", "stratified_sample"))
-    assert(Registry.allStages("loaders") == Seq("csv", "parquet"))
+    assert(Registry.allStages("loaders") == Seq("ccsds", "csv", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
     assert(e.getMessage.contains("binary"))
   }
@@ -54,6 +54,22 @@ class CliSpec extends SparkSpec {
     assert(opts.transformers.map(_._1) == Seq("decom", "apid_filter"))
     assert(opts.transformers.head._2.contains("parameters"))
     assert(opts.dryRun)
+  }
+
+  test("ccsds loader round-trips packets through the binary extractor") {
+    val dir = java.nio.file.Files.createTempDirectory("ccsds_rt_in")
+    val out = java.nio.file.Files.createTempDirectory("ccsds_rt_out").toString
+    Fixtures.writeHkFile(dir.resolve("hk.bin"), 25)
+    val extract = Registry.getExtractor("binary")
+    val packets = extract(spark, Registry.parseConfig(
+      s"""{"path": "${dir.toString}/hk.bin", "sec_hdr_length": 4}"""))
+    Registry.getLoader("ccsds")(packets, Registry.parseConfig(
+      s"""{"output_dir": "$out"}"""))
+    val back = extract(spark, Registry.parseConfig(
+      s"""{"path": "$out", "sec_hdr_length": 4}"""))
+    assert(back.count() == 25)
+    import org.apache.spark.sql.functions._
+    assert(back.select(sum(col("seq_count"))).head().getLong(0) == (0 until 25).sum)
   }
 
   test("near_dedup and simhash_dedup stages honor their tuning configs") {
