@@ -219,6 +219,14 @@ object QueriesTrainingData {
       .orderBy("source")
   }
 
+  /** Deterministic shard shuffle (Mixture.shuffleShards): 8 shards,
+    * position = hash rank within shard.
+    */
+  private def x16ShardShuffle(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.shuffleShards(docs(s, dir), nShards = 8)
+      .select("doc_id", "shard", "position")
+      .orderBy("shard", "position")
+
   // --- multimodal ------------------------------------------------------
 
   /** Media table synthesized from documents: payload = md5-hex bytes
@@ -253,6 +261,7 @@ object QueriesTrainingData {
     "x13_unigram_logprob" -> (x13UnigramLogprob(_, _)),
     "x14_seq_pack" -> (x14SeqPack(_, _)),
     "x15_source_mix" -> (x15SourceMix(_, _)),
+    "x16_shard_shuffle" -> (x16ShardShuffle(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -345,6 +354,15 @@ object QueriesTrainingData {
          |FROM documents d JOIN rates USING (source)
          |WHERE (${hash60("d.doc_id::VARCHAR")} % 1000000)::DOUBLE < rate * 1000000.0
          |GROUP BY source ORDER BY source""".stripMargin,
+    "x16_shard_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${hash60("doc_id::VARCHAR")} AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT)
+         |    AS position
+         |FROM h ORDER BY shard, position""".stripMargin,
     "x1_token_stats" ->
       s"""SELECT doc_id,
          |  len($rawToksSql) AS n_ws_tokens,

@@ -50,6 +50,29 @@ object Mixture {
         (col("cum_prev") % budget).as("pack_offset"))
   }
 
+  /** Deterministic corpus shuffle into training shards: shard =
+    * hash(id) mod nShards, position = rank of hash within the shard.
+    * The id->(shard, position) map is a pure function of the ids, so
+    * reruns, resumed jobs and other engines lay out the corpus
+    * identically — the reproducible stand-in for "shuffle the data
+    * before training", and the layout a sharded exporter writes
+    * (`partitionBy("shard")`, sort by position).
+    *
+    * Scale: one exchange on shard (the write needs it anyway); the
+    * rank is one window pass per shard, and shards are sized by
+    * nShards, a knob that grows with the corpus.
+    */
+  def shuffleShards(
+      docs: DataFrame, nShards: Int, idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    docs
+      .withColumn("h", Dedup.hash60(col(idCol).cast("string")))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("position", (row_number().over(w) - 1).cast("long"))
+      .drop("h")
+  }
+
   /** Source-weighted mixture sampling: down-sample each source so the
     * kept corpus approaches the relative `weight` per source while
     * retaining as much data as possible — the binding source (smallest
