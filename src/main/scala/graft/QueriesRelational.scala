@@ -251,7 +251,28 @@ object QueriesRelational {
       .orderBy("p_brand")
   }
 
+  /** Analytic window functions not covered by q7/q25: ntile,
+    * percent_rank, cume_dist, running first_value, lead. One window
+    * pass per status partition; the (price, orderkey) order is total
+    * so every rank is deterministic.
+    */
+  private def q30Analytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+      .orderBy("o_orderstatus", "price", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_analytics" -> (q30Analytics(_, _)),
     "q29_salted_join" -> (q29SaltedJoin(_, _)),
     "q19_approx" -> (q19Approx(_, _)),
     "q16_cube" -> (q16Cube(_, _)),
@@ -273,6 +294,19 @@ object QueriesRelational {
     "q15_union_distinct" -> (q15UnionDistinct(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q30_analytics" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, price, o_orderkey""".stripMargin,
     "q29_salted_join" ->
       """SELECT p_brand,
         |  round(sum(l_quantity), 2) AS sum_qty,
