@@ -25,7 +25,39 @@ object Cli {
     s
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
+  /** Global options preceding the command, like the reference's
+    * `mdp --log-level DEBUG --log-format json CMD` (cli/main.py:30-48).
+    * Logging is only reconfigured when a flag is present — a bare
+    * command keeps Spark's stock log4j2 setup.
+    */
+  case class GlobalOpts(
+      logLevel: String = "INFO", logFormat: String = "console",
+      logCaller: Boolean = false, configured: Boolean = false)
+
+  private[graft] def parseGlobalArgs(
+      args: List[String]): (GlobalOpts, List[String]) = {
+    def go(rest: List[String], acc: GlobalOpts): (GlobalOpts, List[String]) =
+      rest match {
+        case "--log-level" :: v :: t =>
+          go(t, acc.copy(logLevel = v, configured = true))
+        case "--log-format" :: v :: t =>
+          go(t, acc.copy(logFormat = v, configured = true))
+        case "--log-caller" :: t =>
+          go(t, acc.copy(logCaller = true, configured = true))
+        case _ => (acc, rest)
+      }
+    go(args, GlobalOpts())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (globals, rest) = parseGlobalArgs(args.toList)
+    if (globals.configured)
+      observability.Logging.configure(
+        globals.logLevel, globals.logFormat, globals.logCaller)
+    dispatch(rest)
+  }
+
+  private def dispatch(args: List[String]): Unit = args match {
     case "version" :: Nil =>
       println("mission-data-pipeline-spark 0.1.0")
 

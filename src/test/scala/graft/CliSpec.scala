@@ -44,6 +44,15 @@ class CliSpec extends SparkSpec {
     assert(back.select("unit").distinct().head().getString(0) == "degC")
   }
 
+  test("global log flags are stripped before the command and applied on demand") {
+    val (g, rest) = Cli.parseGlobalArgs(List(
+      "--log-level", "DEBUG", "--log-format", "json", "run", "--dry-run"))
+    assert(g.configured && g.logLevel == "DEBUG" && g.logFormat == "json")
+    assert(rest == List("run", "--dry-run"))
+    val (g2, rest2) = Cli.parseGlobalArgs(List("stages"))
+    assert(!g2.configured && rest2 == List("stages"))
+  }
+
   test("run-arg parser handles interleaved transformer configs") {
     val opts = Cli.parseRunArgs(List(
       "--extractor", "binary", "--extractor-config", """{"path": "x"}""",
