@@ -227,6 +227,13 @@ object QueriesTrainingData {
       .select("doc_id", "shard", "position")
       .orderBy("shard", "position")
 
+  /** Context-window chunking (Mixture.chunkDocuments): 64-token chunks
+    * with a 16-token overlap.
+    */
+  private def x17Chunking(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.chunkDocuments(docs(s, dir), chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
   // --- multimodal ------------------------------------------------------
 
   /** Media table synthesized from documents: payload = md5-hex bytes
@@ -262,6 +269,7 @@ object QueriesTrainingData {
     "x14_seq_pack" -> (x14SeqPack(_, _)),
     "x15_source_mix" -> (x15SourceMix(_, _)),
     "x16_shard_shuffle" -> (x16ShardShuffle(_, _)),
+    "x17_chunking" -> (x17Chunking(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -363,6 +371,18 @@ object QueriesTrainingData {
          |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT)
          |    AS position
          |FROM h ORDER BY shard, position""".stripMargin,
+    "x17_chunking" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), starts AS (
+         |  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS st
+         |  FROM toks WHERE len(t) > 0
+         |)
+         |SELECT doc_id,
+         |  CAST(st // 48 AS INT) AS chunk_id,
+         |  CAST(least(64, len(t) - st) AS INT) AS chunk_len,
+         |  array_to_string(t[st + 1 : st + 64], ' ') AS chunk_text
+         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
     "x1_token_stats" ->
       s"""SELECT doc_id,
          |  len($rawToksSql) AS n_ws_tokens,

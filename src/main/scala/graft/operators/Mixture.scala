@@ -50,6 +50,34 @@ object Mixture {
         (col("cum_prev") % budget).as("pack_offset"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * chunks of `chunkTokens`, consecutive chunks overlapping by
+    * `overlap` tokens — the preprocessing step that fits long
+    * documents into a model's context window without losing boundary
+    * context. Emits (id, chunk_id, chunk_len, chunk_text); token-less
+    * docs produce no chunks. Pure per-row explode — no shuffle at all;
+    * output size is input size x (1 + overlap/(chunk-overlap)).
+    */
+  def chunkDocuments(
+      docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    docs
+      .select(col(idCol),
+        TextAnalysis.wsTokens(TextAnalysis.normalize(col(textCol))).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(step))).as("start"))
+      .select(col(idCol),
+        (col("start") / step).cast("int").as("chunk_id"),
+        least(lit(chunkTokens), size(col("toks")) - col("start")).as("chunk_len"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Deterministic corpus shuffle into training shards: shard =
     * hash(id) mod nShards, position = rank of hash within the shard.
     * The id->(shard, position) map is a pure function of the ids, so
