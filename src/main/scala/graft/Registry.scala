@@ -139,6 +139,17 @@ object Registry {
         org.apache.spark.sql.functions.col(text)).getField("code")
         .isin(langs.map(x => x: Any): _*))
     },
+    "chunk_documents" -> { c => df =>
+      // split long docs into context-window chunks (Mixture
+      // .chunkDocuments); downstream stages see one row per chunk with
+      // the chunk text in text_column's place
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val chunk = int(c, "chunk_tokens").getOrElse(2048)
+      val overlap = int(c, "overlap_tokens").getOrElse(0)
+      operators.Mixture.chunkDocuments(df, chunk, overlap, id, text)
+        .withColumnRenamed("chunk_text", text)
+    },
     "pack_sequences" -> { c => df =>
       // annotate each doc with its (pack_id, pack_offset) in the
       // concat-then-chunk layout (Mixture.packSequences); docs keep

@@ -7,9 +7,10 @@ class CliSpec extends SparkSpec {
   test("registry resolves stages and errors helpfully on unknown names") {
     assert(Registry.allStages("extractors") == Seq("binary", "csv", "parquet"))
     assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration",
-      "decom", "decontaminate", "exact_dedup", "lang_filter", "near_dedup",
-      "pack_sequences", "perplexity_filter", "pii_redact", "quality_filter",
-      "repetition_filter", "simhash_dedup", "source_mix", "stratified_sample"))
+      "chunk_documents", "decom", "decontaminate", "exact_dedup", "lang_filter",
+      "near_dedup", "pack_sequences", "perplexity_filter", "pii_redact",
+      "quality_filter", "repetition_filter", "simhash_dedup", "source_mix",
+      "stratified_sample"))
     assert(Registry.allStages("loaders") == Seq("ccsds", "csv", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
     assert(e.getMessage.contains("binary"))
@@ -123,6 +124,19 @@ class CliSpec extends SparkSpec {
     val src0Frac = mixed.where(col("source") === "src0").count().toDouble /
       docs.where(col("source") === "src0").count()
     assert(src0Frac > kept.toDouble / n0)
+  }
+
+  test("chunk_documents stage emits overlapping context-window chunks") {
+    import org.apache.spark.sql.functions._
+    val docs = Registry.getExtractor("parquet")(spark, Registry.parseConfig(
+      """{"path": "/root/testdata/sf0.001/documents.parquet"}"""))
+    val chunked = Registry.getTransformer("chunk_documents")(Registry.parseConfig(
+      """{"chunk_tokens": 32, "overlap_tokens": 8}"""))(docs)
+    assert(chunked.count() > docs.count(), "long docs should split into chunks")
+    assert(chunked.columns.contains("text") && chunked.columns.contains("chunk_id"))
+    // no chunk exceeds the token budget
+    val over = chunked.where(size(split(col("text"), " ")) > 32).count()
+    assert(over == 0, s"$over chunks exceed the 32-token budget")
   }
 
   test("document pipeline via registry stages (parquet -> dedup -> lang -> sample)") {
