@@ -147,8 +147,10 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val chunk = int(c, "chunk_tokens").getOrElse(2048)
       val overlap = int(c, "overlap_tokens").getOrElse(0)
-      operators.Mixture.chunkDocuments(df, chunk, overlap, id, text)
+      val chunks = operators.Mixture.chunkDocuments(df, chunk, overlap, id, text)
         .withColumnRenamed("chunk_text", text)
+      // chunks inherit their parent doc's metadata (lang, source, ...)
+      df.drop(text).join(chunks, Seq(id))
     },
     "pack_sequences" -> { c => df =>
       // annotate each doc with its (pack_id, pack_offset) in the

@@ -134,6 +134,8 @@ class CliSpec extends SparkSpec {
       """{"chunk_tokens": 32, "overlap_tokens": 8}"""))(docs)
     assert(chunked.count() > docs.count(), "long docs should split into chunks")
     assert(chunked.columns.contains("text") && chunked.columns.contains("chunk_id"))
+    // chunks carry their parent doc's metadata for downstream stages
+    assert(chunked.columns.contains("lang") && chunked.columns.contains("source"))
     // no chunk exceeds the token budget
     val over = chunked.where(size(split(col("text"), " ")) > 32).count()
     assert(over == 0, s"$over chunks exceed the 32-token budget")
