@@ -236,6 +236,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(mixed.select("doc_id").exceptAll(again).isEmpty)
   }
 
+  test("chunking overlaps consecutive chunks by exactly the configured tokens") {
+    val doc = Seq((1L, (1 to 25).mkString(" "), "a")).toDF("doc_id", "text", "source")
+    val chunks = Mixture.chunkDocuments(doc, chunkTokens = 10, overlap = 3)
+      .orderBy("chunk_id").collect()
+    // step 7: starts 0,7,14,21 -> 4 chunks; last is the 4-token tail
+    assert(chunks.length == 4)
+    assert(chunks.map(_.getAs[Int]("chunk_len")).toSeq == Seq(10, 10, 10, 4))
+    val texts = chunks.map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    // chunk i's last `overlap` tokens == chunk i+1's first `overlap` tokens
+    texts.sliding(2).foreach { pair =>
+      val (a, b) = (pair(0), pair(1))
+      assert(a.takeRight(3) == b.take(3), s"overlap broken: $a | $b")
+    }
+    assert(texts.head.head == "1" && texts.last.last == "25")
+    // zero-overlap partitions the stream exactly
+    val flat = Mixture.chunkDocuments(doc, chunkTokens = 10, overlap = 0)
+      .orderBy("chunk_id").collect()
+      .flatMap(_.getAs[String]("chunk_text").split(" "))
+    assert(flat.toSeq == (1 to 25).map(_.toString))
+  }
+
   test("vector kernels reject non-float arrays at analysis time") {
     val df = Seq((1L, Array(1, 2, 3))).toDF("id", "v")
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
