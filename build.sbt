@@ -14,6 +14,13 @@ run / fork := true
 // Emit the forked program's stdout verbatim (no "[info] " prefix) so the
 // one-line JSON from Bench/Verify is machine-parseable from sbt output.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." banner after runMain: the bench
+// harness parses the LAST stdout line(s) for the Bench metric JSON,
+// and the banner displaced it in six consecutive recorded artifacts.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

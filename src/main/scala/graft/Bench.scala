@@ -20,7 +20,21 @@ import org.apache.spark.sql.SparkSession
   *     "shuffle" map (task-metrics listener), so pollution-vs-regression
   *     questions are answerable from the artifact alone;
   *   - the JSON line is also written to BENCH_LAST.json — truncated
-  *     stdout cannot lose the metric line.
+  *     stdout cannot lose the metric line;
+  *   - a COMPACT metric line (values rounded to 10ms, no shuffle map)
+  *     is printed as the very last stdout line after spark.stop(): the
+  *     harness that records the official artifact keeps only a short
+  *     stdout tail, and the full line (~6 KB at 85 queries) plus sbt's
+  *     success banner overflowed it six rounds in a row — the compact
+  *     line is sized to survive a 2000-char tail with the banner
+  *     suppressed (build.sbt `showSuccess := false`);
+  *   - the session cache is cleared between query FAMILIES (the name
+  *     prefix up to the first digit): round 5's official run showed
+  *     6-13x inflation on five broadcast-heavy queries that vanished
+  *     unchanged in round 6 — cached/broadcast state accumulated across
+  *     85 queries is the suspected channel, so each family starts from
+  *     a clean cache and a GC'd heap (GC also lets the ContextCleaner
+  *     reclaim stale broadcasts).
   */
 object Bench {
 
@@ -84,7 +98,17 @@ object Bench {
       }
     }
 
+    // family = query-name prefix up to the first digit ("d", "q", "st", ...)
+    def family(name: String): String = name.takeWhile(!_.isDigit)
+    var lastFamily: String = null
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (lastFamily != null && family(name) != lastFamily) {
+        try {
+          spark.catalog.clearCache()
+          System.gc() // lets ContextCleaner drop out-of-scope broadcasts
+        } catch { case _: Throwable => () }
+      }
+      lastFamily = family(name)
       val runs = Seq(once(name, fn), once(name, fn)).flatten
       // a query is an error ONLY if both runs failed; a transient
       // single-run failure still yields a valid min timing, so drop its
@@ -125,5 +149,19 @@ object Bench {
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()
+    // The compact line is deliberately LAST — after spark.stop(), so no
+    // shutdown logging can follow it. Per-query values at 10ms
+    // resolution keep it under a 2000-char stdout tail even with ~90
+    // queries; full-precision values live in the line above and in
+    // BENCH_LAST.json.
+    def r2(v: Double): String = f"$v%.2f".reverse.dropWhile(_ == '0')
+      .dropWhile(_ == '.').reverse match { case "" => "0"; case s => s }
+    val qsCompact = results
+      .map { case (k, (v, _, _, _)) => s""""$k":${if (v < 0) "-1" else r2(v)}""" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""runs_per_query":2,"errors":$errJson,"queries":$qsCompact}""")
+    System.out.flush()
   }
 }

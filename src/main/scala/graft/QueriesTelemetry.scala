@@ -244,8 +244,12 @@ object QueriesTelemetry {
     * RESULT of the pushed scan is oracle-checked too.
     */
   private def t15V2Pushdown(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_t15").toString
-    graft.sinks.Sinks.writeCcsdsFiles(synthPackets(s, dir), tmp)
+    // written once per (testdata, JVM) and removed at JVM exit: repeat
+    // invocations (Verify + both bench runs) time the READ path, and
+    // /tmp no longer accumulates one packet dump per invocation
+    val tmp = TempDirs.cached(s"t15:$dir") { d =>
+      graft.sinks.Sinks.writeCcsdsFiles(synthPackets(s, dir), d)
+    }
     s.read.format("ccsds").option("path", tmp).load()
       .where(col("apid") === 0x100)
       .select(col("apid"), col("seq_count"),

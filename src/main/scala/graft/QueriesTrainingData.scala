@@ -151,6 +151,18 @@ object QueriesTrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** s2 with query-side multi-probe: every bucket at hamming distance 1
+    * is also visited (planesPerTable extra probes per table per query),
+    * recovering neighbors that fell just across one hyperplane. The
+    * corpus index is untouched — the scale-relevant property.
+    */
+  private def s4AnnLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 20), k = 5,
+        planesPerTable = 4, numTables = 8, multiProbe = true)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label embedding centroids: elementwise mean vector, reported
     * as (label, n, centroid norm) — the vector-aggregation shape that
     * clustering/IVF coarse quantizers need at scale (explode + grouped
@@ -280,6 +292,7 @@ object QueriesTrainingData {
     "d7_embed_dup" -> (d7EmbedDup(_, _)),
     "s1_cosine_topk" -> (s1CosineTopK(_, _)),
     "s2_ann_lsh" -> (s2AnnLsh(_, _)),
+    "s4_ann_lsh_multiprobe" -> (s4AnnLshMultiprobe(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -588,6 +601,31 @@ object QueriesTrainingData {
          |  FROM lshbuckets q JOIN lshbuckets c
          |    ON q.tbl = c.tbl AND q.bucket = c.bucket
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |), scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM cands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s4_ann_lsh_multiprobe" ->
+      s"""WITH $normVecCte,
+         |${OracleFragments.lshBucketsCte(planesPerTable = 4, numTables = 8, dims = 64)},
+         |qpro AS (
+         |  SELECT vec_id, tbl,
+         |    unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
+         |            xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT)]) AS bucket
+         |  FROM lshbuckets WHERE vec_id < 20
+         |), cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM qpro q JOIN lshbuckets c
+         |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id <> c.vec_id
          |), scored AS (
          |  SELECT cand.query_id, cand.neighbor_id,
          |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim

@@ -126,19 +126,69 @@ object Clustering {
     spark.read.parquet(dir)
       .where(col("cell").isin(cells.map(Integer.valueOf): _*))
 
+  /** Train the coarse quantizer: deterministic seeds + `iterations`
+    * Lloyd rounds. Centroids are k x dims — driver-sized at any corpus
+    * scale (each round is one distributed assignment + one grouped-mean
+    * pass).
+    */
+  def trainCentroids(
+      corpus: DataFrame, nCells: Int, iterations: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Array[Double])] = {
+    var cents = seedCentroids(corpus, nCells, idCol, vecCol)
+    (0 until iterations).foreach { _ =>
+      cents = lloydStep(assign(corpus, cents, vecCol), cents, vecCol)
+    }
+    cents
+  }
+
+  /** Query a PERSISTED IVF index (written by [[writeIvfIndex]]): each
+    * query probes its `nprobe` nearest cells and exact-ranks by cosine
+    * within them. The union of probed cells becomes a literal `isin`
+    * predicate on the partition column, so the scan reads only the
+    * probed cells' FILES (planning-time partition pruning) — the whole
+    * point of persisting the index. The probed-cell collect is
+    * O(|queries| x nprobe) driver-side: the query set is the broadcast-
+    * small side by contract (same bound as the centroids themselves).
+    */
+  def ivfTopKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probeCells = {
+      val scored = centroids.map { case (cid, c) =>
+        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
+      }
+      slice(array_sort(array(scored: _*)), 1, nprobe)
+    }
+    val probes = queries.select(
+        col(idCol).as("query_id"),
+        Similarity.normalized(col(vecCol)).as("q_vec"),
+        explode(probeCells).as("pc"))
+      .select(col("query_id"), col("q_vec"), col("pc.cid").as("cell"))
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    val scored = readIvfCells(spark, indexDir, cells)
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) approximate top-k: index = corpus assigned to
     * its nearest of k coarse cells (after `iterations` Lloyd rounds);
     * each query probes its `nprobe` nearest cells and exact-ranks by
-    * cosine only within them.
+    * cosine only within them. In-plan variant (no persisted index) —
+    * the write-once-read-probed path is [[writeIvfIndex]] +
+    * [[ivfTopKFromIndex]].
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nprobe: Int, iterations: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var cents = seedCentroids(corpus, nCells, idCol, vecCol)
-    (0 until iterations).foreach { _ =>
-      cents = lloydStep(assign(corpus, cents, vecCol), cents, vecCol)
-    }
+    val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol)
     val cell = nearestCentroid(col(vecCol), cents)
     val indexed = corpus.select(
       col(idCol).as("neighbor_id"), cell.as("cell"),

@@ -31,20 +31,26 @@ object Decom {
   def apply(packets: DataFrame, defs: Seq[ParameterDef],
             skipUnknownApids: Boolean = true): DataFrame = {
     val spark = packets.sparkSession
-    if (!skipUnknownApids) {
-      val known = defs.map(_.apid).distinct
-      val unknown = packets.select("apid").distinct()
-        .where(!col("apid").isin(known: _*)).limit(1).collect()
-      if (unknown.nonEmpty) {
-        throw new NoSuchElementException(
-          f"No parameter definitions for APID 0x${unknown.head.getInt(0)}%04X")
+    // Strict mode rejects packets whose APID has no definitions
+    // (decom.py:74-77). The check is IN-PLAN (raise_error inside the
+    // apid projection, which the join consumes so it cannot be pruned):
+    // building the pipeline stays zero Spark jobs, and the error
+    // surfaces at the pipeline's single sink action instead of an
+    // eager distinct+collect job per construction.
+    val checked =
+      if (skipUnknownApids) packets
+      else {
+        val known = defs.map(_.apid).distinct
+        packets.withColumn("apid",
+          when(col("apid").isin(known: _*), col("apid"))
+            .otherwise(raise_error(format_string(
+              "No parameter definitions for APID 0x%04X", col("apid")))))
       }
-    }
     val mib = broadcast(defsDf(spark, defs)
       .withColumnRenamed("name", "param_name")
       .withColumnRenamed("unit", "param_unit"))
 
-    val joined = packets.join(mib, "apid") // inner join = skip unknown APIDs
+    val joined = checked.join(mib, "apid") // inner join = skip unknown APIDs
     val rawNum = BinaryExpressions.readBinaryNumber(
       col("user_data"), col("byte_offset"), col("bit_length"),
       col("param_type"), col("little_endian"))

@@ -119,9 +119,18 @@ object Mixture {
   def sourceMix(
       docs: DataFrame, weight: Column, sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
+    // weight must be strictly positive: a zero/negative/null weight
+    // would make t_cap (min n_s/w) NaN or infinite and silently drop
+    // EVERY row of EVERY source. Guarded in-plan (the rate table is
+    // |sources| rows, so the check costs nothing) — fails the action
+    // with a named error instead of returning an empty corpus.
+    val guardedW = when(weight > 0.0, weight).otherwise(
+      raise_error(format_string(
+        "sourceMix: weight must be > 0 for source %s, got %s",
+        col(sourceCol), coalesce(weight.cast("string"), lit("null")))))
     val counts = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_s"))
-      .withColumn("w", weight)
+      .withColumn("w", guardedW)
     val cap = counts.select(min(col("n_s").cast("double") / col("w")).as("t_cap"))
     val rates = counts.crossJoin(broadcast(cap))
       .select(col(sourceCol),

@@ -122,6 +122,12 @@ object Telemetry {
 
   /** `mdp inspect` projection (cli/main.py:117-133): per-packet summary
     * with hex APID, capped at maxPackets.
+    *
+    * Divergence (documented in COVERAGE.md §2.6): the reference caps in
+    * arrival order, which a distributed splittable scan cannot
+    * reproduce deterministically; the cap here selects in (apid,
+    * seq_count) order — identical rows whenever the data fits the cap,
+    * a stable selection when it doesn't.
     */
   def inspect(packets: DataFrame, maxPackets: Int = 50): DataFrame =
     packets

@@ -52,6 +52,17 @@ object Sinks {
     * on a real cluster.
     */
   def writeCcsdsFiles(packets: DataFrame, dir: String): Unit = {
+    // Overwrite semantics: clear the target before writing. Without
+    // this, re-running with FEWER partitions leaves stale higher-
+    // numbered part-*.bin files from the previous run in place, and the
+    // extractor silently reads them back into the round-trip.
+    locally {
+      val target = new Path(dir)
+      val fs = target.getFileSystem(
+        packets.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.mkdirs(target)
+    }
     val bytes = packets.select(concat(
       CcsdsColumns.packHeader(col("version"), col("type_flag"),
         col("sec_hdr_flag"), col("apid"), col("seq_flags"),

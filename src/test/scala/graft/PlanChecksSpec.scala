@@ -60,6 +60,15 @@ class PlanChecksSpec extends SparkSpec {
       "kernel expression missing from plan")
   }
 
+  test("s3 IVF gate probes the persisted index with partition pruning") {
+    val plan = planOf("s3_ann_ivf")
+    // the probe scan must read only the probed cells' directories: a
+    // partition filter on the index's cell column, visible in the scan
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"cell not in partition filters:\n$plan")
+  }
+
   test("d6 simhash candidates join on bit segments, not the block alone") {
     val plan = planOf("d6_simhash_pairs")
     // the candidate equi-join must carry the segment value in its keys:

@@ -236,6 +236,17 @@ class TrainingDataSpec extends SparkSpec {
     assert(mixed.select("doc_id").exceptAll(again).isEmpty)
   }
 
+  test("source mix rejects non-positive weights instead of dropping all rows") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    // weight 0 on src1 would make t_cap = 0 and silently empty the
+    // corpus; the in-plan guard must fail the action with a named error
+    val zeroW = when(col("source") === "src1", 0.0).otherwise(1.0)
+    val e = intercept[Throwable] { Mixture.sourceMix(docs, zeroW).count() }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("weight must be > 0")), msgs(e).mkString(" | "))
+  }
+
   test("chunking overlaps consecutive chunks by exactly the configured tokens") {
     val doc = Seq((1L, (1 to 25).mkString(" "), "a")).toDF("doc_id", "text", "source")
     val chunks = Mixture.chunkDocuments(doc, chunkTokens = 10, overlap = 3)

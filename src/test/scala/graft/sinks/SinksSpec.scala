@@ -49,4 +49,22 @@ class SinksSpec extends SparkSpec {
     assert(csv.count() == 80)
     assert(csv.columns.contains("eng_value"))
   }
+
+  test("ccsds binary sink overwrites: fewer partitions leave no stale files") {
+    val packets = CcsdsSource.packetsFromBytes(
+      spark, Seq(Fixtures.hkStream(20)), CcsdsSource.Options(secHdrLength = 4))
+    val dir = java.nio.file.Files.createTempDirectory("sink_ccsds").toString
+    Sinks.writeCcsdsFiles(packets.repartition(4), dir)
+    val firstFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".bin"))
+    assert(firstFiles > 2, s"expected >2 files from 4 partitions, got $firstFiles")
+    // rewrite with FEWER partitions: the higher-numbered part files of
+    // the first write must be gone, and the round-trip reads exactly
+    // the second write's packets (not theirs + stale ones)
+    Sinks.writeCcsdsFiles(packets.repartition(2), dir)
+    val secondFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".bin"))
+    assert(secondFiles <= 2, s"stale part files survived the rewrite: $secondFiles")
+    val back = spark.read.format("ccsds").option("path", dir)
+      .option("sec_hdr_length", "4").load()
+    assert(back.count() == 20, "round-trip count changed after rewrite")
+  }
 }

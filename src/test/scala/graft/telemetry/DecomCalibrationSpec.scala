@@ -66,9 +66,14 @@ class DecomCalibrationSpec extends SparkSpec {
     val packets = CcsdsSource.packetsFromBytes(spark, Seq(pkt))
     val defs = Seq(ParameterDef("x", 0x42, 0, 16, ParameterType.UINT))
     assert(Decom(packets, defs).count() == 0)
-    intercept[NoSuchElementException] {
-      Decom(packets, defs, skipUnknownApids = false)
-    }
+    // strict mode is lazy: construction runs no job and must not throw;
+    // the in-plan raise_error fires at the first action
+    val strict = Decom(packets, defs, skipUnknownApids = false)
+    val e = intercept[Throwable] { strict.collect() }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("No parameter definitions for APID 0x0199")),
+      msgs(e).mkString(" | "))
   }
 
   test("sample time falls back to seq_count when no source time") {
