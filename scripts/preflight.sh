@@ -47,6 +47,29 @@ if errs:
 print(f"bench total: {b['value']} {b['unit']} over {len(b.get('queries', {}))} queries")
 EOF
 
+# Per-query regression report vs the frozen baseline (informational:
+# totals swing with session noise, so this prints rather than fails —
+# a >2x regression on a top query deserves a ProfQuery isolation run
+# before shipping, see SCALE.md "Bench-variance class")
+python3 - "$OUT/bench.json" <<'EOF'
+import json, sys
+try:
+    base = json.load(open("BASELINE_QUERIES.json"))["queries"]
+except FileNotFoundError:
+    sys.exit(0)
+cur = json.load(open(sys.argv[1])).get("queries", {})
+regs = sorted(((k, v, base[k], v / base[k]) for k, v in cur.items()
+               if k in base and base[k] > 0 and v > 0),
+              key=lambda t: -t[3])[:5]
+print("top-5 vs frozen baseline (query, now, baseline, ratio):")
+for k, v, b, r in regs:
+    flag = "  <-- check with ProfQuery" if r > 2.0 and v > 1.0 else ""
+    print(f"  {k}: {v:.2f}s vs {b:.2f}s = {r:.2f}x{flag}")
+new = sorted(k for k in cur if k not in base)
+if new:
+    print(f"  (no baseline yet: {', '.join(new)})")
+EOF
+
 echo "== preflight: clean tree check =="
 # BENCH_LAST.json is rewritten by the bench run itself - commit it with
 # the preflight result, but don't let it fail the check
