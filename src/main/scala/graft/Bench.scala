@@ -154,14 +154,24 @@ object Bench {
     // resolution keep it under a 2000-char stdout tail even with ~90
     // queries; full-precision values live in the line above and in
     // BENCH_LAST.json.
-    def r2(v: Double): String = f"$v%.2f".reverse.dropWhile(_ == '0')
-      .dropWhile(_ == '.').reverse match { case "" => "0"; case s => s }
-    val qsCompact = results
-      .map { case (k, (v, _, _, _)) => s""""$k":${if (v < 0) "-1" else r2(v)}""" }
-      .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""runs_per_query":2,"errors":$errJson,"queries":$qsCompact}""")
+    def trim(v: Double, dp: Int): String =
+      s"%.${dp}f".format(v).reverse.dropWhile(_ == '0')
+        .dropWhile(_ == '.').reverse match { case "" => "0"; case s => s }
+    def compactLine(dp: Int): String = {
+      val qs = results
+        .map { case (k, (v, _, _, _)) => s""""$k":${if (v < 0) "-1" else trim(v, dp)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfDir",""" +
+        s""""runs_per_query":2,"errors":$errJson,"queries":$qs}"""
+    }
+    // degrade per-query precision (10ms -> 100ms) if the registry has
+    // grown the line past what a 2000-char stdout tail can hold; the
+    // full-precision values are in the long line above and BENCH_LAST
+    val compact = Seq(2, 1).map(compactLine).find(_.length <= 1990)
+      .getOrElse(
+        s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfDir",""" +
+          s""""n_queries":${results.size},"errors":$errJson,"queries_file":"BENCH_LAST.json"}""")
+    println(compact)
     System.out.flush()
   }
 }

@@ -246,6 +246,58 @@ object QueriesTrainingData {
     operators.Mixture.chunkDocuments(docs(s, dir), chunkTokens = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id")
 
+  // --- url canonicalization / web-corpus dedup -------------------------
+
+  /** URL table synthesized from documents (the raw corpus has no url
+    * column — same synthesize-from-documents pattern as the PII and
+    * media tables, so the oracle recomputes the identical input): four
+    * spelling variants of one logical page per (source, doc_id/4)
+    * group — scheme case, www prefix, tracking query, fragment — which
+    * canonicalization must fold together.
+    */
+  private def urlDf(s: SparkSession, dir: String): DataFrame = {
+    // page key: 4 consecutive doc_ids = 4 spellings of ONE page;
+    // site key: 5 consecutive pages = one registrable domain
+    val g = floor(col("doc_id") / 4).cast("long")
+    val gd = floor(col("doc_id") / 20).cast("long")
+    val variant = (col("doc_id") % 4 + 1).cast("int")
+    val prefix = element_at(array(
+      lit("https://www."), lit("HTTP://"), lit("https://"), lit("https://www.")), variant)
+    val suffix = element_at(array(
+      lit(""), lit(""), lit("?utm_source=feed"), lit("/#sec1")), variant)
+    val tld = element_at(array(lit(".com"), lit(".org"), lit(".net")),
+      (gd % 3 + 1).cast("int"))
+    val host = concat(lit("m"), (g % 7).cast("string"), lit("."),
+      substring(md5(gd.cast("string").cast("binary")), 1, 6), tld)
+    docs(s, dir).select(col("doc_id"),
+      concat(prefix, host, lit("/p"), g.cast("string"), suffix).as("url"))
+  }
+
+  /** Exact URL-level dedup after canonicalization (min-id survivor per
+    * page) — the d1 shape keyed on the canonical url instead of the
+    * content hash. Map-only canonicalization, ONE groupBy shuffle.
+    */
+  private def u1UrlDedup(s: SparkSession, dir: String): DataFrame =
+    urlDf(s, dir)
+      .select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_url")
+
+  /** Per-registrable-domain corpus stats (fetch count vs distinct
+    * pages) — the blocking/quota table a crawl-scale pipeline keys
+    * politeness and per-domain caps on.
+    */
+  private def u2DomainStats(s: SparkSession, dir: String): DataFrame =
+    urlDf(s, dir)
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("canonical_url"))
+      .select(TextAnalysis.registrableDomain(col("canonical_url")).as("domain"),
+        col("canonical_url"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canonical_url")).as("n_pages"))
+      .orderBy("domain")
+
   // --- multimodal ------------------------------------------------------
 
   /** Media table synthesized from documents: payload = md5-hex bytes
@@ -293,6 +345,8 @@ object QueriesTrainingData {
     "s1_cosine_topk" -> (s1CosineTopK(_, _)),
     "s2_ann_lsh" -> (s2AnnLsh(_, _)),
     "s4_ann_lsh_multiprobe" -> (s4AnnLshMultiprobe(_, _)),
+    "u1_url_dedup" -> (u1UrlDedup(_, _)),
+    "u2_domain_stats" -> (u2DomainStats(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -342,6 +396,29 @@ object QueriesTrainingData {
 
   /** Shared CTE text for unit-normalized embedding vectors. */
   private def normVecCte: String = OracleFragments.normVecCte
+
+  /** Shared CTE text for the synthesized URL table + canonical form
+    * (mirrors [[urlDf]] + [[TextAnalysis.canonicalizeUrl]] exactly;
+    * every regex is valid in both Java regex and RE2).
+    */
+  private def urlCanonCte: String =
+    s"""u AS (
+       |  SELECT doc_id,
+       |    (CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'HTTP://'
+       |     WHEN 2 THEN 'https://' ELSE 'https://www.' END) ||
+       |    'm' || ((doc_id // 4) % 7) || '.' || substr(md5((doc_id // 20)::VARCHAR), 1, 6) ||
+       |    (CASE (doc_id // 20) % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END) ||
+       |    '/p' || (doc_id // 4) ||
+       |    (CASE doc_id % 4 WHEN 2 THEN '?utm_source=feed' WHEN 3 THEN '/#sec1' ELSE '' END)
+       |    AS url
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      lower(url), '#.*$$', ''), '\\?.*$$', ''), '^https?://', ''), '^www\\.', ''),
+       |      '/$$', '') AS canonical_url
+       |  FROM u
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x14_seq_pack" ->
@@ -613,6 +690,18 @@ object QueriesTrainingData {
          |    AS rank
          |  FROM scored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "u1_url_dedup" ->
+      s"""WITH $urlCanonCte
+         |SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS n_docs
+         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    "u2_domain_stats" ->
+      s"""WITH $urlCanonCte
+         |SELECT
+         |  regexp_extract(regexp_replace(canonical_url, '/.*$$', ''),
+         |    '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain,
+         |  count(*) AS n_urls,
+         |  count(DISTINCT canonical_url) AS n_pages
+         |FROM c GROUP BY domain ORDER BY domain""".stripMargin,
     "s4_ann_lsh_multiprobe" ->
       s"""WITH $normVecCte,
          |${OracleFragments.lshBucketsCte(planesPerTable = 4, numTables = 8, dims = 64)},

@@ -194,4 +194,34 @@ object TextAnalysis {
         regexp_replace(text, emailRe, "<EMAIL>"),
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
+
+  /** URL canonicalization for web-corpus dedup (the CommonCrawl-style
+    * "same page fetched under many spellings" problem): lowercase,
+    * strip the fragment, the query string, the scheme, a leading
+    * "www.", and a trailing slash. A pure regexp_replace chain — fully
+    * codegen'd, map-only, and every pattern is valid under both Java
+    * regex and RE2 (no lookaround) so the oracle replays it exactly.
+    * Order matters and is fixed: fragment before query before scheme,
+    * because each strip exposes the next anchor.
+    */
+  def canonicalizeUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "#.*$", ""),
+            "\\?.*$", ""),
+          "^https?://", ""),
+        "^www\\.", ""),
+      "/$", "")
+
+  /** Registrable-domain approximation from a CANONICAL url: the last
+    * two dot-separated labels of the host (the part before the first
+    * slash). A heuristic, not a public-suffix-list lookup — documented
+    * as such; good enough for per-domain corpus stats and blocking.
+    */
+  def registrableDomain(canonicalUrl: Column): Column =
+    regexp_extract(
+      regexp_replace(canonicalUrl, "/.*$", ""),
+      "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
 }

@@ -236,6 +236,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(mixed.select("doc_id").exceptAll(again).isEmpty)
   }
 
+  test("url canonicalization folds spelling variants and is idempotent") {
+    val urls = Seq(
+      "https://www.M3.Example.COM/p7?utm_source=feed",
+      "HTTP://m3.example.com/p7",
+      "https://m3.example.com/p7/#section-2",
+      "m3.example.com/p7",          // already canonical
+      "https://example.com",        // bare host, no path
+      "https://www.example.com/").toDF("url")
+    val canon = urls.select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(canon.take(4).distinct == Seq("m3.example.com/p7"))
+    assert(canon(4) == "example.com" && canon(5) == "example.com")
+    // idempotent: canonicalizing a canonical url is identity
+    val twice = urls.select(TextAnalysis.canonicalizeUrl(
+      TextAnalysis.canonicalizeUrl(col("url"))).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == canon)
+    // registrable domain = last two host labels, path ignored
+    val dom = urls.limit(1).select(TextAnalysis.registrableDomain(
+      TextAnalysis.canonicalizeUrl(col("url"))).as("d")).head().getString(0)
+    assert(dom == "example.com")
+  }
+
   test("source mix rejects non-positive weights instead of dropping all rows") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     // weight 0 on src1 would make t_cap = 0 and silently empty the
