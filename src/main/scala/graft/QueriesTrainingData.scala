@@ -246,6 +246,31 @@ object QueriesTrainingData {
     operators.Mixture.chunkDocuments(docs(s, dir), chunkTokens = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id")
 
+  // --- jsonl ingestion -------------------------------------------------
+
+  /** JSONL round-trip ingestion gate: the documents table serialized to
+    * newline-delimited JSON once per (testdata, JVM), read back through
+    * [[graft.sources.JsonlSource]] with a PINNED schema (no inference
+    * pass — at corpus scale inference is a second full scan), then a
+    * per-language profile. The oracle recomputes from the parquet
+    * documents directly, so any text mangling in the JSON escape /
+    * unescape round-trip (or a corrupt-row leak) breaks the hash match.
+    */
+  private def j1JsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val path = TempDirs.cached(s"jsonl:$dir") { d =>
+      graft.sources.JsonlSource.write(
+        docs(s, dir).select("doc_id", "text", "lang", "source"), d)
+    }
+    val read = graft.sources.JsonlSource.read(s, path)
+    read
+      .where(col("_corrupt").isNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("lang")
+  }
+
   // --- url canonicalization / web-corpus dedup -------------------------
 
   /** URL table synthesized from documents (the raw corpus has no url
@@ -347,6 +372,7 @@ object QueriesTrainingData {
     "s4_ann_lsh_multiprobe" -> (s4AnnLshMultiprobe(_, _)),
     "u1_url_dedup" -> (u1UrlDedup(_, _)),
     "u2_domain_stats" -> (u2DomainStats(_, _)),
+    "j1_jsonl_ingest" -> (j1JsonlIngest(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -690,6 +716,11 @@ object QueriesTrainingData {
          |    AS rank
          |  FROM scored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "j1_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "u1_url_dedup" ->
       s"""WITH $urlCanonCte
          |SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS n_docs

@@ -158,4 +158,33 @@ class ExtendedOpsSpec extends SparkSpec {
       graft.functions.VectorExpressions.lshBuckets($"clamped", 4, 2).as("b2")).head()
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
+
+  test("SQL queries are safe under concurrent invocation on one session") {
+    // q21/q22 bind temp views; before round 7 they mutated fixed names
+    // (orders/lineitem/events) in shared session state, so two
+    // concurrent invocations could rebind each other's relations
+    // mid-analysis. Now each invocation binds unique names: racing
+    // repeated constructions+executions must yield the sequential
+    // results every time.
+    val dir = "/root/testdata/sf0.001"
+    def run(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+    val expected = Map(
+      "q21_subqueries" -> run("q21_subqueries"),
+      "q22_grouping_sets" -> run("q22_grouping_sets"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 4).flatMap { _ =>
+      expected.keys.map(n => Future(n -> run(n)))
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    results.foreach { case (n, got) =>
+      assert(got == expected(n), s"$n diverged under concurrency")
+    }
+    // and no fixed-name view leaked into the catalog
+    val leaked = spark.catalog.listTables().collect().map(_.name)
+      .filter(Set("orders", "lineitem", "events"))
+    assert(leaked.isEmpty, s"fixed-name views leaked: ${leaked.mkString(",")}")
+  }
 }

@@ -236,6 +236,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(mixed.select("doc_id").exceptAll(again).isEmpty)
   }
 
+  test("jsonl source: pinned schema, corrupt lines isolated not fatal") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val w = new java.io.PrintWriter(new java.io.File(dir, "part-0.json"))
+    w.println("""{"doc_id": 1, "text": "hello\nworld", "lang": "en", "source": "s"}""")
+    w.println("""{"doc_id": 2, "text": "truncated""") // malformed line
+    w.println("""{"doc_id": 3, "text": "drei", "lang": "de", "source": "s"}""")
+    w.close()
+    // reference all columns (Spark disallows projecting ONLY the
+    // corrupt column from a raw JSON scan)
+    val rows = graft.sources.JsonlSource.read(spark, dir).collect()
+    val ci = rows.head.fieldIndex("_corrupt")
+    assert(rows.count(r => !r.isNullAt(ci)) == 1) // isolated, not fatal
+    val clean = rows.filter(_.isNullAt(ci)).sortBy(_.getLong(0))
+    assert(clean.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(clean(0).getString(1) == "hello\nworld") // escape round-trips newline
+  }
+
   test("url canonicalization folds spelling variants and is idempotent") {
     val urls = Seq(
       "https://www.M3.Example.COM/p7?utm_source=feed",
