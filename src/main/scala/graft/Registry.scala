@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Calibration, Decom, Telemetry}
-import graft.sources.{CcsdsSource, CsvTelemetrySource}
+import graft.sources.{CcsdsSource, CsvTelemetrySource, JsonlSource}
 import graft.telemetry.{CalibrationEntry, ParameterDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -66,6 +66,16 @@ object Registry {
           parameterColumns = (c \ "parameter_columns").extractOpt[Seq[String]].filter(_.nonEmpty),
           delimiter = str(c, "delimiter").getOrElse(","),
           sourceId = str(c, "source_id")))
+    },
+    // newline-delimited JSON documents (pinned schema, corrupt lines
+    // dropped — their count is an observable data-quality metric, not
+    // a job failure)
+    "jsonl" -> { (spark, c) =>
+      import org.apache.spark.sql.functions.col
+      JsonlSource.read(spark,
+          str(c, "path").getOrElse(sys.error("jsonl extractor needs 'path'")))
+        .where(col("_corrupt").isNull)
+        .drop("_corrupt")
     })
 
   val transformers: Map[String, Transformer] = Map(
@@ -88,6 +98,19 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val survivors = operators.Dedup.exactGroups(df, id, text)
         .select(org.apache.spark.sql.functions.col("survivor_id").as(id))
+      df.join(survivors, Seq(id), "left_semi")
+    },
+    "url_dedup" -> { c => df =>
+      // keep one row per canonical URL (min id survivor): the
+      // CommonCrawl-style fetch-level dedup that runs BEFORE any
+      // content hashing — map-only canonicalization, one groupBy
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val url = str(c, "url_column").getOrElse("url")
+      val survivors = df
+        .groupBy(operators.TextAnalysis.canonicalizeUrl(col(url)).as("_canon"))
+        .agg(min(col(id)).as(id))
+        .drop("_canon")
       df.join(survivors, Seq(id), "left_semi")
     },
     "near_dedup" -> { c => df =>
@@ -268,6 +291,11 @@ object Registry {
       graft.sinks.Sinks.writeTidyCsv(df,
         str(c, "output_dir").getOrElse(sys.error("csv loader needs 'output_dir'")),
         overwrite = bool(c, "overwrite").getOrElse(true))
+    },
+    // document-pipeline counterpart of the jsonl extractor
+    "jsonl" -> { (df, c) =>
+      JsonlSource.write(df,
+        str(c, "output_dir").getOrElse(sys.error("jsonl loader needs 'output_dir'")))
     })
 
   def getExtractor(name: String): Extractor = extractors.getOrElse(name,

@@ -253,6 +253,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(clean(0).getString(1) == "hello\nworld") // escape round-trips newline
   }
 
+  test("registry: jsonl loader/extractor round-trip and url_dedup stage") {
+    import org.json4s.jackson.JsonMethods.parse
+    val docs3 = Seq(
+      (0L, "alpha", "en", "s"), (1L, "beta", "en", "s"),
+      (2L, "gamma\nline", "de", "t")) // embedded newline must survive
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("regjsonl").toString
+    graft.Registry.loaders("jsonl")(docs3, parse(s"""{"output_dir": "$dir"}"""))
+    val back = graft.Registry.extractors("jsonl")(spark, parse(s"""{"path": "$dir"}"""))
+    assert(back.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma\nline")))
+    val urls = Seq(
+      (0L, "https://www.example.com/p1"),
+      (1L, "HTTP://example.com/p1?x=1"), // same page as 0 after canonicalization
+      (2L, "https://example.com/p2"))
+      .toDF("doc_id", "url")
+    val kept = graft.Registry.transformers("url_dedup")(parse("{}"))(urls)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L))
+  }
+
   test("url canonicalization folds spelling variants and is idempotent") {
     val urls = Seq(
       "https://www.M3.Example.COM/p7?utm_source=feed",
