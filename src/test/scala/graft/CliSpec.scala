@@ -5,13 +5,13 @@ import graft.telemetry.Fixtures
 class CliSpec extends SparkSpec {
 
   test("registry resolves stages and errors helpfully on unknown names") {
-    assert(Registry.allStages("extractors") == Seq("binary", "csv", "parquet"))
+    assert(Registry.allStages("extractors") == Seq("binary", "csv", "jsonl", "parquet"))
     assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration",
       "chunk_documents", "decom", "decontaminate", "exact_dedup", "lang_filter",
       "near_dedup", "pack_sequences", "perplexity_filter", "pii_redact",
       "quality_filter", "repetition_filter", "simhash_dedup", "source_mix",
-      "stratified_sample"))
-    assert(Registry.allStages("loaders") == Seq("ccsds", "csv", "parquet"))
+      "stratified_sample", "url_dedup"))
+    assert(Registry.allStages("loaders") == Seq("ccsds", "csv", "jsonl", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
     assert(e.getMessage.contains("binary"))
   }

@@ -298,6 +298,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(dom == "example.com")
   }
 
+  test("url canonicalization matches the reference model over the variant space") {
+    // exhaustive cross-product of spelling dimensions (540 urls) vs a
+    // pure-Scala mirror of the regex chain — guards the Column
+    // implementation against regex-semantics drift (all patterns match
+    // at most once, so replaceAll == the single-pass model)
+    def model(u: String): String = u.toLowerCase
+      .replaceAll("#.*$", "").replaceAll("\\?.*$", "")
+      .replaceAll("^https?://", "").replaceAll("^www\\.", "")
+      .replaceAll("/$", "")
+    val urls = for {
+      scheme <- Seq("", "http://", "https://", "HTTP://", "HtTpS://")
+      www <- Seq("", "www.", "WWW.")
+      path <- Seq("ex-1.org", "sub.ex-1.org/a/b")
+      trail <- Seq("", "/")
+      query <- Seq("", "?utm=1", "?a=b&c=d/e")
+      frag <- Seq("", "#x", "#/deep?q=1")
+    } yield s"$scheme$www$path$trail$query$frag"
+    val got = urls.toDF("url")
+      .select(col("url"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    urls.foreach { u =>
+      assert(got(u) == model(u), s"mismatch for '$u'")
+    }
+  }
+
   test("source mix rejects non-positive weights instead of dropping all rows") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     // weight 0 on src1 would make t_cap = 0 and silently empty the
