@@ -31,6 +31,68 @@ private[graft] object OracleFragments {
        |       i -> array_to_string(($toksSql)[i:i+${n - 1}], ' '))
        |  ELSE [$normSql] END""".stripMargin
 
+  val rawToksSqlNoNorm: String =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  val rawToksLowerSql: String =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  val stopListSql: String =
+    graft.operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** TextAnalysis.qualityScore replayed over a `documents`-shaped row
+    * (expects a `text` column in scope) — the exact x2/p1 formula.
+    */
+  val qualitySql: String =
+    s"""round(least(length(text)::DOUBLE / 1000.0, 1.0) * 0.4
+       |  + least((CASE WHEN len($rawToksLowerSql) > 0
+       |      THEN len(list_filter($rawToksLowerSql, x -> list_contains($stopListSql, x)))::DOUBLE
+       |           / len($rawToksLowerSql) ELSE 0.0 END) * 4.0, 1.0) * 0.3
+       |  + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+       |      THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)
+       |      ELSE 0.0 END) * 10.0) * 0.3, 6)""".stripMargin
+
+  /** CTEs bands..clusters: the d8 closure chain — banded candidates,
+    * exact-Jaccard verify at `threshold`, recursive transitive closure,
+    * min-id cluster label. Requires [[minhashSigsCte]] in scope and the
+    * query to open with WITH RECURSIVE.
+    */
+  def dedupClustersCte(threshold: Double): String =
+    s"""bands AS (
+       |  SELECT doc_id, k // 2 AS band,
+       |    string_agg(k || ':' || minhash, ',' ORDER BY k) AS band_key
+       |  FROM sigs GROUP BY doc_id, k // 2
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), exh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM exh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i
+       |  FROM cands c JOIN exh ea ON ea.doc_id = c.a_id
+       |               JOIN exh eb ON eb.doc_id = c.b_id AND eb.h = ea.h
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN inter ON inter.a_id = c.a_id AND inter.b_id = c.b_id
+       |  JOIN sz sa ON sa.doc_id = c.a_id JOIN sz sb ON sb.doc_id = c.b_id
+       |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= $threshold
+       |), edges AS (
+       |  SELECT a_id AS s, b_id AS d FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |  UNION SELECT a_id, a_id FROM pairs
+       |  UNION SELECT b_id, b_id FROM pairs
+       |), reach AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+       |), clusters AS (
+       |  SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+       |)""".stripMargin
+
   val minhashASql: String =
     graft.operators.Dedup.minhashA.take(8).mkString("[", ", ", "]")
   val minhashBSql: String =

@@ -182,28 +182,39 @@ object QueriesExtended {
     * 0.1): (doc_id, cluster_id = min doc id in component). This is the
     * step that turns pairwise dedup hits into keep/drop decisions.
     */
-  private def d8DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val st = Dedup.shingleTable(docs, 3)
-    val sigs = Dedup.minhashFromShingles(st, numHashes = 8)
-    val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
-    val ex = st.select(col("doc_id"),
-      Dedup.hash60(col("s")).as("h"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
-      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    val edges = inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
-      .where(col("inter").cast("double") /
-        (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= 0.1)
-      .select("a_id", "b_id")
-    Graph.connectedComponents(edges, "a_id", "b_id")
-      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
-      .orderBy("doc_id")
+  private def d8DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardClusters(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Quality-aware survivor per near-dup cluster: a real pipeline keeps
+    * the BEST document of each duplicate group, not the smallest id —
+    * argmax(quality, then min id) via one struct-max aggregate over the
+    * d8 closure.
+    */
+  private def d10ClusterSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = d.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    Dedup.jaccardClusters(d)
+      .join(scored, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("doc_id")).as("negid"),
+          col("doc_id").as("id"))).as("b"))
+      .select(col("cluster_id"), col("b.id").as("survivor_id"),
+        col("b.q").as("best_quality"), col("n_members"))
+      .orderBy("cluster_id")
   }
+
+  /** Incremental batch-vs-corpus dedup: docs with doc_id % 10 == 7 play
+    * the "new crawl increment"; each is flagged for exact and verified
+    * near duplication against the rest — the check a continuously
+    * ingesting corpus runs per increment, with cost bounded by the
+    * increment's band collisions, never corpus x corpus.
+    */
+  private def d11IncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalDedupFlags(t(s, dir, "documents"),
+        isNew = col("doc_id") % 10 === 7)
+      .orderBy("doc_id")
 
   // --- st1: Structured Streaming through the gate ----------------------
 
@@ -485,6 +496,8 @@ object QueriesExtended {
     "x7_stratified_sample" -> (x7StratifiedSample(_, _)),
     "e2_kmeans" -> (e2Kmeans(_, _)),
     "d8_dedup_clusters" -> (d8DedupClusters(_, _)),
+    "d10_cluster_survivors" -> (d10ClusterSurvivors(_, _)),
+    "d11_incremental_dedup" -> (d11IncrementalDedup(_, _)),
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
     "st3_stream_join" -> (st3StreamJoin(_, _)),
@@ -575,40 +588,62 @@ object QueriesExtended {
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE
          |${OracleFragments.minhashSigsCte},
-         |bands AS (
+         |${OracleFragments.dedupClustersCte(0.1)}
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    "d10_cluster_survivors" ->
+      s"""WITH RECURSIVE
+         |${OracleFragments.minhashSigsCte},
+         |${OracleFragments.dedupClustersCte(0.1)},
+         |scored AS (
+         |  SELECT doc_id, ${OracleFragments.qualitySql} AS q FROM documents
+         |), sel AS (
+         |  SELECT c.cluster_id, c.doc_id, s.q,
+         |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY s.q DESC, c.doc_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM clusters c JOIN scored s USING (doc_id)
+         |)
+         |SELECT cluster_id, doc_id AS survivor_id, q AS best_quality, n_members
+         |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "d11_incremental_dedup" ->
+      s"""WITH
+         |${OracleFragments.minhashSigsCte},
+         |tagged AS (SELECT doc_id, (doc_id % 10 = 7) AS is_new FROM documents),
+         |ch AS (SELECT doc_id, md5(${OracleFragments.normSql}) AS content_md5 FROM documents),
+         |corpus_md5 AS (
+         |  SELECT DISTINCT content_md5 FROM ch JOIN tagged USING (doc_id) WHERE NOT is_new
+         |), bands AS (
          |  SELECT doc_id, k // 2 AS band,
          |    string_agg(k || ':' || minhash, ',' ORDER BY k) AS band_key
          |  FROM sigs GROUP BY doc_id, k // 2
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), cand AS (
+         |  SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+         |  FROM bands nb JOIN tagged tn ON tn.doc_id = nb.doc_id AND tn.is_new
+         |  JOIN bands ob ON ob.band = nb.band AND ob.band_key = nb.band_key
+         |  JOIN tagged toa ON toa.doc_id = ob.doc_id AND NOT toa.is_new
          |), exh AS (
          |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex
          |), sz AS (SELECT doc_id, count(*) AS sz FROM exh GROUP BY doc_id),
          |inter AS (
-         |  SELECT c.a_id, c.b_id, count(*) AS i
-         |  FROM cands c JOIN exh ea ON ea.doc_id = c.a_id
-         |               JOIN exh eb ON eb.doc_id = c.b_id AND eb.h = ea.h
+         |  SELECT c.new_id, c.old_id, count(*) AS i
+         |  FROM cand c JOIN exh ea ON ea.doc_id = c.new_id
+         |              JOIN exh eb ON eb.doc_id = c.old_id AND eb.h = ea.h
          |  GROUP BY 1, 2
-         |), pairs AS (
-         |  SELECT c.a_id, c.b_id
-         |  FROM cands c
-         |  JOIN inter ON inter.a_id = c.a_id AND inter.b_id = c.b_id
-         |  JOIN sz sa ON sa.doc_id = c.a_id JOIN sz sb ON sb.doc_id = c.b_id
-         |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.1
-         |), edges AS (
-         |  SELECT a_id AS s, b_id AS d FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs
-         |  UNION SELECT a_id, a_id FROM pairs
-         |  UNION SELECT b_id, b_id FROM pairs
-         |), reach AS (
-         |  SELECT s, d FROM edges
-         |  UNION
-         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+         |), near AS (
+         |  SELECT i.new_id, count(*) AS n_near
+         |  FROM inter i JOIN sz sa ON sa.doc_id = i.new_id
+         |               JOIN sz sb ON sb.doc_id = i.old_id
+         |  WHERE i.i::DOUBLE / (sa.sz + sb.sz - i.i) >= 0.1
+         |  GROUP BY 1
          |)
-         |SELECT s AS doc_id, min(d) AS cluster_id
-         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+         |SELECT t.doc_id,
+         |  (ch.content_md5 IN (SELECT content_md5 FROM corpus_md5)) AS is_exact_dup,
+         |  coalesce(n.n_near, 0) AS n_near_dups,
+         |  (NOT (ch.content_md5 IN (SELECT content_md5 FROM corpus_md5))
+         |   AND coalesce(n.n_near, 0) = 0) AS kept
+         |FROM tagged t JOIN ch USING (doc_id)
+         |LEFT JOIN near n ON n.new_id = t.doc_id
+         |WHERE t.is_new ORDER BY t.doc_id""".stripMargin,
     "q28_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (SELECT user_id, min(ts) AS v_ts FROM events

@@ -173,18 +173,27 @@ object Dedup {
     * hashes per band); docs sharing any full band collide. Returns
     * distinct (a_id, b_id) with a_id < b_id.
     */
-  def lshCandidates(
-      signatures: DataFrame, rowsPerBand: Int, idCol: String = "doc_id"): DataFrame = {
-    // sort_array makes the band key independent of collect_list order
-    val bandKeys = signatures
+  /** Banded signature keys: one row per (id, band, band_key), where the
+    * band_key strings the band's (k, minhash) pairs in k order — the
+    * equi-join key for LSH candidate generation (within one corpus via
+    * [[lshCandidates]], or across corpora for incremental dedup).
+    */
+  def bandKeys(
+      signatures: DataFrame, rowsPerBand: Int, idCol: String = "doc_id"): DataFrame =
+    signatures
       .withColumn("band", (col("k") / rowsPerBand).cast("int"))
       .groupBy(col(idCol), col("band"))
+      // sort_array makes the band key independent of collect_list order
       .agg(sort_array(collect_list(struct(col("k"), col("minhash")))).as("kv"))
       .withColumn("band_key",
         concat_ws(",", transform(col("kv"), x => concat_ws(":", x("k"), x("minhash")))))
       .select(col(idCol), col("band"), col("band_key"))
-    val a = bandKeys.select(col(idCol).as("a_id"), col("band"), col("band_key"))
-    val b = bandKeys.select(col(idCol).as("b_id"), col("band"), col("band_key"))
+
+  def lshCandidates(
+      signatures: DataFrame, rowsPerBand: Int, idCol: String = "doc_id"): DataFrame = {
+    val bk = bandKeys(signatures, rowsPerBand, idCol)
+    val a = bk.select(col(idCol).as("a_id"), col("band"), col("band_key"))
+    val b = bk.select(col(idCol).as("b_id"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
@@ -196,6 +205,88 @@ object Dedup {
     val inter = size(array_intersect(a, b))
     val union = size(a) + size(b) - inter
     when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+  }
+
+  /** MinHash-banded near-duplicate CLUSTERS: band-collision candidates,
+    * exact-Jaccard verification on candidates only, then transitive
+    * closure via pointer-doubling connected components — the full d8
+    * chain as one reusable operator. Returns (doc_id, cluster_id) for
+    * every doc that appears in a verified pair.
+    */
+  def jaccardClusters(
+      docs: DataFrame, n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = shingleTable(docs, n, idCol, textCol)
+    val sigs = minhashFromShingles(st, numHashes, idCol)
+    val cands = lshCandidates(sigs, rowsPerBand, idCol)
+    val ex = st.select(col(idCol), hash60(col("s")).as("h"))
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(ex.select(col(idCol).as("a_id"), col("h")), "a_id")
+      .join(ex.select(col(idCol).as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val edges = inter
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
+      .where(col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= threshold)
+      .select("a_id", "b_id")
+    Graph.connectedComponents(edges, "a_id", "b_id")
+      .select(col("node").as(idCol), col("component").as("cluster_id"))
+  }
+
+  /** Incremental dedup flags: for each NEW document (isNew true), is it
+    * an exact duplicate of the existing corpus, and how many verified
+    * near-duplicate partners does it have there — the batch-vs-corpus
+    * check a continuously-ingesting pipeline runs on every increment.
+    *
+    * Scale shape: the corpus side is touched only through its content
+    * hashes and band keys (never pairwise with itself); candidates are
+    * banded new x old, so cost is bounded by band collisions with the
+    * increment — independent of corpus-internal duplication.
+    */
+  def incrementalDedupFlags(
+      docs: DataFrame, isNew: Column, n: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2, threshold: Double = 0.1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tagged = docs.withColumn("_is_new", isNew)
+    val hashes = tagged.select(col(idCol), col("_is_new"),
+      md5(normalize(col(textCol)).cast("binary")).as("content_md5"))
+    val corpusMd5 = hashes.where(!col("_is_new"))
+      .select(col("content_md5")).distinct()
+      .withColumn("_in_corpus", lit(true))
+    val exact = hashes.where(col("_is_new"))
+      .join(corpusMd5, Seq("content_md5"), "left")
+      .select(col(idCol),
+        coalesce(col("_in_corpus"), lit(false)).as("is_exact_dup"))
+    val st = shingleTable(docs, n, idCol, textCol)
+    val sigs = minhashFromShingles(st, numHashes, idCol)
+    val bk = bandKeys(sigs, rowsPerBand, idCol)
+    val newIds = tagged.where(col("_is_new")).select(col(idCol))
+    val oldIds = tagged.where(!col("_is_new")).select(col(idCol))
+    val cands = bk.join(newIds, idCol).select(col(idCol).as("new_id"), col("band"), col("band_key"))
+      .join(bk.join(oldIds, idCol)
+        .select(col(idCol).as("old_id"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select("new_id", "old_id")
+      .distinct()
+    val ex = st.select(col(idCol), hash60(col("s")).as("h"))
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val near = cands
+      .join(ex.select(col(idCol).as("new_id"), col("h")), "new_id")
+      .join(ex.select(col(idCol).as("old_id"), col("h")), Seq("old_id", "h"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("new_id"), col("sz").as("a_sz")), "new_id")
+      .join(sizes.select(col(idCol).as("old_id"), col("sz").as("b_sz")), "old_id")
+      .where(col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= threshold)
+      .groupBy("new_id").agg(count(lit(1)).as("n_near_dups"))
+    exact
+      .join(near.withColumnRenamed("new_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("is_exact_dup"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+      .withColumn("kept", !col("is_exact_dup") && col("n_near_dups") === 0)
   }
 
   /** Pairwise n-gram Jaccard within a blocking key, via an inverted

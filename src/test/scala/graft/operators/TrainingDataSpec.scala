@@ -35,6 +35,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("incremental dedup flags exact and near dups of the new batch only") {
+    // batch = {1 (exact dup of 0), 2 (near dup of 0), 3 (unique)};
+    // corpus = {0, 4, 5}. Corpus-internal duplication (4 == 5) must NOT
+    // surface — only batch-vs-corpus relations are flagged.
+    val flags = Dedup.incrementalDedupFlags(corpus,
+        isNew = col("doc_id").isin(1L, 2L, 3L), threshold = 0.3)
+      .orderBy("doc_id").collect()
+    assert(flags.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = flags.map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId(1L) == ((true, 1L, false)), s"doc 1: ${byId(1L)}") // exact (and near) dup of 0
+    assert(byId(2L)._1 == false && byId(2L)._2 >= 1L && !byId(2L)._3, s"doc 2: ${byId(2L)}")
+    assert(byId(3L) == ((false, 0L, true)), s"doc 3: ${byId(3L)}") // unique -> kept
+  }
+
+  test("cluster survivors keep the highest-quality member, min id on ties") {
+    // 0 and 1 normalize identically (equal quality -> min id 0 wins);
+    // 2 is a near dup in the same cluster
+    val out = Dedup.jaccardClusters(corpus, threshold = 0.3)
+    val c = out.where(col("doc_id").isin(0L, 1L, 2L))
+      .select("cluster_id").distinct().collect()
+    assert(c.length == 1, "0,1,2 should share one cluster")
+  }
+
   test("minhash signature approximates jaccard; lsh recovers dup candidates") {
     val sigs = Dedup.minhashSignatures(corpus, numHashes = 8, shingleSize = 3)
     assert(sigs.count() == 6 * 8)
