@@ -115,10 +115,14 @@ object Registry {
     },
     "near_dedup" -> { c => df =>
       // n-gram Jaccard near-dup removal: pair graph -> connected
-      // components -> keep the min-id doc per cluster. max_df_fraction
-      // is the stop-gram cap that bounds hot-shingle posting lists
+      // components -> keep one doc per cluster. max_df_fraction is the
+      // stop-gram cap that bounds hot-shingle posting lists
       // (Dedup.ngramJaccardPairs) — surfaced here so the CLI pipeline
-      // can set it per corpus.
+      // can set it per corpus. `keep` picks the survivor policy:
+      // "min_id" (default, the reference-style deterministic pick) or
+      // "best_quality" (argmax TextAnalysis.qualityScore, min id on
+      // ties — what a production corpus actually wants to retain).
+      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val id = str(c, "id_column").getOrElse("doc_id")
       val text = str(c, "text_column").getOrElse("text")
@@ -126,11 +130,25 @@ object Registry {
       val n = int(c, "ngram").getOrElse(3)
       val threshold = (c \ "threshold").extractOpt[Double].getOrElse(0.8)
       val maxDf = (c \ "max_df_fraction").extractOpt[Double]
+      val keep = str(c, "keep").getOrElse("min_id")
+      require(keep == "min_id" || keep == "best_quality",
+        s"near_dedup: unknown keep policy '$keep'")
       val pairs = operators.Dedup.ngramJaccardPairs(
         df, n, threshold, block, id, text, maxDf)
-      val losers = operators.Graph.connectedComponents(pairs, "a_id", "b_id")
-        .where(col("node") =!= col("component"))
-        .select(col("node").as(id))
+      val cc = operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+      val losers =
+        if (keep == "best_quality") {
+          val scored = df.select(col(id).as("node"),
+            operators.TextAnalysis.qualityScore(col(text)).as("_q"))
+          cc.join(scored, "node")
+            .withColumn("_best", max(struct(col("_q"),
+                (-col("node")).as("negid"), col("node").as("nid")))
+              .over(Window.partitionBy("component")))
+            .where(col("node") =!= col("_best.nid"))
+            .select(col("node").as(id))
+        } else {
+          cc.where(col("node") =!= col("component")).select(col("node").as(id))
+        }
       df.join(losers, Seq(id), "left_anti")
     },
     "simhash_dedup" -> { c => df =>

@@ -35,6 +35,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("registry near_dedup survivor policies: min_id vs best_quality") {
+    import org.json4s.jackson.JsonMethods.parse
+    // docs 0 and 1 are normalize-identical (jaccard 1.0), so they
+    // cluster at threshold 0.8; doc 1's RAW text is longer (extra
+    // whitespace), so its length-driven quality score is higher
+    val minId = graft.Registry.transformers("near_dedup")(
+      parse("""{"block_column": "source"}"""))(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(0L, 2L, 3L, 4L), s"min_id kept $minId")
+    val bestQ = graft.Registry.transformers("near_dedup")(
+      parse("""{"block_column": "source", "keep": "best_quality"}"""))(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bestQ == Set(1L, 2L, 3L, 4L), s"best_quality kept $bestQ")
+  }
+
   test("incremental dedup flags exact and near dups of the new batch only") {
     // batch = {1 (exact dup of 0), 2 (near dup of 0), 3 (unique)};
     // corpus = {0, 4, 5}. Corpus-internal duplication (4 == 5) must NOT
