@@ -246,6 +246,32 @@ object QueriesTrainingData {
     operators.Mixture.chunkDocuments(docs(s, dir), chunkTokens = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id")
 
+  // --- corpus data card ------------------------------------------------
+
+  /** Per-source corpus "data card": the one-table summary a dataset
+    * release ships — volume (docs, tokens), uniqueness (distinct
+    * content hashes), language composition, quality profile, and the
+    * median document length. One scan + one groupBy; every statistic
+    * is an algebraic or sort-based aggregate that partial-aggregates
+    * before the exchange.
+    */
+  private def c1CorpusCard(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextAnalysis.langId(col("text")).getField("code")
+    docs(s, dir).select(col("source"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        md5(TextAnalysis.normalize(col("text")).cast("binary")).as("cm"),
+        (pred === "en").as("is_en"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        countDistinct(col("cm")).as("n_unique_content"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+        round(avg("q"), 6).as("mean_quality"),
+        round(expr("percentile(toks, 0.5)"), 6).as("median_tokens"))
+      .orderBy("source")
+  }
+
   // --- jsonl ingestion -------------------------------------------------
 
   /** JSONL round-trip ingestion gate: the documents table serialized to
@@ -373,6 +399,7 @@ object QueriesTrainingData {
     "u1_url_dedup" -> (u1UrlDedup(_, _)),
     "u2_domain_stats" -> (u2DomainStats(_, _)),
     "j1_jsonl_ingest" -> (j1JsonlIngest(_, _)),
+    "c1_corpus_card" -> (c1CorpusCard(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -716,6 +743,28 @@ object QueriesTrainingData {
          |    AS rank
          |  FROM scored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "c1_corpus_card" ->
+      s"""WITH perdoc AS (
+         |  SELECT source,
+         |    CAST(len($toksSql) AS BIGINT) AS toks,
+         |    ${OracleFragments.qualitySql} AS q,
+         |    md5($normSql) AS cm,
+         |    (CASE ${langScores.reverse.map { case (c, _) => s"WHEN s_$c = msc THEN '$c'" }.mkString(" ")}
+         |     END) = 'en' AS is_en
+         |  FROM (
+         |    SELECT source, text,
+         |      ${langScores.map { case (c, e) => s"$e AS s_$c" }.mkString(",\n      ")},
+         |      greatest(${langScores.map { case (c, _) => s"s_$c" }.mkString(", ")}) AS msc
+         |    FROM documents
+         |  )
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT cm) AS n_unique_content,
+         |  CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  round(avg(q), 6) AS mean_quality,
+         |  round(median(toks)::DOUBLE, 6) AS median_tokens
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "j1_jsonl_ingest" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
