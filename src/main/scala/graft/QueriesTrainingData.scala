@@ -297,6 +297,32 @@ object QueriesTrainingData {
       .orderBy("lang")
   }
 
+  /** STREAMING JSONL ingestion: the j1 corpus profile computed by a
+    * real Structured Streaming query over the same JSONL dump, with
+    * `maxFilesPerTrigger=1` forcing one micro-batch per file — the
+    * continuous-ingestion shape (new crawl files land, counts update)
+    * rather than a one-shot read. Complete-mode aggregation drained
+    * through the shared memory-sink harness; batch and streaming
+    * answers coincide once every file is processed, so j1's DuckDB
+    * oracle also oracles the stream.
+    */
+  private def st5JsonlStream(s: SparkSession, dir: String): DataFrame = {
+    val path = TempDirs.cached(s"jsonl:$dir") { d =>
+      graft.sources.JsonlSource.write(
+        docs(s, dir).select("doc_id", "text", "lang", "source"), d)
+    }
+    val stream = s.readStream
+      .schema(graft.sources.JsonlSource.documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(path)
+    graft.streaming.EventStreaming.drainToMemorySink(s, "st5_mem")(
+        stream.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"),
+            min("doc_id").as("min_doc_id")))
+      .orderBy("lang")
+  }
+
   // --- url canonicalization / web-corpus dedup -------------------------
 
   /** URL table synthesized from documents (the raw corpus has no url
@@ -400,6 +426,7 @@ object QueriesTrainingData {
     "u2_domain_stats" -> (u2DomainStats(_, _)),
     "j1_jsonl_ingest" -> (j1JsonlIngest(_, _)),
     "c1_corpus_card" -> (c1CorpusCard(_, _)),
+    "st5_jsonl_stream" -> (st5JsonlStream(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -766,6 +793,11 @@ object QueriesTrainingData {
          |  round(median(toks)::DOUBLE, 6) AS median_tokens
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "j1_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "st5_jsonl_stream" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc_id

@@ -43,6 +43,19 @@ object EventStreaming {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    drainToMemorySink(spark, queryName, outputMode)(transform(stream))
+  }
+
+  /** Generic drain harness for ANY streaming DataFrame (the shared
+    * protocol behind every gate streaming query): start into a memory
+    * sink, processAllAvailable, stop, detach the result from the sink
+    * and drop its temp view. Public so other domains (document
+    * streams) reuse the one battle-tested drain instead of re-growing
+    * the round-2 leaks.
+    */
+  def drainToMemorySink(
+      spark: SparkSession, queryName: String,
+      outputMode: String = "complete")(streamed: DataFrame): DataFrame = {
     // Stateful streaming cost here is dominated by state-store
     // INSTANCES (one per shuffle partition per store, re-opened every
     // micro-batch), not by data volume — pin the streaming query to
@@ -54,7 +67,7 @@ object EventStreaming {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val query =
       try {
-        transform(stream).writeStream
+        streamed.writeStream
           .format("memory")
           .queryName(queryName)
           .outputMode(outputMode)
