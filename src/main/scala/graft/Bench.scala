@@ -157,19 +157,21 @@ object Bench {
     def trim(v: Double, dp: Int): String =
       s"%.${dp}f".format(v).reverse.dropWhile(_ == '0')
         .dropWhile(_ == '.').reverse match { case "" => "0"; case s => s }
+    // basename is enough — the harness records the sf point itself
+    val sfShort = new java.io.File(sfDir).getName
     def compactLine(dp: Int): String = {
       val qs = results
         .map { case (k, (v, _, _, _)) => s""""$k":${if (v < 0) "-1" else trim(v, dp)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfDir",""" +
-        s""""runs_per_query":2,"errors":$errJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfShort",""" +
+        s""""errors":$errJson,"queries":$qs}"""
     }
-    // degrade per-query precision (10ms -> 100ms) if the registry has
-    // grown the line past what a 2000-char stdout tail can hold; the
-    // full-precision values are in the long line above and BENCH_LAST
-    val compact = Seq(2, 1).map(compactLine).find(_.length <= 1990)
+    // degrade per-query precision (10ms -> 100ms -> 1s) until the line
+    // fits a 2000-char stdout tail — per-query presence beats
+    // precision, and full precision is in the long line + BENCH_LAST
+    val compact = Seq(2, 1, 0).map(compactLine).find(_.length <= 1990)
       .getOrElse(
-        s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfDir",""" +
+        s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfShort",""" +
           s""""n_queries":${results.size},"errors":$errJson,"queries_file":"BENCH_LAST.json"}""")
     println(compact)
     System.out.flush()
