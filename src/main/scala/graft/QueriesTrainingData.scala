@@ -375,6 +375,72 @@ object QueriesTrainingData {
         countDistinct(col("canonical_url")).as("n_pages"))
       .orderBy("domain")
 
+  /** Documents as ordered line arrays (the corpus text is single-line,
+    * so lines are synthesized deterministically, like [[urlDf]]): a
+    * per-source header, the body split into 8-token lines, and a footer
+    * shared by half the corpus. Header df = docs-per-source and footer
+    * df = half the corpus, so both cross any sane boilerplate
+    * threshold; body lines are effectively unique.
+    */
+  private def lineDf(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    val nContent = ceil(size(toks) / lit(8.0)).cast("int")
+    val content = when(nContent > lit(0),
+      transform(sequence(lit(0), nContent - lit(1)),
+        l => array_join(slice(toks, l * lit(8) + lit(1), lit(8)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs(s, dir).select(col("doc_id"),
+      concat(
+        array(concat(lit("begin newsletter "), col("source"))),
+        content,
+        array(concat(lit("unsubscribe footer "), (col("doc_id") % 2).cast("string"))))
+        .as("lines"))
+  }
+
+  /** Line-level boilerplate dedup (CCNet): drop lines with corpus
+    * document frequency >= 5, reassemble, fingerprint the survivors.
+    */
+  private def d12LineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(lineDf(s, dir), minDocFreq = 5).orderBy("doc_id")
+
+  /** Per-registrable-domain document cap (crawl-corpus domain
+    * balancing): canonical-URL dedup first, then keep at most 3 pages
+    * per domain by survivor id — the quota step after [[u2DomainStats]]
+    * measures the skew. One window over the page table; no join.
+    */
+  private def x18DomainCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = urlDf(s, dir)
+      .select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("survivor_id"))
+      .withColumn("domain", TextAnalysis.registrableDomain(col("canonical_url")))
+    val w = Window.partitionBy("domain").orderBy(col("survivor_id"), col("canonical_url"))
+    pages
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("domain", "canonical_url", "survivor_id", "rank")
+      .orderBy("domain", "rank")
+  }
+
+  /** Per-source document-length histogram (data-card companion to
+    * [[c1CorpusCard]]): fixed 128-char buckets, capped at 15, with the
+    * within-source share. Single groupBy plus a broadcast-sized window.
+    */
+  private def c2LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = least(floor(col("n_chars") / 128), lit(15)).cast("long")
+    docs(s, dir)
+      .select(col("source"), bucket.as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs") / sum("n_docs").over(Window.partitionBy("source")), 6))
+      .select(col("source"), col("bucket"), (col("bucket") * 128).as("bucket_lo"),
+        col("n_docs"), col("share"))
+      .orderBy("source", "bucket")
+  }
+
   // --- multimodal ------------------------------------------------------
 
   /** Media table synthesized from documents: payload = md5-hex bytes
@@ -424,6 +490,9 @@ object QueriesTrainingData {
     "s4_ann_lsh_multiprobe" -> (s4AnnLshMultiprobe(_, _)),
     "u1_url_dedup" -> (u1UrlDedup(_, _)),
     "u2_domain_stats" -> (u2DomainStats(_, _)),
+    "d12_line_dedup" -> (d12LineDedup(_, _)),
+    "x18_domain_cap" -> (x18DomainCap(_, _)),
+    "c2_length_histogram" -> (c2LengthHistogram(_, _)),
     "j1_jsonl_ingest" -> (j1JsonlIngest(_, _)),
     "c1_corpus_card" -> (c1CorpusCard(_, _)),
     "st5_jsonl_stream" -> (st5JsonlStream(_, _)),
@@ -814,6 +883,63 @@ object QueriesTrainingData {
          |  count(*) AS n_urls,
          |  count(DISTINCT canonical_url) AS n_pages
          |FROM c GROUP BY domain ORDER BY domain""".stripMargin,
+    "d12_line_dedup" ->
+      s"""WITH ln AS (
+         |  SELECT doc_id, source, $rawToksLowerSql AS toks FROM documents
+         |), lns AS (
+         |  SELECT doc_id,
+         |    ['begin newsletter ' || source] ||
+         |    list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+         |      l -> array_to_string(toks[l * 8 + 1 : l * 8 + 8], ' ')) ||
+         |    ['unsubscribe footer ' || (doc_id % 2)::VARCHAR] AS lines
+         |  FROM ln
+         |), ex AS (
+         |  SELECT doc_id, unnest(lines) AS line,
+         |    unnest(range(1, len(lines) + 1)) AS pos
+         |  FROM lns
+         |), boiler AS (
+         |  SELECT ${hash60("line")} AS lh
+         |  FROM (SELECT DISTINCT line, doc_id FROM ex)
+         |  GROUP BY lh HAVING count(*) >= 5
+         |), kept AS (
+         |  SELECT doc_id, pos, line FROM ex
+         |  WHERE ${hash60("line")} NOT IN (SELECT lh FROM boiler)
+         |), reb AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+         |  coalesce(r.n_kept, 0) AS n_kept,
+         |  coalesce(r.clean_md5, md5('')) AS clean_md5
+         |FROM lns l LEFT JOIN reb r ON l.doc_id = r.doc_id
+         |ORDER BY l.doc_id""".stripMargin,
+    "x18_domain_cap" ->
+      s"""WITH $urlCanonCte,
+         |pages AS (
+         |  SELECT canonical_url, min(doc_id) AS survivor_id
+         |  FROM c GROUP BY canonical_url
+         |), dom AS (
+         |  SELECT regexp_extract(regexp_replace(canonical_url, '/.*$$', ''),
+         |      '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain,
+         |    canonical_url, survivor_id
+         |  FROM pages
+         |)
+         |SELECT domain, canonical_url, survivor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY domain
+         |    ORDER BY survivor_id, canonical_url) AS rank
+         |  FROM dom
+         |) WHERE rank <= 3 ORDER BY domain, rank""".stripMargin,
+    "c2_length_histogram" ->
+      s"""WITH b AS (
+         |  SELECT source, CAST(least(n_chars // 128, 15) AS BIGINT) AS bucket
+         |  FROM documents
+         |), g AS (
+         |  SELECT source, bucket, count(*) AS n_docs FROM b GROUP BY source, bucket
+         |)
+         |SELECT source, bucket, bucket * 128 AS bucket_lo, n_docs,
+         |  round(n_docs / sum(n_docs) OVER (PARTITION BY source), 6) AS share
+         |FROM g ORDER BY source, bucket""".stripMargin,
     "s4_ann_lsh_multiprobe" ->
       s"""WITH $normVecCte,
          |${OracleFragments.lshBucketsCte(planesPerTable = 4, numTables = 8, dims = 64)},

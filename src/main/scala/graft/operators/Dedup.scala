@@ -465,4 +465,49 @@ object Dedup {
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** CCNet-style line-level boilerplate removal (Wenzek et al. 2020):
+    * drop every line whose corpus-wide document frequency reaches
+    * `minDocFreq` (headers, footers, nav chrome repeat across pages;
+    * body text does not), then reassemble each document from its
+    * surviving lines in original order.
+    *
+    * Input: one row per document with an ordered array column of lines.
+    * Output: (id, n_lines, n_kept, clean_md5) — md5 of the newline-
+    * rejoined survivors (md5("") when everything was boilerplate).
+    *
+    * Scale shape: the frequency pass groups on the 60-bit line hash, so
+    * the corpus-wide shuffle carries (hash, id) pairs, never line text;
+    * the boilerplate set (df >= K) is tiny relative to the corpus — a
+    * few thousand chrome lines even at crawl scale — so the removal is
+    * a broadcast anti-join and the full line table is never shuffled a
+    * second time. The only other shuffle is the per-document regroup.
+    */
+  def lineDedup(
+      docs: DataFrame, minDocFreq: Int,
+      idCol: String = "doc_id", linesCol: String = "lines"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
+      .withColumn("lh", hash60(col("line")))
+    val boilerplate = broadcast(
+      lines.select(col("lh"), col(idCol)).distinct()
+        .groupBy("lh").agg(count(lit(1)).as("doc_freq"))
+        .where(col("doc_freq") >= minDocFreq)
+        .select("lh"))
+    val rebuilt = lines
+      .join(boilerplate, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            kv => kv.getField("line")),
+          "\n").cast("binary")).as("clean_md5"))
+    docs
+      .select(col(idCol), size(col(linesCol)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit("").cast("binary"))).as("clean_md5"))
+  }
 }

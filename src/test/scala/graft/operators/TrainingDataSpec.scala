@@ -403,6 +403,26 @@ class TrainingDataSpec extends SparkSpec {
       s"unexpected analysis error: ${ex.getMessage}")
   }
 
+  test("line dedup strips corpus-frequent lines, keeps order, handles all-boilerplate docs") {
+    // "hdr" appears in 3 of 4 docs (df 3 >= 2); body lines are unique
+    val docsDf = Seq(
+      (0L, Seq("hdr", "alpha beta", "gamma")),
+      (1L, Seq("hdr", "delta")),
+      (2L, Seq("hdr")), // all boilerplate -> zero survivors
+      (3L, Seq("epsilon", "zeta")))
+      .toDF("doc_id", "lines")
+    val out = Dedup.lineDedup(docsDf, minDocFreq = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((3L, 2L, md5Hex("alpha beta\ngamma"))))
+    assert(out(1L) == ((2L, 1L, md5Hex("delta"))))
+    assert(out(2L) == ((1L, 0L, md5Hex("")))) // present, empty survivor set
+    assert(out(3L) == ((2L, 2L, md5Hex("epsilon\nzeta"))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("text analysis edge cases: empty and whitespace-only text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "the the the")).toDF("doc_id", "text")
     val out = df.select(
