@@ -163,6 +163,17 @@ object QueriesTrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8-quantized scoring with exact rerank (the memory-bound ANN
+    * layout: 4x smaller resident corpus, float math only for the
+    * survivors). Exposes both the approx and the exact score so the
+    * quantization error is directly observable.
+    */
+  private def s5QuantizedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.quantizedTopK(e, e.where(col("vec_id") < 20), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label embedding centroids: elementwise mean vector, reported
     * as (label, n, centroid norm) — the vector-aggregation shape that
     * clustering/IVF coarse quantizers need at scale (explode + grouped
@@ -401,7 +412,10 @@ object QueriesTrainingData {
     * document frequency >= 5, reassemble, fingerprint the survivors.
     */
   private def d12LineDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.lineDedup(lineDf(s, dir), minDocFreq = 5).orderBy("doc_id")
+    Dedup.lineDedup(lineDf(s, dir), minDocFreq = 5)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
 
   /** Per-registrable-domain document cap (crawl-corpus domain
     * balancing): canonical-URL dedup first, then keep at most 3 pages
@@ -488,6 +502,7 @@ object QueriesTrainingData {
     "s1_cosine_topk" -> (s1CosineTopK(_, _)),
     "s2_ann_lsh" -> (s2AnnLsh(_, _)),
     "s4_ann_lsh_multiprobe" -> (s4AnnLshMultiprobe(_, _)),
+    "s5_quantized_cosine" -> (s5QuantizedCosine(_, _)),
     "u1_url_dedup" -> (u1UrlDedup(_, _)),
     "u2_domain_stats" -> (u2DomainStats(_, _)),
     "d12_line_dedup" -> (d12LineDedup(_, _)),
@@ -963,6 +978,33 @@ object QueriesTrainingData {
          |SELECT query_id, neighbor_id, cos_sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
          |    AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s5_quantized_cosine" ->
+      s"""WITH $normVecCte,
+         |qt AS (
+         |  SELECT vec_id, en,
+         |    list_max(list_transform(en, x -> abs(x))) / 127.0 AS scale
+         |  FROM vn
+         |), qv AS (
+         |  SELECT vec_id, en, scale,
+         |    CASE WHEN scale > 0
+         |      THEN list_transform(en, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+         |      ELSE list_transform(en, x -> CAST(0 AS BIGINT)) END AS qv
+         |  FROM qt
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i]))
+         |      * q.scale * c.scale, 6) AS approx_cos,
+         |    q.en AS q_en, c.en AS c_en
+         |  FROM qv q JOIN qv c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, approx_cos,
+         |  round(list_sum(list_transform(range(1, 65), i -> q_en[i] * c_en[i])), 6) AS cos_sim,
+         |  rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY approx_cos DESC, neighbor_id) AS rank
          |  FROM scored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s1_cosine_topk" ->

@@ -113,6 +113,40 @@ object Registry {
         .drop("_canon")
       df.join(survivors, Seq(id), "left_semi")
     },
+    "line_dedup" -> { c => df =>
+      // CCNet-style boilerplate removal: drop lines whose corpus-wide
+      // document frequency reaches min_doc_freq, rewrite the text
+      // column from the surviving lines (docs reduced to nothing are
+      // dropped — an all-chrome page carries no training signal)
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val minDf = int(c, "min_doc_freq").getOrElse(5)
+      val delim = str(c, "delimiter").getOrElse("\n")
+      val lines = df.select(col(id),
+        split(col(text), java.util.regex.Pattern.quote(delim)).as("lines"))
+      val cleaned = operators.Dedup.lineDedup(lines, minDf, id)
+        .where(col("n_kept") > 0)
+        .select(col(id), col("clean_text"))
+      df.drop(text).join(cleaned, Seq(id))
+        .withColumnRenamed("clean_text", text)
+    },
+    "domain_cap" -> { c => df =>
+      // per-registrable-domain quota (crawl balancing): keep at most
+      // max_per_domain docs per domain, lowest id first — ONE window,
+      // no join; the skew this fights is measured by u2_domain_stats
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val url = str(c, "url_column").getOrElse("url")
+      val cap = int(c, "max_per_domain").getOrElse(1000)
+      val dom = operators.TextAnalysis.registrableDomain(
+        operators.TextAnalysis.canonicalizeUrl(col(url)))
+      df.withColumn("_rk", row_number().over(
+          Window.partitionBy(dom).orderBy(col(id))))
+        .where(col("_rk") <= cap)
+        .drop("_rk")
+    },
     "near_dedup" -> { c => df =>
       // n-gram Jaccard near-dup removal: pair graph -> connected
       // components -> keep one doc per cluster. max_df_fraction is the

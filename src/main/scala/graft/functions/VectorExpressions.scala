@@ -107,6 +107,59 @@ object VectorOps {
     new GenericArrayData(out)
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    * q_i = floor(x_i / scale + 0.5) (explicit half-up — `floor(+0.5)`
+    * is the same IEEE op sequence in the DuckDB oracle, unlike
+    * rint/round whose half-even vs half-up semantics differ across
+    * engines). All-zero vectors quantize to all zeros. 4x smaller than
+    * float32 — at corpus scale the quantized vectors are what a
+    * cluster can hold resident for candidate scoring.
+    */
+  def quantize8(v: ArrayData, isFloat: Boolean): ArrayData = {
+    if (hasNullElement(v)) return null
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elem(v, i, isFloat)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Byte](n)
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(elem(v, i, isFloat) / scale + 0.5).toByte; i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The dequantization factor matching [[quantize8]]: max|x| / 127. */
+  def quantScale(v: ArrayData, isFloat: Boolean): java.lang.Double = {
+    if (hasNullElement(v)) return null
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elem(v, i, isFloat)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    java.lang.Double.valueOf(maxAbs / 127.0)
+  }
+
+  /** Exact integer dot product of two int8 vectors (null on length
+    * mismatch / null elements, mirroring [[dot]]). Never overflows:
+    * |sum| <= n * 127^2.
+    */
+  def dotInt8(a: ArrayData, b: ArrayData): java.lang.Long = {
+    if (a.numElements() != b.numElements()) return null
+    if (hasNullElement(a) || hasNullElement(b)) return null
+    var acc = 0L
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { acc += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Per-table sign-bit LSH buckets: bucket[t] has bit p set iff
     * dot(vec, plane_{t*planesPerTable+p}) > 0. One kernel call replaces
     * numTables*planesPerTable interpreted folds. Vectors longer than
@@ -281,6 +334,99 @@ case class LshBuckets(child: Expression, planesPerTable: Int, numTables: Int)
     copy(newChild)
 }
 
+/** vector_quantize8(v) -> array<tinyint> (per-vector max-abs scale). */
+case class VectorQuantize(child: Expression)
+    extends UnaryExpression with VectorExpr {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else VectorOps.quantize8(v.asInstanceOf[ArrayData], isFloatArray(child))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.VectorOps.quantize8(
+          ${c.value}, ${isFloatArray(child)});
+      }
+      boolean ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+/** vector_quant_scale(v) -> double, the max|x|/127 dequantization factor. */
+case class VectorQuantScale(child: Expression)
+    extends UnaryExpression with VectorExpr {
+  override def dataType: DataType = DoubleType
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else VectorOps.quantScale(v.asInstanceOf[ArrayData], isFloatArray(child))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val tmp = ctx.freshName("qsBoxed")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${c.isNull}) {
+        java.lang.Double $tmp = graft.functions.VectorOps.quantScale(
+          ${c.value}, ${isFloatArray(child)});
+        if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp.doubleValue(); }
+      }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+/** vector_dot_int8(a, b) -> bigint over array<tinyint> inputs. */
+case class VectorDotInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    children.map(_.dataType).find {
+      case ArrayType(ByteType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<tinyint> arguments, got ${bad.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else VectorOps.dotInt8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (la, lb) = (left.genCode(ctx), right.genCode(ctx))
+    val tmp = ctx.freshName("dot8Boxed")
+    ev.copy(code = code"""
+      ${la.code}
+      ${lb.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!(${la.isNull} || ${lb.isNull})) {
+        java.lang.Long $tmp = graft.functions.VectorOps.dotInt8(${la.value}, ${lb.value});
+        if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp.longValue(); }
+      }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
@@ -295,4 +441,13 @@ object VectorExpressions {
 
   def lshBuckets(v: Column, planesPerTable: Int, numTables: Int): Column =
     column(LshBuckets(expression(v), planesPerTable, numTables))
+
+  def vectorQuantize(v: Column): Column =
+    column(VectorQuantize(expression(v)))
+
+  def vectorQuantScale(v: Column): Column =
+    column(VectorQuantScale(expression(v)))
+
+  def vectorDotInt8(a: Column, b: Column): Column =
+    column(VectorDotInt8(expression(a), expression(b)))
 }

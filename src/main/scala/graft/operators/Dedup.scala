@@ -473,8 +473,8 @@ object Dedup {
     * surviving lines in original order.
     *
     * Input: one row per document with an ordered array column of lines.
-    * Output: (id, n_lines, n_kept, clean_md5) — md5 of the newline-
-    * rejoined survivors (md5("") when everything was boilerplate).
+    * Output: (id, n_lines, n_kept, clean_text) — the newline-rejoined
+    * survivors ("" when everything was boilerplate).
     *
     * Scale shape: the frequency pass groups on the 60-bit line hash, so
     * the corpus-wide shuffle carries (hash, id) pairs, never line text;
@@ -499,15 +499,15 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_kept"),
-        md5(array_join(
+        array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             kv => kv.getField("line")),
-          "\n").cast("binary")).as("clean_md5"))
+          "\n").as("clean_text"))
     docs
       .select(col(idCol), size(col(linesCol)).cast("long").as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_md5"), md5(lit("").cast("binary"))).as("clean_md5"))
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

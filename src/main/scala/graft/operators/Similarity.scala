@@ -67,6 +67,47 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Int8-quantized top-k with exact rerank: score query x corpus on
+    * symmetric per-vector int8 quantizations of the unit vectors
+    * (approx_cos = int_dot * scale_q * scale_c), rank on the approx
+    * score, and attach the exact cosine of the winners — the standard
+    * memory-bound ANN layout (quantized corpus resident, float vectors
+    * only touched for the k survivors).
+    *
+    * Same broadcast nested-loop shape as [[bruteForceTopK]]; the
+    * difference is the per-pair kernel (int8 MAC vs double MAC) and
+    * that a corpus partition streams 1/4 the bytes. The exact vectors
+    * ride the corpus rows here (single pass); a disk-resident variant
+    * would join them back post-rank instead.
+    */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.{vectorDotInt8, vectorQuantScale, vectorQuantize}
+    def prep(df: DataFrame, role: String): DataFrame =
+      df.select(col(idCol).as(s"${role}_id"), normalized(col(vecCol)).as("en"))
+        .select(col(s"${role}_id"), col("en").as(s"${role}_en"),
+          vectorQuantScale(col("en")).as(s"${role}_scale"),
+          vectorQuantize(col("en")).as(s"${role}_qv"))
+    val c = prep(corpus, "neighbor")
+    val q = prep(queries, "query")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vectorDotInt8(col("query_qv"), col("neighbor_qv")) *
+          col("query_scale") * col("neighbor_scale"), 6).as("approx_cos"),
+        col("query_en"), col("neighbor_en"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      // exact rerank math only for the k survivors per query
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
+        round(dot(col("query_en"), col("neighbor_en")), 6).as("cos_sim"),
+        col("rank"))
+  }
+
   // hyperplane components live with the kernel (same md5 scheme as the
   // round-1 literal shipping — signatures are unchanged)
   private def planeComponent(p: Int, i: Int): Double =

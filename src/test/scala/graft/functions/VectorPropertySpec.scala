@@ -61,4 +61,44 @@ object VectorPropertySpec extends Properties("vector-kernels") {
       VectorOps.lshBuckets(ad(a), false, 4, 4).toLongArray()
         .sameElements(VectorOps.lshBuckets(ad(scaled), false, 4, 4).toLongArray())
     }
+
+  property("quantize8 stays in [-127,127] and dequantizes within scale/2 per element") =
+    Prop.forAll(vecGen) { a =>
+      val q = VectorOps.quantize8(ad(a), false).toByteArray()
+      val s = VectorOps.quantScale(ad(a), false).doubleValue()
+      q.length == a.length && q.forall(b => b >= -127 && b <= 127) &&
+        (s == 0.0 || a.indices.forall(i => math.abs(q(i) * s - a(i)) <= s / 2 + 1e-12))
+    }
+
+  property("quantize8 of the zero vector is all zeros with zero scale") =
+    Prop.forAll(Gen.choose(1, 96)) { n =>
+      val z = Array.fill(n)(0.0)
+      VectorOps.quantize8(ad(z), false).toByteArray().forall(_ == 0) &&
+        VectorOps.quantScale(ad(z), false).doubleValue() == 0.0
+    }
+
+  property("dotInt8 dequantized approximates the exact dot of unit vectors") =
+    Prop.forAll(vecGen) { a =>
+      a.forall(_ == 0.0) || {
+        val ea = VectorOps.normalize(ad(a), false)
+        val b = a.map(x => -x * 0.25 + 1.0)
+        val eb = VectorOps.normalize(ad(b), false)
+        val (qa, qb) = (VectorOps.quantize8(ea, false), VectorOps.quantize8(eb, false))
+        val (sa, sb) = (VectorOps.quantScale(ea, false).doubleValue(),
+          VectorOps.quantScale(eb, false).doubleValue())
+        val approx = VectorOps.dotInt8(qa, qb).longValue() * sa * sb
+        val exact = VectorOps.dot(ea, false, eb, false).doubleValue()
+        // worst-case per-element error s/2 each side, n elements, unit norms
+        math.abs(approx - exact) <= a.length * (sa / 2 + sb / 2) + 1e-9
+      }
+    }
+
+  property("dotInt8 is null on length mismatch") =
+    Prop.forAll(vecGen) { a =>
+      a.length < 2 || {
+        val q = VectorOps.quantize8(ad(a), false)
+        val shorter = VectorOps.quantize8(ad(a.drop(1)), false)
+        VectorOps.dotInt8(q, shorter) == null
+      }
+    }
 }

@@ -413,15 +413,37 @@ class TrainingDataSpec extends SparkSpec {
       .toDF("doc_id", "lines")
     val out = Dedup.lineDedup(docsDf, minDocFreq = 2).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
-    assert(out(0L) == ((3L, 2L, md5Hex("alpha beta\ngamma"))))
-    assert(out(1L) == ((2L, 1L, md5Hex("delta"))))
-    assert(out(2L) == ((1L, 0L, md5Hex("")))) // present, empty survivor set
-    assert(out(3L) == ((2L, 2L, md5Hex("epsilon\nzeta"))))
+    assert(out(0L) == ((3L, 2L, "alpha beta\ngamma")))
+    assert(out(1L) == ((2L, 1L, "delta")))
+    assert(out(2L) == ((1L, 0L, ""))) // present, empty survivor set
+    assert(out(3L) == ((2L, 2L, "epsilon\nzeta")))
   }
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  test("registry line_dedup rewrites text and drops all-boilerplate docs") {
+    import org.json4s.jackson.JsonMethods.parse
+    val docsDf = Seq(
+      (0L, "promo\nalpha beta\ngamma", "a"),
+      (1L, "promo\ndelta", "a"),
+      (2L, "promo", "b"), // nothing survives -> row dropped
+      (3L, "epsilon\nzeta", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.Registry.transformers("line_dedup")(
+      parse("""{"min_doc_freq": 2}"""))(docsDf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(0L -> "alpha beta\ngamma", 1L -> "delta", 3L -> "epsilon\nzeta"))
+  }
+
+  test("registry domain_cap keeps lowest ids per registrable domain") {
+    import org.json4s.jackson.JsonMethods.parse
+    val df = Seq(
+      (0L, "https://a.example.com/x"), (1L, "https://b.example.com/y"),
+      (2L, "https://example.com/z"), (3L, "https://other.net/w"))
+      .toDF("doc_id", "url")
+    val kept = graft.Registry.transformers("domain_cap")(
+      parse("""{"max_per_domain": 2}"""))(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 3L), s"kept $kept") // example.com capped at 2
+  }
 
   test("text analysis edge cases: empty and whitespace-only text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "the the the")).toDF("doc_id", "text")
