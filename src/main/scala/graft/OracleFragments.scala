@@ -124,6 +124,46 @@ private[graft] object OracleFragments {
       |       CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS en
       |       FROM vn0)""".stripMargin
 
+  /** CTEs seeds..cellassign: deterministic coarse cells over
+    * `embeddings` — seed centroids (vec_id < nCells), ONE 6-dp-
+    * quantized Lloyd step, nearest-cell assignment. Exactly
+    * Clustering.trainCentroids(iterations = 1) + assign. Requires the
+    * `ve` CTE from [[normVecCte]] in scope; leaves `d1` (per-cell
+    * distances) visible for probe-style consumers.
+    */
+  def ivfCellsCte(nCells: Int): String =
+    s"""seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < $nCells),
+       |d0 AS (
+       |  SELECT v.vec_id, s.cid,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (v.e[i] - s.ce[i]) * (v.e[i] - s.ce[i]))) AS dist
+       |  FROM ve v CROSS JOIN seeds s
+       |), a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) WHERE rn = 1
+       |), means AS (
+       |  SELECT a0.cid, i AS pos, round(sum(v.e[i::INT]) / count(*), 6) AS m
+       |  FROM a0 JOIN ve v USING (vec_id) CROSS JOIN range(1, 65) r(i)
+       |  GROUP BY a0.cid, i
+       |), newc AS (
+       |  SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid
+       |), cents AS (
+       |  SELECT s.cid, coalesce(n.ce, s.ce) AS ce
+       |  FROM seeds s LEFT JOIN newc n USING (cid)
+       |), d1 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
+       |  FROM ve v CROSS JOIN cents c
+       |), cellassign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) WHERE rn = 1
+       |)""".stripMargin
+
   /** CTEs planes/lshbits/lshbuckets: per-table sign-bit hyperplane LSH
     * buckets — VectorOps.lshBuckets' exact math (md5-derived plane
     * components on the RAW vector, left-to-right accumulation, bucket

@@ -486,7 +486,16 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup over the embeddings table: coarse cells (same
+    * deterministic training as s3's index), greedy leader election at
+    * cosine >= 0.3 within each cell.
+    */
+  private def d13SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Clustering.semanticDedup(t(s, dir, "embeddings"), nCells = 16, tau = 0.3)
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_semantic_dedup" -> (d13SemanticDedup(_, _)),
     "q20_range_join" -> (q20RangeJoin(_, _)),
     "q21_subqueries" -> (q21Subqueries(_, _)),
     "q22_grouping_sets" -> (q22GroupingSets(_, _)),
@@ -663,39 +672,28 @@ object QueriesExtended {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d13_semantic_dedup" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |pr AS (
+         |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM cellassign a JOIN cellassign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |), dup AS (
+         |  SELECT DISTINCT p.b_id
+         |  FROM pr p
+         |  JOIN vn x ON x.vec_id = p.a_id
+         |  JOIN vn y ON y.vec_id = p.b_id
+         |  WHERE round(list_sum(list_transform(range(1, 65),
+         |    i -> x.en[i] * y.en[i])), 6) >= 0.3
+         |)
+         |SELECT c.vec_id, c.cell,
+         |  (c.vec_id NOT IN (SELECT b_id FROM dup)) AS kept
+         |FROM cellassign c ORDER BY c.vec_id""".stripMargin,
     "s3_ann_ivf" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < 16),
-         |d0 AS (
-         |  SELECT v.vec_id, s.cid,
-         |    list_sum(list_transform(range(1, 65),
-         |      i -> (v.e[i] - s.ce[i]) * (v.e[i] - s.ce[i]))) AS dist
-         |  FROM ve v CROSS JOIN seeds s
-         |), a0 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d0) WHERE rn = 1
-         |), means AS (
-         |  SELECT a0.cid, i AS pos, round(sum(v.e[i::INT]) / count(*), 6) AS m
-         |  FROM a0 JOIN ve v USING (vec_id) CROSS JOIN range(1, 65) r(i)
-         |  GROUP BY a0.cid, i
-         |), newc AS (
-         |  SELECT cid, list(m ORDER BY pos) AS ce FROM means GROUP BY cid
-         |), cents AS (
-         |  SELECT s.cid, coalesce(n.ce, s.ce) AS ce
-         |  FROM seeds s LEFT JOIN newc n USING (cid)
-         |), d1 AS (
-         |  SELECT v.vec_id, c.cid,
-         |    list_sum(list_transform(range(1, 65),
-         |      i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
-         |  FROM ve v CROSS JOIN cents c
-         |), cellassign AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d1) WHERE rn = 1
-         |), probes AS (
+         |${OracleFragments.ivfCellsCte(16)},
+         |probes AS (
          |  SELECT vec_id AS query_id, cid AS cell FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn

@@ -147,6 +147,20 @@ object Registry {
         .where(col("_rk") <= cap)
         .drop("_rk")
     },
+    "semantic_dedup" -> { c => df =>
+      // SemDeDup: embedding-space near-dup removal — coarse k-means
+      // cells, greedy lowest-id leader per cosine-similar group within
+      // a cell (Clustering.semanticDedup). n_cells is the scale knob
+      // (cost is sum(|cell|^2)); rows need an embedding column
+      import org.apache.spark.sql.functions.col
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val vec = str(c, "vector_column").getOrElse("embedding")
+      val n = int(c, "n_cells").getOrElse(256)
+      val tau = (c \ "threshold").extractOpt[Double].getOrElse(0.9)
+      val kept = operators.Clustering.semanticDedup(df, n, tau, 1, id, vec)
+        .where(col("kept")).select(col(id))
+      df.join(kept, Seq(id), "left_semi")
+    },
     "near_dedup" -> { c => df =>
       // n-gram Jaccard near-dup removal: pair graph -> connected
       // components -> keep one doc per cluster. max_df_fraction is the

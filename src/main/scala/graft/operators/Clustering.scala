@@ -213,4 +213,39 @@ object Clustering {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings into coarse cells, then dropping every
+    * vector with an earlier (lower-id) same-cell neighbor at cosine >=
+    * `tau` — the greedy leader policy, deterministic and replayable
+    * (unlike random-representative selection). Cross-cell near-dups are
+    * missed by construction; that is the accepted recall trade the
+    * paper makes for never comparing across clusters.
+    *
+    * Output: (id, cell, kept). Scale shape: pairing is blocked per
+    * cell (the equi-join on cell is the only corpus-wide shuffle), so
+    * cost is sum(|cell|^2), never corpus^2 — nCells is the knob that
+    * grows with the corpus (~sqrt(n) cells keeps expected cell size
+    * flat); centroids stay k x dims driver-side like every path here.
+    */
+  def semanticDedup(
+      corpus: DataFrame, nCells: Int, tau: Double, iterations: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol)
+    require(cents.nonEmpty,
+      s"semanticDedup: no seed vectors with $idCol < $nCells - seed ids must start at 0")
+    val cells = assign(corpus, cents, vecCol).select(
+      col(idCol), col("centroid_id").as("cell"),
+      Similarity.normalized(col(vecCol)).as("en"))
+    val a = cells.select(col("cell"), col(idCol).as("a_id"), col("en").as("a_en"))
+    val b = cells.select(col("cell"), col(idCol).as("b_id"), col("en").as("b_en"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .where(round(Similarity.dot(col("a_en"), col("b_en")), 6) >= tau)
+      .select(col("b_id").as(idCol))
+      .distinct()
+    cells
+      .join(dropped.withColumn("_dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("_dup").isNull.as("kept"))
+  }
 }

@@ -433,6 +433,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(out == Map(0L -> "alpha beta\ngamma", 1L -> "delta", 3L -> "epsilon\nzeta"))
   }
 
+  test("semantic dedup drops the in-cell cosine dup, keeps leaders and singletons") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.995f, 0.1f)), // cos ~0.995 with 0 -> dropped
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))) // cos -1 with 0 -> kept
+      .toDF("vec_id", "embedding")
+    val out = Clustering.semanticDedup(vecs, nCells = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true, 3L -> true), s"got $out")
+  }
+
+  test("registry semantic_dedup stage keeps only leader rows") {
+    import org.json4s.jackson.JsonMethods.parse
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.995f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("doc_id", "embedding")
+    val kept = graft.Registry.transformers("semantic_dedup")(
+      parse("""{"n_cells": 2, "threshold": 0.9}"""))(vecs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L), s"kept $kept")
+  }
+
   test("registry domain_cap keeps lowest ids per registrable domain") {
     import org.json4s.jackson.JsonMethods.parse
     val df = Seq(
