@@ -124,6 +124,30 @@ class PlanChecksSpec extends SparkSpec {
       s"${hashShuffles.size} hash shuffles — packing should need one:\n$finalPlan")
   }
 
+  test("d12 line dedup removes boilerplate via broadcast anti-join") {
+    val plan = planOf("d12_line_dedup")
+    // the frequency side (df >= K lines) must ship broadcast so the
+    // full line table is never shuffled for the removal step
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"boilerplate removal not a broadcast anti-join:\n$plan")
+  }
+
+  test("s5 quantized scoring broadcasts queries and keeps kernels in codegen") {
+    val plan = planOf("s5_quantized_cosine")
+    assert(!plan.contains("CartesianProduct"),
+      s"quantized scoring degraded to a shuffled product:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.contains("vectordotint8") || plan.contains("VectorDotInt8"),
+      s"int8 kernel missing from plan:\n$plan")
+  }
+
+  test("d13 semantic dedup pairs only within cells - no all-pairs product") {
+    val plan = planOf("d13_semantic_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell blocking lost - all-pairs product:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->agg path of q1") {
     val plan = planOf("q1_agg")
     // '*(n)' prefixes mark codegen stages in Spark 4 plan strings
