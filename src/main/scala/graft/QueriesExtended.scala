@@ -339,6 +339,29 @@ object QueriesExtended {
       .orderBy("source", "rk")
   }
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    * the distributed-friendly form): key = -ln(u) / w with u a
+    * hash-derived uniform in (0, 1] and w the 6-dp quality score
+    * (floored at 0.01 so zero-quality docs stay sampleable); the k
+    * smallest keys per source win. Pure per-row key computation + one
+    * per-stratum top-k window — the same single-shuffle shape as x9's
+    * uniform reservoir, but quality-tilted.
+    */
+  private def x19WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = Dedup.hash60(concat(lit("ws:"), col("doc_id").cast("string")))
+    // long add BEFORE the double cast — h spans the full 60 bits, so
+    // (double)h + 1.0 and (double)(h + 1) round differently
+    val u = (h + lit(1L)).cast("double") / 1.152921504606846976e18
+    val wq = greatest(operators.TextAnalysis.qualityScore(col("text")), lit(0.01))
+    val w = Window.partitionBy("source").orderBy(col("sample_key"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("sample_key", round(negative(log(u)) / wq, 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select("source", "rk", "doc_id", "sample_key")
+      .orderBy("source", "rk")
+  }
+
   // --- q27: bag-semantics set operations -------------------------------
 
   /** INTERSECT ALL / EXCEPT ALL (multiset semantics — q9 covers the
@@ -519,6 +542,7 @@ object QueriesExtended {
     "q27_setops_all" -> (q27SetopsAll(_, _)),
     "x8_bm25" -> (x8Bm25(_, _)),
     "x9_reservoir_sample" -> (x9ReservoirSample(_, _)),
+    "x19_weighted_sample" -> (x19WeightedSample(_, _)),
     "q28_funnel" -> (q28Funnel(_, _)),
     "s3_ann_ivf" -> (s3AnnIvf(_, _)))
 
@@ -672,6 +696,19 @@ object QueriesExtended {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x19_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT source, doc_id,
+         |    round(-ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+         |        / 1152921504606846976.0)
+         |      / greatest(${OracleFragments.qualitySql}, 0.01), 6) AS sample_key
+         |  FROM documents
+         |)
+         |SELECT source, rk, doc_id, sample_key FROM (
+         |  SELECT source, doc_id, sample_key,
+         |    row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS rk
+         |  FROM keyed
+         |) WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "d13_semantic_dedup" ->
       s"""WITH ${OracleFragments.normVecCte},
          |${OracleFragments.ivfCellsCte(16)},

@@ -334,6 +334,37 @@ object QueriesTrainingData {
       .orderBy("lang")
   }
 
+  /** Stream-static dedup (the continuous form of d11's increment
+    * check): new documents arrive as a JSONL stream — one micro-batch
+    * per landed file — and each is flagged against the STATIC corpus's
+    * content hashes via a stream-static broadcast join. Append mode:
+    * no state store at all — the static hash set is the only
+    * "memory", so throughput scales with batch size, not history.
+    */
+  private def st6StreamStaticDedup(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 7
+    val path = TempDirs.cached(s"jsonl_new:$dir") { d =>
+      graft.sources.JsonlSource.write(
+        docs(s, dir).where(isNew).select("doc_id", "text", "lang", "source"), d)
+    }
+    def contentMd5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      md5(TextAnalysis.normalize(c).cast("binary"))
+    val corpusMd5 = docs(s, dir).where(!isNew)
+      .select(contentMd5(col("text")).as("content_md5"))
+      .distinct()
+    val stream = s.readStream
+      .schema(graft.sources.JsonlSource.documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(path)
+      .select(col("doc_id"), contentMd5(col("text")).as("content_md5"))
+    val flagged = stream
+      .join(broadcast(corpusMd5.withColumn("_dup", lit(true))), Seq("content_md5"), "left")
+      .select(col("doc_id"), col("_dup").isNotNull.as("is_exact_dup"))
+    graft.streaming.EventStreaming.drainToMemorySink(s, "st6_mem",
+        outputMode = "append")(flagged)
+      .orderBy("doc_id")
+  }
+
   // --- url canonicalization / web-corpus dedup -------------------------
 
   /** URL table synthesized from documents (the raw corpus has no url
@@ -511,6 +542,7 @@ object QueriesTrainingData {
     "j1_jsonl_ingest" -> (j1JsonlIngest(_, _)),
     "c1_corpus_card" -> (c1CorpusCard(_, _)),
     "st5_jsonl_stream" -> (st5JsonlStream(_, _)),
+    "st6_stream_static_dedup" -> (st6StreamStaticDedup(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -886,6 +918,16 @@ object QueriesTrainingData {
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "st6_stream_static_dedup" ->
+      s"""WITH tagged AS (SELECT doc_id, (doc_id % 10 = 7) AS is_new FROM documents),
+         |ch AS (SELECT doc_id, md5($normSql) AS content_md5 FROM documents),
+         |corpus_md5 AS (
+         |  SELECT DISTINCT content_md5 FROM ch JOIN tagged USING (doc_id) WHERE NOT is_new
+         |)
+         |SELECT t.doc_id,
+         |  (ch.content_md5 IN (SELECT content_md5 FROM corpus_md5)) AS is_exact_dup
+         |FROM tagged t JOIN ch USING (doc_id)
+         |WHERE t.is_new ORDER BY t.doc_id""".stripMargin,
     "u1_url_dedup" ->
       s"""WITH $urlCanonCte
          |SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS n_docs
