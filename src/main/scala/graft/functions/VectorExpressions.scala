@@ -160,6 +160,25 @@ object VectorOps {
     java.lang.Long.valueOf(acc)
   }
 
+  /** Binary search in a SORTED long array (membership test against a
+    * broadcast-small sorted set — e.g. the boilerplate line-hash set in
+    * line dedup). O(log n) per probe where `array_contains` is O(n);
+    * at a 10^4-entry set that is the difference between 14 and 10^4
+    * comparisons per line.
+    */
+  def sortedContains(sorted: ArrayData, x: Long): Boolean = {
+    var lo = 0
+    var hi = sorted.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = sorted.getLong(mid)
+      if (v == x) return true
+      else if (v < x) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
   /** Per-table sign-bit LSH buckets: bucket[t] has bit p set iff
     * dot(vec, plane_{t*planesPerTable+p}) > 0. One kernel call replaces
     * numTables*planesPerTable interpreted folds. Vectors longer than
@@ -427,6 +446,43 @@ case class VectorDotInt8(left: Expression, right: Expression)
     copy(newLeft, newRight)
 }
 
+/** sorted_contains(sorted_array<long>, x) -> boolean (binary search). */
+case class SortedContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, bigint), got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else java.lang.Boolean.valueOf(
+      VectorOps.sortedContains(a.asInstanceOf[ArrayData], b.asInstanceOf[Long]))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (la, lb) = (left.genCode(ctx), right.genCode(ctx))
+    ev.copy(code = code"""
+      ${la.code}
+      ${lb.code}
+      boolean ${ev.isNull} = (${la.isNull} || ${lb.isNull});
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.VectorOps.sortedContains(${la.value}, ${lb.value});
+      }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
@@ -450,4 +506,7 @@ object VectorExpressions {
 
   def vectorDotInt8(a: Column, b: Column): Column =
     column(VectorDotInt8(expression(a), expression(b)))
+
+  def sortedContains(sortedArr: Column, x: Column): Column =
+    column(SortedContains(expression(sortedArr), expression(x)))
 }

@@ -477,37 +477,35 @@ object Dedup {
     * survivors ("" when everything was boilerplate).
     *
     * Scale shape: the frequency pass groups on the 60-bit line hash, so
-    * the corpus-wide shuffle carries (hash, id) pairs, never line text;
-    * the boilerplate set (df >= K) is tiny relative to the corpus — a
-    * few thousand chrome lines even at crawl scale — so the removal is
-    * a broadcast anti-join and the full line table is never shuffled a
-    * second time. The only other shuffle is the per-document regroup.
+    * the only corpus-wide shuffle carries (hash, id) pairs, never line
+    * text. The boilerplate set it yields (df >= K) is tiny relative to
+    * the corpus — a few thousand chrome lines even at crawl scale — so
+    * it is aggregated into ONE sorted array, broadcast, and each
+    * document's lines array is filtered IN PLACE with a binary-search
+    * kernel (O(log |boilerplate|) per line). No explode of the probe
+    * side, no per-document regroup shuffle, no collect_list: the first
+    * form of this operator rebuilt documents from exploded rows and the
+    * regroup + sorted-struct collect cost 18x the rest of the query.
     */
   def lineDedup(
       docs: DataFrame, minDocFreq: Int,
       idCol: String = "doc_id", linesCol: String = "lines"): DataFrame = {
-    val lines = docs
-      .select(col(idCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
-      .withColumn("lh", hash60(col("line")))
-    val boilerplate = broadcast(
-      lines.select(col("lh"), col(idCol)).distinct()
-        .groupBy("lh").agg(count(lit(1)).as("doc_freq"))
-        .where(col("doc_freq") >= minDocFreq)
-        .select("lh"))
-    val rebuilt = lines
-      .join(boilerplate, Seq("lh"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            kv => kv.getField("line")),
-          "\n").as("clean_text"))
+    import graft.functions.VectorExpressions.sortedContains
+    val boilerplate = docs
+      .select(col(idCol), explode(col(linesCol)).as("line"))
+      .select(col(idCol), hash60(col("line")).as("lh"))
+      .distinct()
+      .groupBy("lh").agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocFreq)
+      // one row holding the whole (small) set, sorted for binary search
+      .agg(sort_array(collect_list(col("lh"))).as("boiler"))
+    val kept = filter(col(linesCol),
+      l => !sortedContains(col("boiler"), hash60(l)))
     docs
-      .select(col(idCol), size(col(linesCol)).cast("long").as("n_lines"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .crossJoin(broadcast(boilerplate))
+      .select(col(idCol),
+        size(col(linesCol)).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, "\n").as("clean_text"))
   }
 }

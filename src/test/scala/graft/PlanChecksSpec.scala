@@ -124,12 +124,19 @@ class PlanChecksSpec extends SparkSpec {
       s"${hashShuffles.size} hash shuffles — packing should need one:\n$finalPlan")
   }
 
-  test("d12 line dedup removes boilerplate via broadcast anti-join") {
+  test("d12 line dedup: one frequency shuffle, in-place broadcast filter") {
     val plan = planOf("d12_line_dedup")
-    // the frequency side (df >= K lines) must ship broadcast so the
-    // full line table is never shuffled for the removal step
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"boilerplate removal not a broadcast anti-join:\n$plan")
+    // the boilerplate set ships as ONE broadcast sorted array; the
+    // probe side must filter in place (binary-search kernel), never
+    // explode + regroup (the regroup shuffle cost 18x the rest)
+    assert(plan.toLowerCase.contains("sortedcontains"),
+      s"binary-search kernel missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"removal degraded to SMJ:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val hashShuffles = """Exchange hashpartitioning[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSet
+    assert(hashShuffles.size <= 2,
+      s"${hashShuffles.size} hash shuffles — probe side regrouping?\n$finalPlan")
   }
 
   test("s5 quantized scoring broadcasts queries and keeps kernels in codegen") {

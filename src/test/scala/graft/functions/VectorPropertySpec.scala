@@ -93,6 +93,13 @@ object VectorPropertySpec extends Properties("vector-kernels") {
       }
     }
 
+  property("sortedContains matches linear membership on sorted arrays") =
+    Prop.forAll(Gen.listOf(Gen.choose(-1000L, 1000L)), Gen.choose(-1000L, 1000L)) { (xs, probe) =>
+      val sorted = xs.distinct.sorted.toArray
+      val arr = new GenericArrayData(sorted)
+      VectorOps.sortedContains(arr, probe) == sorted.contains(probe)
+    }
+
   property("dotInt8 is null on length mismatch") =
     Prop.forAll(vecGen) { a =>
       a.length < 2 || {
