@@ -82,6 +82,9 @@ object QueriesTrainingData {
   private def x13UnigramLogprob(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogProb(docs(s, dir)).orderBy("doc_id")
 
+  private def x20BigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(s, dir)).orderBy("doc_id")
+
   private def d9Contamination(s: SparkSession, dir: String): DataFrame =
     Dedup.contaminationPairs(docs(s, dir), n = 3, minShared = 3,
         evalPred = Dedup.hash60(col("doc_id").cast("string")) % 20 === 0)
@@ -518,6 +521,7 @@ object QueriesTrainingData {
     "x11_repetition" -> (x11Repetition(_, _)),
     "x12_pii" -> (x12Pii(_, _)),
     "x13_unigram_logprob" -> (x13UnigramLogprob(_, _)),
+    "x20_bigram_logprob" -> (x20BigramLogprob(_, _)),
     "x14_seq_pack" -> (x14SeqPack(_, _)),
     "x15_source_mix" -> (x15SourceMix(_, _)),
     "x16_shard_shuffle" -> (x16ShardShuffle(_, _)),
@@ -756,6 +760,24 @@ object QueriesTrainingData {
          |  round(sum(round(ln(cf / n_total) * 1e6)::BIGINT)::DOUBLE
          |        / (count(*) * 1e6), 6) AS avg_logprob
          |FROM toks JOIN freq USING (w), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x20_bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |tl AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bgs AS (
+         |  SELECT doc_id, unnest(t[1 : len(t) - 1]) AS w1, unnest(t[2 : len(t)]) AS w2
+         |  FROM tl WHERE len(t) >= 2
+         |), uni AS (SELECT w, count(*) AS cf FROM toks GROUP BY w),
+         |tot AS (SELECT sum(cf)::DOUBLE AS n_total FROM uni),
+         |bgf AS (SELECT w1, w2, count(*) AS cbg FROM bgs GROUP BY w1, w2)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(sum(round(ln(0.75 * (cbg::DOUBLE / u1.cf)
+         |                     + 0.25 * (u2.cf::DOUBLE / n_total)) * 1e6)::BIGINT)::DOUBLE
+         |        / (count(*) * 1e6), 6) AS avg_logprob
+         |FROM bgs
+         |JOIN bgf USING (w1, w2)
+         |JOIN uni u1 ON u1.w = bgs.w1
+         |JOIN uni u2 ON u2.w = bgs.w2, tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d9_contamination" ->
       s"""WITH sh AS (

@@ -300,23 +300,32 @@ object Registry {
       df.withColumn(text, operators.TextAnalysis.redactPii(col(text)))
     },
     "perplexity_filter" -> { c => df =>
-      // keep docs whose mean unigram log-prob (corpus-trained) clears
-      // the floor — the CCNet-style fluency filter. Token-less docs
-      // (empty/null text) have no defined score: dropped by default,
-      // kept when keep_empty is set — never silently threshold-exempt
+      // keep docs whose mean log-prob (corpus-trained LM) clears the
+      // floor — the CCNet-style fluency filter. order 1 = unigram
+      // (default), order 2 = interpolated bigram (sharper fluency
+      // signal; docs with < order tokens have no score). Token-less /
+      // scoreless docs are dropped by default, kept when keep_empty is
+      // set — never silently threshold-exempt
       import org.apache.spark.sql.functions._
       val id = str(c, "id_column").getOrElse("doc_id")
       val text = str(c, "text_column").getOrElse("text")
       val minAvg = (c \ "min_avg_logprob").extractOpt[Double].getOrElse(-8.0)
       val keepEmpty = bool(c, "keep_empty").getOrElse(false)
-      val keep = operators.TextAnalysis.unigramLogProb(df, id, text)
+      val order = int(c, "order").getOrElse(1)
+      require(order == 1 || order == 2, s"perplexity_filter: order must be 1 or 2, got $order")
+      val scoredLm =
+        if (order == 2) operators.TextAnalysis.bigramLogProb(df, idCol = id, textCol = text)
+        else operators.TextAnalysis.unigramLogProb(df, id, text)
+      val keep = scoredLm
         .where(col("avg_logprob") >= minAvg)
         .select(col(id))
       val scored = df.join(keep, Seq(id), "left_semi")
       if (!keepEmpty) scored
       else scored.unionByName(
+        // scoreless = fewer tokens than the LM order needs (0 for
+        // unigram, 0 or 1 for bigram)
         df.where(size(operators.TextAnalysis.wsTokens(
-          operators.TextAnalysis.normalize(col(text)))) === 0))
+          operators.TextAnalysis.normalize(col(text)))) < order))
     },
     "decontaminate" -> { c => df =>
       // drop training docs sharing >= min_shared n-gram shingles with

@@ -170,6 +170,50 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Interpolated bigram LM score (one order above [[unigramLogProb]] —
+    * the KenLM-shaped perplexity quality signal): per-bigram
+    * p = lambda * c(w1 w2)/c(w1) + (1-lambda) * c(w2)/N, averaged in
+    * log space per document. c(w1) is the plain unigram count (not the
+    * bigram-first-position count), so the conditional mass sums to
+    * slightly under 1 — standard for a scoring heuristic, documented.
+    *
+    * Same determinism discipline as unigram: per-bigram log-probs are
+    * quantized to integer micro-nats BEFORE the per-doc sum, so the
+    * grouped aggregation is exact integer math — summation order
+    * cannot flip the rounded average. Docs with < 2 tokens produce no
+    * bigrams and are omitted (both engines agree by construction).
+    */
+  def bigramLogProb(
+      docs: org.apache.spark.sql.DataFrame, lambda: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toksArr = wsTokens(normalize(col(textCol)))
+    val n = size(toksArr)
+    val bgArr = when(n >= 2, transform(sequence(lit(1), n - 1),
+        i => struct(element_at(toksArr, i).as("w1"),
+          element_at(toksArr, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bgs = docs.select(col(idCol), explode(bgArr).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val toks = docs.select(col(idCol), explode(toksArr).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cf"))
+    val bgf = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val total = uni.select(sum("cf").cast("double").as("n_total"))
+    val p = lit(lambda) * (col("cbg").cast("double") / col("c1")) +
+      lit(1.0 - lambda) * (col("c2").cast("double") / col("n_total"))
+    val microNats = round(log(p) * 1e6).cast("long")
+    bgs
+      .join(bgf, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("cf").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cf").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), microNats.as("lq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("lq").as("slq"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("slq").cast("double") / (col("n_bigrams") * 1e6), 6)
+          .as("avg_logprob"))
+  }
+
   // --- PII detection / redaction ---------------------------------------
 
   /** Conservative PII patterns (lowercase text): chosen for identical

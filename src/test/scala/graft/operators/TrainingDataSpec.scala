@@ -456,6 +456,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Set(0L, 2L), s"kept $kept")
   }
 
+  test("bigram logprob scores repeated phrases above shuffled ones; registry order=2 wires it") {
+    import org.json4s.jackson.JsonMethods.parse
+    // docs 0/1 share every bigram; doc 2 uses the same words in an
+    // order whose bigrams appear only once — lower interpolated score
+    val df = Seq(
+      (0L, "the quick fox jumps high"),
+      (1L, "the quick fox jumps high"),
+      (2L, "high the jumps quick fox"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(0L) == scored(1L))
+    assert(scored(2L) < scored(0L), s"shuffled doc not penalized: $scored")
+    // one-token docs are scoreless under order=2 but kept with keep_empty
+    val df1 = df.unionByName(Seq((3L, "solo")).toDF("doc_id", "text"))
+    val kept = graft.Registry.transformers("perplexity_filter")(
+      parse(s"""{"order": 2, "min_avg_logprob": ${scored(2L) + 0.001}, "keep_empty": true}"""))(df1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 3L), s"kept $kept")
+  }
+
   test("registry domain_cap keeps lowest ids per registrable domain") {
     import org.json4s.jackson.JsonMethods.parse
     val df = Seq(
