@@ -509,6 +509,55 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** Cross-source content-overlap matrix (3-gram shingle overlap per
+    * source pair, with the overlap coefficient n_shared / min(n_a,
+    * n_b)) — the cross-corpus contamination table consulted before
+    * mixing sources into a training blend. Exact-dup overlap is a
+    * subset of this; shingle overlap also surfaces paraphrase-level
+    * leakage. One distinct (source, hash) table, one self-join on the
+    * 60-bit hash — never doc x doc.
+    */
+  private def c3SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(t(s, dir, "documents"), 3, carryCols = Seq("source"))
+      .select(col("source"), Dedup.hash60(col("s")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("source").as("src_a"), col("h"))
+    val b = sh.select(col("source").as("src_b"), col("h"))
+    a.join(b, Seq("h")).where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("overlap"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Per-cell separation quality for the coarse clustering that s3/d13
+    * block on (simplified silhouette: mean distance to the own centroid
+    * vs mean distance to the nearest OTHER centroid — separation well
+    * under 1.0 means the cells are real structure, near 1.0 means the
+    * blocking is arbitrary). Pure per-row centroid math + one groupBy.
+    */
+  private def e3ClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    val arr = array_sort(array(cents.map { case (cid, c) =>
+      struct(Clustering.sqDist(col("embedding"), typedlit(c.toSeq)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
+    e.select(element_at(arr, 1).as("own"), element_at(arr, 2).as("next"))
+      .select(col("own.cid").as("cell"), col("own.dist").as("d1"),
+        col("next.dist").as("d2"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        round(avg("d1"), 6).as("avg_own"),
+        round(avg("d2"), 6).as("avg_next"),
+        round(avg("d1") / avg("d2"), 6).as("separation"))
+      .orderBy("cell")
+  }
+
   /** SemDeDup over the embeddings table: coarse cells (same
     * deterministic training as s3's index), greedy leader election at
     * cosine >= 0.3 within each cell.
@@ -518,6 +567,8 @@ object QueriesExtended {
       .orderBy("vec_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c3_source_overlap" -> (c3SourceOverlap(_, _)),
+    "e3_cluster_quality" -> (e3ClusterQuality(_, _)),
     "d13_semantic_dedup" -> (d13SemanticDedup(_, _)),
     "q20_range_join" -> (q20RangeJoin(_, _)),
     "q21_subqueries" -> (q21Subqueries(_, _)),
@@ -696,6 +747,39 @@ object QueriesExtended {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c3_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, ${OracleFragments.shinglesSql(3)} AS sh FROM documents
+         |), ex AS (
+         |  SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         |  FROM (SELECT source, unnest(sh) AS s FROM sh)
+         |), sizes AS (SELECT source, count(*) AS n FROM ex GROUP BY source),
+         |shared AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT src_a, src_b, n_shared,
+         |  round(n_shared::DOUBLE / least(sa.n, sb.n), 6) AS overlap
+         |FROM shared
+         |JOIN sizes sa ON sa.source = shared.src_a
+         |JOIN sizes sb ON sb.source = shared.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+    "e3_cluster_quality" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |rk AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d1
+         |)
+         |SELECT o.cid AS cell, count(*) AS n,
+         |  round(avg(o.dist), 6) AS avg_own,
+         |  round(avg(r.dist), 6) AS avg_next,
+         |  round(avg(o.dist) / avg(r.dist), 6) AS separation
+         |FROM (SELECT * FROM rk WHERE rn = 1) o
+         |JOIN (SELECT * FROM rk WHERE rn = 2) r USING (vec_id)
+         |GROUP BY o.cid ORDER BY cell""".stripMargin,
     "x19_weighted_sample" ->
       s"""WITH keyed AS (
          |  SELECT source, doc_id,
