@@ -168,11 +168,23 @@ object Bench {
     }
     // degrade per-query precision (10ms -> 100ms -> 1s) until the line
     // fits a 2000-char stdout tail — per-query presence beats
-    // precision, and full precision is in the long line + BENCH_LAST
+    // precision, and full precision is in the long line + BENCH_LAST.
+    // When even 1s precision over the FULL registry no longer fits
+    // (first hit at 103 queries), keep the SLOWEST k at 100ms — the
+    // queries a regression scan actually needs — with n_queries >
+    // len(queries) marking the truncation and BENCH_LAST carrying the
+    // full map.
+    def slowestLine(k: Int): String = {
+      val qs = results.sortBy(-_._2._1).take(k)
+        .map { case (n, (v, _, _, _)) => s""""$n":${if (v < 0) "-1" else trim(v, 1)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfShort",""" +
+        s""""n_queries":${results.size},"errors":$errJson,""" +
+        s""""queries_file":"BENCH_LAST.json","queries":$qs}"""
+    }
     val compact = Seq(2, 1, 0).map(compactLine).find(_.length <= 1990)
-      .getOrElse(
-        s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfShort",""" +
-          s""""n_queries":${results.size},"errors":$errJson,"queries_file":"BENCH_LAST.json"}""")
+      .orElse((results.size to 0 by -1).view.map(slowestLine).find(_.length <= 1990))
+      .getOrElse(slowestLine(0))
     println(compact)
     System.out.flush()
   }

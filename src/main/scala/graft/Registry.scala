@@ -267,6 +267,25 @@ object Registry {
       }
       operators.Mixture.sourceMix(df, weight, source, id)
     },
+    "weighted_sample" -> { c => df =>
+      // Efraimidis-Spirakis A-ES without replacement: key = -ln(u)/w,
+      // u hash-derived from the id, w = quality score floored at 0.01;
+      // the max_per_stratum smallest keys win per stratum column
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val stratum = str(c, "stratum_column").getOrElse("source")
+      val k = int(c, "max_per_stratum").getOrElse(100)
+      val h = operators.Dedup.hash60(concat(lit("ws:"), col(id).cast("string")))
+      val u = (h + lit(1L)).cast("double") / 1.152921504606846976e18
+      val wq = greatest(operators.TextAnalysis.qualityScore(col(text)), lit(0.01))
+      df.withColumn("_key", negative(log(u)) / wq)
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col(stratum)).orderBy(col("_key"), col(id))))
+        .where(col("_rk") <= k)
+        .drop("_key", "_rk")
+    },
     "stratified_sample" -> { c => df =>
       // deterministic hash-mod sampling: rate_permille per stratum value
       import org.apache.spark.sql.functions._

@@ -477,6 +477,22 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 3L), s"kept $kept")
   }
 
+  test("registry weighted_sample keeps max_per_stratum rows and favors quality") {
+    import org.json4s.jackson.JsonMethods.parse
+    // long high-quality text vs near-empty text: over many ids per
+    // stratum the high-quality doc family must dominate the sample
+    val good = "the quick brown fox jumps over the lazy dog and keeps going " * 5
+    val df = (0L until 40L).map(i =>
+        (i, if (i % 2 == 0) good else "x", "s")).toSeq
+      .toDF("doc_id", "text", "source")
+    val kept = graft.Registry.transformers("weighted_sample")(
+      parse("""{"max_per_stratum": 10}"""))(df)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(kept.length == 10)
+    val goodShare = kept.count(_ % 2 == 0)
+    assert(goodShare >= 7, s"quality weighting ineffective: $goodShare/10 good docs")
+  }
+
   test("registry domain_cap keeps lowest ids per registrable domain") {
     import org.json4s.jackson.JsonMethods.parse
     val df = Seq(
