@@ -245,6 +245,25 @@ object QueriesTrainingData {
       .orderBy("source")
   }
 
+  /** Source upsampling (Mixture.sourceUpsample): repeat factors
+    * 1.0/1.5/2.0/2.5 by source hash; reported per source as realized
+    * rate vs the configured factor (floor copies + hash-lottery
+    * fractional copy per doc).
+    */
+  private def x21SourceUpsample(s: SparkSession, dir: String): DataFrame = {
+    val factor = lit(1.0) +
+      (operators.Dedup.hash60(col("source")) % 4).cast("double") * 0.5
+    operators.Mixture.sourceUpsample(docs(s, dir).withColumn("fac", factor), col("fac"))
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_rows"),
+        round(min("fac"), 6).as("factor"),
+        round(count(lit(1)).cast("double") / countDistinct("doc_id"), 6)
+          .as("realized_rate"))
+      .orderBy("source")
+  }
+
   /** Deterministic shard shuffle (Mixture.shuffleShards): 8 shards,
     * position = hash rank within shard.
     */
@@ -526,6 +545,7 @@ object QueriesTrainingData {
     "x15_source_mix" -> (x15SourceMix(_, _)),
     "x16_shard_shuffle" -> (x16ShardShuffle(_, _)),
     "x17_chunking" -> (x17Chunking(_, _)),
+    "x21_source_upsample" -> (x21SourceUpsample(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -940,6 +960,25 @@ object QueriesTrainingData {
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x21_source_upsample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    1.0 + (${hash60("source")} % 4)::DOUBLE * 0.5 AS fac,
+         |    (${hash60("'up:' || doc_id::VARCHAR")} % 1000000)::DOUBLE AS h
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, fac,
+         |    floor(fac)::INT + CASE WHEN h < (fac - floor(fac)) * 1e6 THEN 1 ELSE 0 END
+         |      AS n_copies
+         |  FROM f
+         |), ex AS (
+         |  SELECT doc_id, source, fac, unnest(range(1, n_copies + 1)) AS copy
+         |  FROM c WHERE n_copies > 0
+         |)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_rows,
+         |  round(min(fac), 6) AS factor,
+         |  round(count(*)::DOUBLE / count(DISTINCT doc_id), 6) AS realized_rate
+         |FROM ex GROUP BY source ORDER BY source""".stripMargin,
     "st6_stream_static_dedup" ->
       s"""WITH tagged AS (SELECT doc_id, (doc_id % 10 = 7) AS is_new FROM documents),
          |ch AS (SELECT doc_id, md5($normSql) AS content_md5 FROM documents),

@@ -286,6 +286,22 @@ object Registry {
         .where(col("_rk") <= k)
         .drop("_key", "_rk")
     },
+    "source_upsample" -> { c => df =>
+      // repeat-factor upsampling for under-represented sources:
+      // factors is {"source_name": r, ...}; unlisted sources keep
+      // factor 1.0 (passed through once). Adds a `copy` index column.
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val sourceCol = str(c, "source_column").getOrElse("source")
+      val factors = (c \ "factors") match {
+        case JObject(fields) => fields.map { case (k, v) => k -> v.extract[Double] }
+        case _ => Nil
+      }
+      val factor = factors.foldLeft(lit(1.0)) { case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit(r)).otherwise(acc)
+      }
+      operators.Mixture.sourceUpsample(df, factor, id)
+    },
     "stratified_sample" -> { c => df =>
       // deterministic hash-mod sampling: rate_permille per stratum value
       import org.apache.spark.sql.functions._

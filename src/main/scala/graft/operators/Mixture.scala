@@ -140,4 +140,35 @@ object Mixture {
         .cast("double") < col("rate") * lit(1000000.0))
       .drop("rate")
   }
+
+  /** Source upsampling by repeat factor — the other half of mixture
+    * control ([[sourceMix]] down-samples without repetition; this
+    * REPEATS docs of under-represented sources). Each doc yields
+    * floor(r) copies plus one more when its hash lottery clears the
+    * fractional part frac(r) — so a source's expected output is
+    * exactly r x its input, per doc, with no shuffle: the explode is
+    * row-local and the `copy` index keeps repeats distinct for
+    * downstream shard shuffling.
+    *
+    * `factor` is a per-row column (typically derived from the source);
+    * r < 0 or null fails the action in-plan rather than silently
+    * dropping rows. r in [0, 1) is legal (lottery-only — equivalent to
+    * [[sourceMix]]'s hash-mod thinning for that source).
+    */
+  def sourceUpsample(
+      docs: DataFrame, factor: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val guarded = when(factor >= 0.0, factor).otherwise(
+      raise_error(format_string(
+        "sourceUpsample: factor must be >= 0, got %s",
+        coalesce(factor.cast("string"), lit("null")))))
+    val nCopies = (floor(guarded) +
+      when(pmod(Dedup.hash60(concat(lit("up:"), col(idCol).cast("string"))), lit(1000000L))
+          .cast("double") < (guarded - floor(guarded)) * 1e6, 1)
+        .otherwise(0)).cast("int")
+    docs.withColumn("n_copies", nCopies)
+      .where(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
+      .drop("n_copies")
+  }
 }

@@ -10,8 +10,8 @@ class CliSpec extends SparkSpec {
       "chunk_documents", "decom", "decontaminate", "domain_cap", "exact_dedup",
       "lang_filter", "line_dedup", "near_dedup", "pack_sequences",
       "perplexity_filter", "pii_redact", "quality_filter", "repetition_filter",
-      "semantic_dedup", "simhash_dedup", "source_mix", "stratified_sample",
-      "url_dedup", "weighted_sample"))
+      "semantic_dedup", "simhash_dedup", "source_mix", "source_upsample",
+      "stratified_sample", "url_dedup", "weighted_sample"))
     assert(Registry.allStages("loaders") == Seq("ccsds", "csv", "jsonl", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))
     assert(e.getMessage.contains("binary"))

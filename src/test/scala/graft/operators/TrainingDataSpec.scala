@@ -477,6 +477,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 3L), s"kept $kept")
   }
 
+  test("source upsample: integer factors repeat exactly, fractional within lottery bounds") {
+    import org.json4s.jackson.JsonMethods.parse
+    val df = (0L until 100L).map(i =>
+        (i, "t", if (i < 50) "a" else "b")).toSeq
+      .toDF("doc_id", "text", "source")
+    val out = graft.Registry.transformers("source_upsample")(
+      parse("""{"factors": {"a": 2.0, "b": 1.5}}"""))(df)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("a") == 100L) // 2.0 -> exactly two copies each
+    assert(bySource("b") > 50L && bySource("b") < 100L, // 1.5 -> 50 + lottery
+      s"fractional upsample out of bounds: ${bySource("b")}")
+    // copy index separates repeats: (doc_id, copy) pairs are unique
+    assert(out.select("doc_id", "copy").distinct().count() == out.count())
+    // negative factor fails the action in-plan
+    val bad = graft.Registry.transformers("source_upsample")(
+      parse("""{"factors": {"a": -1.0}}"""))(df)
+    intercept[Exception](bad.collect())
+  }
+
   test("registry weighted_sample keeps max_per_stratum rows and favors quality") {
     import org.json4s.jackson.JsonMethods.parse
     // long high-quality text vs near-empty text: over many ids per
