@@ -155,6 +155,19 @@ class PlanChecksSpec extends SparkSpec {
       s"cell blocking lost - all-pairs product:\n$plan")
   }
 
+  test("source upsampling is shuffle-free (row-local explode)") {
+    // the operator itself (not the x21 reporting aggregate) must add
+    // NO exchange: copies are derived per row from the id hash
+    val df = graft.operators.Mixture.sourceUpsample(
+      SparkEntry.queries("q2_filter_project")(spark, dir)
+        .limit(10).withColumn("doc_id", org.apache.spark.sql.functions.monotonically_increasing_id()),
+      org.apache.spark.sql.functions.lit(2.5))
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"upsample introduced a shuffle:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->agg path of q1") {
     val plan = planOf("q1_agg")
     // '*(n)' prefixes mark codegen stages in Spark 4 plan strings
