@@ -223,6 +223,39 @@ object QueriesTrainingData {
       .orderBy("source")
   }
 
+  /** Web-corpus funnel (the composite for the crawl lane, as [[p1]] is
+    * for the doc lane): fetch-level URL dedup -> per-domain cap ->
+    * quality floor, reported as per-stage yields — the numbers a crawl
+    * pipeline publishes per snapshot. Each stage is the already-oracled
+    * operator applied to the previous stage's survivor set.
+    */
+  private def p2WebPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // stage 1: one survivor per canonical URL (u1 semantics)
+    val pages = urlDf(s, dir)
+      .select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("doc_id"))
+      .withColumn("domain", TextAnalysis.registrableDomain(col("canonical_url")))
+    // stage 2: <= 3 pages per registrable domain (x18 semantics)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("doc_id"), col("canonical_url"))
+    val capped = pages.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3).select("doc_id")
+    // stage 3: quality floor on the surviving docs' text
+    val quality = d.join(capped, "doc_id")
+      .where(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .select("doc_id")
+    def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    stage(0, "input", d)
+      .unionByName(stage(1, "url_dedup", pages))
+      .unionByName(stage(2, "domain_cap", capped))
+      .unionByName(stage(3, "quality", quality))
+      .orderBy("stage")
+  }
+
   // --- training mixture ------------------------------------------------
 
   /** Sequence packing (Mixture.packSequences): 512-token concat-then-
@@ -570,6 +603,7 @@ object QueriesTrainingData {
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
+    "p2_web_pipeline" -> (p2WebPipeline(_, _)),
     "m1_media_meta" -> (m1MediaMeta(_, _)),
     "m2_media_features" -> (m2MediaFeatures(_, _)))
 
@@ -960,6 +994,27 @@ object QueriesTrainingData {
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "p2_web_pipeline" ->
+      s"""WITH $urlCanonCte,
+         |pages AS (
+         |  SELECT canonical_url, min(doc_id) AS doc_id,
+         |    regexp_extract(regexp_replace(canonical_url, '/.*$$', ''),
+         |      '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain
+         |  FROM c GROUP BY canonical_url
+         |), capped AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY domain
+         |      ORDER BY doc_id, canonical_url) AS rank
+         |    FROM pages) WHERE rank <= 3
+         |), q AS (
+         |  SELECT d.doc_id FROM documents d JOIN capped USING (doc_id)
+         |  WHERE ${OracleFragments.qualitySql} >= 0.5
+         |)
+         |SELECT 0 AS stage, 'input' AS stage_name, count(*) AS n_docs FROM documents
+         |UNION ALL SELECT 1, 'url_dedup', count(*) FROM pages
+         |UNION ALL SELECT 2, 'domain_cap', count(*) FROM capped
+         |UNION ALL SELECT 3, 'quality', count(*) FROM q
+         |ORDER BY stage""".stripMargin,
     "x21_source_upsample" ->
       s"""WITH f AS (
          |  SELECT doc_id, source,
