@@ -38,6 +38,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Fixed-precision format with trailing-zero strip. Zeros are only
+    * stripped when a decimal point exists: at dp=0 the string is
+    * all-integral and stripping would corrupt the value ("10" -> "1"),
+    * under-reporting a 10s query 10x in the compact artifact line.
+    */
+  private[graft] def trim(v: Double, dp: Int): String = {
+    val s = s"%.${dp}f".format(v)
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+      case "" => "0"; case t => t
+    }
+  }
+
   private final class MetricsTap extends SparkListener {
     val read = new AtomicLong
     val write = new AtomicLong
@@ -154,9 +167,6 @@ object Bench {
     // resolution keep it under a 2000-char stdout tail even with ~90
     // queries; full-precision values live in the line above and in
     // BENCH_LAST.json.
-    def trim(v: Double, dp: Int): String =
-      s"%.${dp}f".format(v).reverse.dropWhile(_ == '0')
-        .dropWhile(_ == '.').reverse match { case "" => "0"; case s => s }
     // basename is enough — the harness records the sf point itself
     val sfShort = new java.io.File(sfDir).getName
     def compactLine(dp: Int): String = {

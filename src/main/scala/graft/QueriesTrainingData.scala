@@ -674,6 +674,17 @@ object QueriesTrainingData {
        |  FROM u
        |)""".stripMargin
 
+  /** SQL mirror of [[TextAnalysis.registrableDomain]]: strip path,
+    * `:port`, trailing dot; last two labels, whole host as fallback
+    * when the two-label pattern can't match.
+    */
+  private def domainSql(urlExpr: String): String = {
+    val host = s"regexp_replace(regexp_replace(regexp_replace($urlExpr, " +
+      s"'/.*$$', ''), ':[0-9]+$$', ''), '\\.$$', '')"
+    val two = s"regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1)"
+    s"(CASE WHEN $two = '' THEN $host ELSE $two END)"
+  }
+
   val oracles: Map[String, String] = Map(
     "x14_seq_pack" ->
       s"""WITH toks AS (
@@ -998,8 +1009,7 @@ object QueriesTrainingData {
       s"""WITH $urlCanonCte,
          |pages AS (
          |  SELECT canonical_url, min(doc_id) AS doc_id,
-         |    regexp_extract(regexp_replace(canonical_url, '/.*$$', ''),
-         |      '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain
+         |    ${domainSql("canonical_url")} AS domain
          |  FROM c GROUP BY canonical_url
          |), capped AS (
          |  SELECT doc_id FROM (
@@ -1051,8 +1061,7 @@ object QueriesTrainingData {
     "u2_domain_stats" ->
       s"""WITH $urlCanonCte
          |SELECT
-         |  regexp_extract(regexp_replace(canonical_url, '/.*$$', ''),
-         |    '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain,
+         |  ${domainSql("canonical_url")} AS domain,
          |  count(*) AS n_urls,
          |  count(DISTINCT canonical_url) AS n_pages
          |FROM c GROUP BY domain ORDER BY domain""".stripMargin,
@@ -1093,8 +1102,7 @@ object QueriesTrainingData {
          |  SELECT canonical_url, min(doc_id) AS survivor_id
          |  FROM c GROUP BY canonical_url
          |), dom AS (
-         |  SELECT regexp_extract(regexp_replace(canonical_url, '/.*$$', ''),
-         |      '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain,
+         |  SELECT ${domainSql("canonical_url")} AS domain,
          |    canonical_url, survivor_id
          |  FROM pages
          |)

@@ -67,13 +67,26 @@ object Registry {
           delimiter = str(c, "delimiter").getOrElse(","),
           sourceId = str(c, "source_id")))
     },
-    // newline-delimited JSON documents (pinned schema, corrupt lines
-    // dropped — their count is an observable data-quality metric, not
-    // a job failure)
+    // newline-delimited JSON documents (pinned schema). Corrupt lines
+    // are dropped, but their count is observed ("jsonl_corrupt_lines")
+    // on the same action that runs the pipeline — any registered
+    // QueryExecutionListener (Pipeline.MetricsListener included) sees
+    // the data-quality metric with zero extra scans.
     "jsonl" -> { (spark, c) =>
-      import org.apache.spark.sql.functions.col
-      JsonlSource.read(spark,
-          str(c, "path").getOrElse(sys.error("jsonl extractor needs 'path'")))
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      val raw = JsonlSource.read(spark,
+        str(c, "path").getOrElse(sys.error("jsonl extractor needs 'path'")))
+      // the observation must reference a DATA column alongside
+      // _corrupt: Spark refuses a raw-JSON scan whose only referenced
+      // column is the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD
+      // _COLUMN), which a pruning downstream action (count) would
+      // otherwise trigger; counting the first data column also yields
+      // the parsed-row metric for free
+      val firstData = raw.columns.find(_ != "_corrupt").getOrElse("_corrupt")
+      raw
+        .observe("jsonl_corrupt_lines",
+          count(when(col("_corrupt").isNotNull, lit(1))).as("rows"),
+          count(col(firstData)).as("parsed_rows"))
         .where(col("_corrupt").isNull)
         .drop("_corrupt")
     })
@@ -149,9 +162,10 @@ object Registry {
     },
     "semantic_dedup" -> { c => df =>
       // SemDeDup: embedding-space near-dup removal — coarse k-means
-      // cells, greedy lowest-id leader per cosine-similar group within
-      // a cell (Clustering.semanticDedup). n_cells is the scale knob
-      // (cost is sum(|cell|^2)); rows need an embedding column
+      // cells, then drop-if-any-earlier-similar within a cell
+      // (Clustering.semanticDedup; stricter than leader clustering —
+      // dropped vectors also suppress later ones). n_cells is the scale
+      // knob (cost is sum(|cell|^2)); rows need an embedding column
       import org.apache.spark.sql.functions.col
       val id = str(c, "id_column").getOrElse("doc_id")
       val vec = str(c, "vector_column").getOrElse("embedding")

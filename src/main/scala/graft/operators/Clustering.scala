@@ -216,11 +216,15 @@ object Clustering {
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering embeddings into coarse cells, then dropping every
-    * vector with an earlier (lower-id) same-cell neighbor at cosine >=
-    * `tau` — the greedy leader policy, deterministic and replayable
-    * (unlike random-representative selection). Cross-cell near-dups are
-    * missed by construction; that is the accepted recall trade the
-    * paper makes for never comparing across clusters.
+    * vector with ANY earlier (lower-id) same-cell neighbor at cosine >=
+    * `tau` — a drop-if-any-earlier-similar policy, deterministic and
+    * replayable (unlike random-representative selection). NOTE this is
+    * stricter than greedy leader election: a dropped vector still
+    * suppresses later ones, so in a chain v0~v1~v2 (v2 not similar to
+    * v0) v2 is dropped here, whereas leader clustering would keep v2 as
+    * a new leader. Cross-cell near-dups are missed by construction;
+    * that is the accepted recall trade the paper makes for never
+    * comparing across clusters.
     *
     * Output: (id, cell, kept). Scale shape: pairing is blocked per
     * cell (the equi-join on cell is the only corpus-wide shuffle), so

@@ -266,11 +266,21 @@ object TextAnalysis {
 
   /** Registrable-domain approximation from a CANONICAL url: the last
     * two dot-separated labels of the host (the part before the first
-    * slash). A heuristic, not a public-suffix-list lookup — documented
-    * as such; good enough for per-domain corpus stats and blocking.
+    * slash, with any `:port` suffix and trailing dot stripped). Hosts
+    * the two-label pattern can't match (single-label like `localhost`,
+    * IPs, empty) fall back to the WHOLE host rather than collapsing
+    * into one '' pseudo-domain — a domain-cap stage must not treat all
+    * unparseable hosts as a single shared quota bucket. A heuristic,
+    * not a public-suffix-list lookup — documented as such; good enough
+    * for per-domain corpus stats and blocking.
     */
-  def registrableDomain(canonicalUrl: Column): Column =
-    regexp_extract(
-      regexp_replace(canonicalUrl, "/.*$", ""),
-      "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+  def registrableDomain(canonicalUrl: Column): Column = {
+    val host = regexp_replace(
+      regexp_replace(
+        regexp_replace(canonicalUrl, "/.*$", ""),
+        ":[0-9]+$", ""),
+      "\\.$", "")
+    val twoLabel = regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+    when(twoLabel === lit(""), host).otherwise(twoLabel)
+  }
 }

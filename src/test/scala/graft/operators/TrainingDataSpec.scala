@@ -292,6 +292,36 @@ class TrainingDataSpec extends SparkSpec {
     assert(clean(0).getString(1) == "hello\nworld") // escape round-trips newline
   }
 
+  test("jsonl extractor observes the corrupt-line count on the real action") {
+    import org.json4s.jackson.JsonMethods.parse
+    val dir = java.nio.file.Files.createTempDirectory("jsonlobs").toString
+    val w = new java.io.PrintWriter(new java.io.File(dir, "part-0.json"))
+    w.println("""{"doc_id": 1, "text": "a", "lang": "en", "source": "s"}""")
+    w.println("""{"doc_id": 2, "text": "truncated""") // malformed line
+    w.println("""not json at all""")                   // malformed line
+    w.println("""{"doc_id": 3, "text": "b", "lang": "de", "source": "s"}""")
+    w.close()
+    @volatile var corrupt = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("jsonl_corrupt_lines")
+          .foreach(r => corrupt = r.getAs[Long]("rows"))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = graft.Registry.extractors("jsonl")(spark, parse(s"""{"path": "$dir"}"""))
+      assert(df.count() == 2) // clean rows only
+      org.apache.spark.GraftSparkShims.waitForListeners(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    // the dropped-line count reached a listener off the SAME action —
+    // the metric the extractor comment promises is genuinely observable
+    assert(corrupt == 2L)
+  }
+
   test("registry: jsonl loader/extractor round-trip and url_dedup stage") {
     import org.json4s.jackson.JsonMethods.parse
     val docs3 = Seq(
@@ -335,6 +365,26 @@ class TrainingDataSpec extends SparkSpec {
     val dom = urls.limit(1).select(TextAnalysis.registrableDomain(
       TextAnalysis.canonicalizeUrl(col("url"))).as("d")).head().getString(0)
     assert(dom == "example.com")
+  }
+
+  test("registrable domain strips ports, keeps unparseable hosts distinct") {
+    import spark.implicits._
+    val cases = Seq(
+      "sub.ex-1.org/a/b" -> "ex-1.org",      // multi-label: last two
+      "ex-1.org:8080/a" -> "ex-1.org",       // :port stripped
+      "ex-1.org./a" -> "ex-1.org",           // trailing dot stripped
+      "localhost/a" -> "localhost",          // single label: whole host
+      "localhost:9000" -> "localhost",       // single label + port
+      "intranet" -> "intranet")              // bare single-label host
+    val got = cases.map(_._1).toDF("c")
+      .select(col("c"), TextAnalysis.registrableDomain(col("c")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"domain for '$in'")
+    }
+    // the failure mode the fallback prevents: two unrelated unparseable
+    // hosts must NOT collapse into one '' quota bucket
+    assert(got("localhost/a") != got("intranet"))
   }
 
   test("url canonicalization matches the reference model over the variant space") {
