@@ -111,17 +111,22 @@ object Bench {
       }
     }
 
-    // family = query-name prefix up to the first digit ("d", "q", "st", ...)
-    def family(name: String): String = name.takeWhile(!_.isDigit)
-    var lastFamily: String = null
+    // Clear leaked session state before EVERY query, not just on family
+    // change: the round-7 official run inflated d3/d4/d11 2-3x over
+    // their warm-isolated cost (d4 6.1s official vs 2.3s ProfQuery) —
+    // same-family neighbors (d10/d8 run CC loops with per-round
+    // localCheckpoints) polluted the heap, and the per-FAMILY clear
+    // never fired inside the 13-query d family. The clear runs outside
+    // the timed region, so it costs wall-clock only, never metric time.
+    var first = true
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (lastFamily != null && family(name) != lastFamily) {
+      if (!first) {
         try {
           spark.catalog.clearCache()
           System.gc() // lets ContextCleaner drop out-of-scope broadcasts
         } catch { case _: Throwable => () }
       }
-      lastFamily = family(name)
+      first = false
       val runs = Seq(once(name, fn), once(name, fn)).flatten
       // a query is an error ONLY if both runs failed; a transient
       // single-run failure still yields a valid min timing, so drop its
