@@ -523,6 +523,54 @@ object QueriesTrainingData {
       .orderBy("domain", "rank")
   }
 
+  /** Deterministic train/valid/test split (Mixture.hashSplit):
+    * 90/5/5 by hash-of-id — per-doc assignment, shuffle-free.
+    */
+  private def x22HashSplit(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.hashSplit(docs(s, dir),
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split_bucket", "split")
+      .orderBy("doc_id")
+
+  /** Per-source token-budget sampling (Mixture.tokenBudgetSample):
+    * keep docs in hash order while the source's running whitespace-
+    * token total stays within 800 tokens (per-source corpora run
+    * 1.2-1.7k tokens at every test SF, so the budget actually binds —
+    * roughly the densest 60% of each source survives).
+    */
+  private def x23TokenBudget(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.tokenBudgetSample(docs(s, dir), budgetTokens = 800L)
+      .orderBy("doc_id")
+
+  /** Bloom-prefiltered train/eval contamination
+    * (Dedup.bloomContaminationPairs): bit-identical to the exact
+    * inverted-index join — the Bloom sketch only prunes train postings
+    * before the shuffle — so the oracle replays the exact semantics.
+    * Different corpus slice than d9 (bigrams, hash%25 eval tag) so the
+    * two contamination paths are independently checked.
+    */
+  private def d14BloomContamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.bloomContaminationPairs(docs(s, dir), n = 2, minShared = 12,
+        evalPred = Dedup.hash60(col("doc_id").cast("string")) % 25 === 1)
+      .orderBy("train_id", "eval_id")
+
+  /** Per-source quality floor at the exact 25th percentile
+    * (TextAnalysis.quantileThreshold — window-sort quantile, no
+    * in-memory percentile aggregator), then the keep-count above it.
+    */
+  private def x24QuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+    val thr = TextAnalysis.quantileThreshold(d, 0.25, "source", "q")
+      .withColumnRenamed("threshold", "q25")
+    d.join(broadcast(thr), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= col("q25"), 1L).otherwise(0L)).as("n_kept"),
+        min("q25").as("q25"))
+      .orderBy("source")
+  }
+
   /** Per-source document-length histogram (data-card companion to
     * [[c1CorpusCard]]): fixed 128-char buckets, capped at 15, with the
     * within-source share. Single groupBy plus a broadcast-sized window.
@@ -605,7 +653,11 @@ object QueriesTrainingData {
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
     "p2_web_pipeline" -> (p2WebPipeline(_, _)),
     "m1_media_meta" -> (m1MediaMeta(_, _)),
-    "m2_media_features" -> (m2MediaFeatures(_, _)))
+    "m2_media_features" -> (m2MediaFeatures(_, _)),
+    "x22_hash_split" -> (x22HashSplit(_, _)),
+    "x23_token_budget" -> (x23TokenBudget(_, _)),
+    "x24_quantile_filter" -> (x24QuantileFilter(_, _)),
+    "d14_bloom_contamination" -> (d14BloomContamination(_, _)))
 
   // --- oracle SQL fragments (DuckDB dialect) ---------------------------
 
@@ -844,6 +896,86 @@ object QueriesTrainingData {
          |JOIN uni u1 ON u1.w = bgs.w1
          |JOIN uni u2 ON u2.w = bgs.w2, tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x22_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % 1000000 AS split_bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, split_bucket,
+         |  CASE WHEN split_bucket < 900000 THEN 'train'
+         |       WHEN split_bucket < 950000 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "x23_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(${OracleFragments.rawToksSqlNoNorm}) AS BIGINT) AS n_toks,
+         |    ('0x' || substr(md5('budget:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+         |FROM c WHERE cum_toks <= 800 ORDER BY doc_id""".stripMargin,
+    "x24_quantile_filter" ->
+      s"""WITH q AS (
+         |  SELECT source, ${OracleFragments.qualitySql} AS q FROM documents
+         |), r AS (
+         |  SELECT source, q,
+         |    row_number() OVER (PARTITION BY source ORDER BY q) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM q
+         |), t AS (
+         |  SELECT source, max(n) AS n,
+         |    min(CASE WHEN rn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1
+         |        THEN q END) AS v_lo,
+         |    min(CASE WHEN rn = CAST(ceil((n - 1) * 0.25) AS BIGINT) + 1
+         |        THEN q END) AS v_hi
+         |  FROM r GROUP BY source
+         |), thr AS (
+         |  SELECT source,
+         |    round(v_lo + ((n - 1) * 0.25 - floor((n - 1) * 0.25))
+         |      * (v_hi - v_lo), 6) AS q25
+         |  FROM t
+         |)
+         |SELECT q.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN q.q >= thr.q25 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  min(thr.q25) AS q25
+         |FROM q JOIN thr USING (source)
+         |GROUP BY q.source ORDER BY q.source""".stripMargin,
+    "d14_bloom_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(2)} AS sh FROM documents
+         |), ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s_raw), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s_raw FROM sh)
+         |), tag AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 25 = 1) AS is_eval
+         |  FROM documents
+         |), train AS (
+         |  SELECT e.doc_id AS train_id, e.h FROM ex e JOIN tag USING (doc_id)
+         |  WHERE NOT is_eval
+         |), ev AS (
+         |  SELECT e.doc_id AS eval_id, e.h FROM ex e JOIN tag USING (doc_id)
+         |  WHERE is_eval
+         |), sz AS (SELECT train_id, count(*) AS sz FROM train GROUP BY 1),
+         |shared AS (
+         |  SELECT t.train_id, ev.eval_id, count(*) AS n_shared
+         |  FROM train t JOIN ev ON t.h = ev.h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.train_id, s.eval_id, s.n_shared,
+         |  round(s.n_shared::DOUBLE / sz.sz, 6) AS overlap_frac
+         |FROM shared s JOIN sz USING (train_id)
+         |WHERE s.n_shared >= 12
+         |ORDER BY s.train_id, s.eval_id""".stripMargin,
     "d9_contamination" ->
       s"""WITH sh AS (
          |  SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents

@@ -21,6 +21,11 @@ object Registry {
   type Transformer = JValue => DataFrame => DataFrame
   type Loader = (DataFrame, JValue) => Unit
 
+  /** One named split for the hash_split stage; config order defines
+    * the bucket ranges.
+    */
+  case class SplitDef(name: String, fraction: Double)
+
   def parseConfig(json: String): JValue =
     if (json == null || json.trim.isEmpty) JObject() else JsonMethods.parse(json)
 
@@ -55,6 +60,12 @@ object Registry {
     "parquet" -> { (spark, c) =>
       spark.read.parquet(
         str(c, "path").getOrElse(sys.error("parquet extractor needs 'path'")))
+    },
+    // columnar alternative where the lakehouse standard is ORC (Spark
+    // built-in; same pushdown/pruning surface as parquet)
+    "orc" -> { (spark, c) =>
+      spark.read.orc(
+        str(c, "path").getOrElse(sys.error("orc extractor needs 'path'")))
     },
     "csv" -> { (spark, c) =>
       CsvTelemetrySource.readSamples(spark,
@@ -329,6 +340,51 @@ object Registry {
       }
       df.where(h < rate)
     },
+    "hash_split" -> { c => df =>
+      // deterministic train/valid/test assignment by hash-of-id
+      // (Mixture.hashSplit): adds split_bucket + split columns; split
+      // order in the config defines the bucket ranges, so it's a LIST
+      // of {name, fraction}, never a map
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val splits = (c \ "splits").extractOpt[Seq[SplitDef]]
+        .filter(_.nonEmpty)
+        .map(_.map(s => s.name -> s.fraction))
+        .getOrElse(Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      operators.Mixture.hashSplit(df, splits, id)
+    },
+    "token_budget" -> { c => df =>
+      // per-source token quota (Mixture.tokenBudgetSample): keep docs
+      // in hash order while the source's running token total fits the
+      // budget; all input columns pass through (semi join on id)
+      import org.apache.spark.sql.functions.col
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val src = str(c, "source_column").getOrElse("source")
+      val text = str(c, "text_column").getOrElse("text")
+      val budget = (c \ "budget_tokens").extractOpt[Long]
+        .getOrElse(sys.error("token_budget needs 'budget_tokens'"))
+      val kept = operators.Mixture
+        .tokenBudgetSample(df, budget, src, id, text).select(col(id))
+      df.join(kept, Seq(id), "left_semi")
+    },
+    "quality_quantile_filter" -> { c => df =>
+      // per-source RELATIVE quality floor: drop the worst p-fraction of
+      // each source (quality < the source's p-quantile) — adapts to
+      // per-source score distributions where quality_filter's absolute
+      // threshold can't. Window-sort quantile (TextAnalysis
+      // .quantileThreshold), never an in-memory percentile
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val src = str(c, "source_column").getOrElse("source")
+      val text = str(c, "text_column").getOrElse("text")
+      val p = (c \ "percentile").extractOpt[Double].getOrElse(0.25)
+      val scored = df.withColumn("_q",
+        operators.TextAnalysis.qualityScore(col(text)))
+      val thr = operators.TextAnalysis
+        .quantileThreshold(scored, p, src, "_q")
+        .select(col(src), col("threshold").as("_thr"))
+      scored.join(broadcast(thr), src)
+        .where(col("_q") >= col("_thr"))
+        .drop("_q", "_thr")
+    },
     "repetition_filter" -> { c => df =>
       // drop degenerate repetition-heavy documents (Gopher-style rule)
       import org.apache.spark.sql.functions._
@@ -420,6 +476,11 @@ object Registry {
     "jsonl" -> { (df, c) =>
       JsonlSource.write(df,
         str(c, "output_dir").getOrElse(sys.error("jsonl loader needs 'output_dir'")))
+    },
+    "orc" -> { (df, c) =>
+      df.write
+        .mode(if (bool(c, "overwrite").getOrElse(true)) "overwrite" else "error")
+        .orc(str(c, "output_dir").getOrElse(sys.error("orc loader needs 'output_dir'")))
     })
 
   def getExtractor(name: String): Extractor = extractors.getOrElse(name,

@@ -381,6 +381,56 @@ object Dedup {
           .as("overlap_frac"))
   }
 
+  /** [[contaminationPairs]] with a Bloom prefilter on the train side —
+    * the 100 TB shape. The exact inverted-index join must shuffle the
+    * FULL train posting table (shingles x docs) even though only the
+    * tiny fraction colliding with eval shingles can ever match; here a
+    * Bloom filter built over the eval side's shingle hashes (benchmark
+    * sets are small, so the sketch is a few MB) is broadcast and drops
+    * non-colliding train postings BEFORE the exchange. False positives
+    * only let extra postings through to the exact join, so the result
+    * is bit-identical to [[contaminationPairs]] — the oracle replays
+    * the exact semantics and the Bloom stays an invisible prefilter.
+    *
+    * Two bounded departures from the pure-plan rule, both inherent to
+    * Bloom construction: building the sketch costs auxiliary actions
+    * over the eval-side hashes (a sizing count + the sketch aggregate —
+    * eval-sized, not corpus-sized), and membership runs as a scala
+    * filter UDF over the broadcast sketch (Spark has no public
+    * might_contain expression) — 8 bytes in, a boolean out, applied
+    * before the shuffle it exists to shrink.
+    */
+  def bloomContaminationPairs(
+      docs: DataFrame, n: Int, minShared: Long,
+      evalPred: Column, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = shingleTable(docs, n, idCol, textCol)
+      .select(col(idCol), hash60(col("s")).as("h"))
+    val tagged = st.join(docs.select(col(idCol), evalPred.as("is_eval")), idCol)
+    val evalSide = tagged.where(col("is_eval"))
+      .select(col(idCol).as("eval_id"), col("h"))
+    // posting rows (not distinct hashes) as the size estimate: an
+    // overshoot only makes the sketch larger, never less exact
+    val nEval = math.max(1L, evalSide.count())
+    val bloom = evalSide.stat.bloomFilter("h", nEval, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val train = tagged.where(!col("is_eval"))
+      .select(col(idCol).as("train_id"), col("h"))
+    // denominator (train doc's distinct shingles) comes from the FULL
+    // posting set — the prefilter must not shrink overlap_frac
+    val sizes = train.groupBy("train_id").agg(count(lit(1)).as("sz"))
+    train.where(mightContain(col("h")))
+      .join(evalSide, "h")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sizes, "train_id")
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("sz").cast("double"), 6)
+          .as("overlap_frac"))
+  }
+
   /** 48-bit SimHash per doc (48 keeps every intermediate in
     * non-negative BIGINT range on all engines). Bit b of the signature
     * is set iff more than half the token hashes have bit b set

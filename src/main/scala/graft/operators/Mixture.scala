@@ -101,6 +101,73 @@ object Mixture {
       .drop("h")
   }
 
+  /** Deterministic train/valid/test assignment: bucket = 60-bit
+    * hash("split:" || id) mod 1e6, and each named split owns the
+    * cumulative-fraction range its order implies — (["train", .9],
+    * ["valid", .05], ["test", .05]) maps buckets [0, 900k) / [900k,
+    * 950k) / [950k, 1e6). A pure per-row projection: no shuffle, no
+    * RNG, stable under reruns, resumes, repartitioning and engines —
+    * the property a split MUST have so no document ever migrates
+    * between train and eval as the corpus grows (hash-of-id, unlike
+    * `randomSplit`, is immune to partition-order drift).
+    *
+    * Emits the input plus (split_bucket, split). Fractions must sum to
+    * 1 within 1e-9 so every bucket lands in exactly one split.
+    */
+  def hashSplit(
+      docs: DataFrame, splits: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: need at least one split")
+    require(splits.forall(_._2 > 0), "hashSplit: fractions must be > 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"hashSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = pmod(
+      Dedup.hash60(concat(lit("split:"), col(idCol).cast("string"))),
+      lit(1000000L))
+    // cumulative upper bounds, last forced to exactly 1e6 so float
+    // accumulation can never leave bucket 999999 unassigned
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * 1e6))
+    val bounds = splits.map(_._1).zip(cum.init :+ 1000000L)
+    val assign = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, hi), rest) =>
+        when(col("split_bucket") < hi, name).otherwise(rest)
+    }
+    docs.withColumn("split_bucket", bucket).withColumn("split", assign)
+  }
+
+  /** Per-source token-budget sampling: keep documents, in deterministic
+    * hash order within each source, while the source's running token
+    * total stays within `budgetTokens` — the quota step that turns
+    * "2B tokens of web, 500M of code" into a concrete document set.
+    * Hash order makes the kept set a uniform sample of the source
+    * (arrival order would bias toward old crawls) and reproducible.
+    *
+    * Emits (id, source, n_toks, cum_toks) for kept docs. A doc that
+    * would cross the budget is dropped but later smaller docs may
+    * still fit (cumsum <= budget per row, not a hard cut at the first
+    * overflow) — this fills the budget tighter at a bounded overshoot
+    * of zero.
+    *
+    * Scale: ONE shuffle on source + a single window pass — same shape
+    * as [[packSequences]]; at corpus scale sources are few and large,
+    * so the sort-within-source is the cost; it's the sort any
+    * deterministic quota needs.
+    */
+  def tokenBudgetSample(
+      docs: DataFrame, budgetTokens: Long, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "tokenBudgetSample: budget must be positive")
+    val toks = coalesce(
+      size(TextAnalysis.wsTokens(col(textCol))).cast("long"), lit(0L))
+    val h = Dedup.hash60(concat(lit("budget:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("_h"), col(idCol))
+    docs
+      .select(col(idCol), col(sourceCol), toks.as("n_toks"), h.as("_h"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .where(col("cum_toks") <= budgetTokens)
+      .drop("_h")
+  }
+
   /** Source-weighted mixture sampling: down-sample each source so the
     * kept corpus approaches the relative `weight` per source while
     * retaining as much data as possible — the binding source (smallest

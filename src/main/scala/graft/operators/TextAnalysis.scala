@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -62,6 +62,39 @@ object TextAnalysis {
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
     round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
+  }
+
+  /** Per-group exact interpolated quantile WITHOUT an in-memory
+    * percentile aggregator: Spark's `percentile` holds every group
+    * value in executor memory (lethal when a group is a whole source
+    * at corpus scale), so this computes the same quantile_cont value
+    * with a window sort — rank each value within its group, pick the
+    * two positional values the quantile interpolates between
+    * (rn = floor/ceil((n-1)p) + 1), and lerp. The sort is a spillable
+    * per-group shuffle, never a per-group array.
+    *
+    * Returns one row per group: (groupCol, n, threshold), threshold
+    * rounded 6 dp. The arithmetic (lo + frac * (hi - lo)) is exactly
+    * DuckDB's quantile_cont, so the oracle can replay it bit-for-bit.
+    */
+  def quantileThreshold(
+      df: DataFrame, p: Double, groupCol: String,
+      valueCol: String): DataFrame = {
+    require(p >= 0 && p <= 1, s"quantile p must be in [0,1], got $p")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+    val k = (col("n") - 1) * lit(p)
+    df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .groupBy(groupCol)
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === floor(k) + 1, col(valueCol))).as("v_lo"),
+        min(when(col("rn") === ceil(k) + 1, col(valueCol))).as("v_hi"))
+      .select(col(groupCol), col("n"),
+        round(col("v_lo") +
+          ((col("n") - 1) * lit(p) - floor((col("n") - 1) * lit(p))) *
+            (col("v_hi") - col("v_lo")), 6).as("threshold"))
   }
 
   /** Marker-word language profiles (n-gram heuristic stand-in; the

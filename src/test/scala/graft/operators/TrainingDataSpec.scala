@@ -344,6 +344,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Set(0L, 2L))
   }
 
+  test("registry: orc loader/extractor round-trip with overwrite") {
+    import org.json4s.jackson.JsonMethods.parse
+    val docs3 = Seq((0L, "alpha", "en", "s"), (1L, "beta\nline", "de", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("regorc").toString
+    graft.Registry.loaders("orc")(docs3, parse(s"""{"output_dir": "$dir"}"""))
+    val back = graft.Registry.extractors("orc")(spark, parse(s"""{"path": "$dir"}"""))
+    assert(back.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "alpha"), (1L, "beta\nline")))
+    // overwrite (the default) replaces, never accumulates
+    graft.Registry.loaders("orc")(docs3.limit(1), parse(s"""{"output_dir": "$dir"}"""))
+    assert(graft.Registry.extractors("orc")(spark, parse(s"""{"path": "$dir"}""")).count() == 1)
+  }
+
   test("url canonicalization folds spelling variants and is idempotent") {
     val urls = Seq(
       "https://www.M3.Example.COM/p7?utm_source=feed",
@@ -365,6 +380,79 @@ class TrainingDataSpec extends SparkSpec {
     val dom = urls.limit(1).select(TextAnalysis.registrableDomain(
       TextAnalysis.canonicalizeUrl(col("url"))).as("d")).head().getString(0)
     assert(dom == "example.com")
+  }
+
+  test("hash split: exhaustive buckets, shuffle-free, stable under partitioning") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val split = Mixture.hashSplit(docs,
+      Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == 500 && byName.keySet == Set("train", "valid", "test"))
+    // roughly proportional (hash uniformity at n=500: train within 5pp)
+    assert(math.abs(byName("train") - 450L) < 25, s"train=${byName("train")}")
+    // pure projection: the executed plan must contain NO exchange
+    split.collect()
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
+      "hashSplit must be shuffle-free")
+    // assignment is a function of the id alone: repartitioning the
+    // input must not move any doc between splits
+    val a = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Mixture.hashSplit(docs.repartition(17), Seq("train" -> 0.9,
+        "valid" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // bad fractions fail fast
+    intercept[IllegalArgumentException](
+      Mixture.hashSplit(docs, Seq("train" -> 0.5, "test" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Mixture.hashSplit(docs, Seq("train" -> 1.5, "test" -> -0.5)))
+  }
+
+  test("token budget sample: per-source cumsum respects the budget") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "s1"),   // 10 toks
+      (1L, "a b c d e f g h i j", "s1"),
+      (2L, "a b c d e f g h i j", "s1"),
+      (3L, "one two", "s2"),               // 2 toks
+      (4L, null.asInstanceOf[String], "s2")) // null text = 0 tokens
+      .toDF("doc_id", "text", "source")
+    val kept = Mixture.tokenBudgetSample(docs, budgetTokens = 25L)
+    val rows = kept.collect()
+    // s1: hash order admits two of the three 10-token docs (30 > 25);
+    // s2 fits entirely (0 or 2 cumulative)
+    assert(rows.count(_.getString(1) == "s1") == 2)
+    assert(rows.count(_.getString(1) == "s2") == 2)
+    assert(rows.forall(_.getAs[Long]("cum_toks") <= 25L))
+    intercept[IllegalArgumentException](
+      Mixture.tokenBudgetSample(docs, budgetTokens = 0L))
+  }
+
+  test("bloom contamination is bit-identical to the exact join") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val evalPred = Dedup.hash60(col("doc_id").cast("string")) % 25 === 1
+    val exact = Dedup.contaminationPairs(docs, n = 2, minShared = 12, evalPred)
+      .orderBy("train_id", "eval_id").collect().toSeq
+    val bloomed = Dedup.bloomContaminationPairs(docs, n = 2, minShared = 12,
+        evalPred, fpp = 0.01)
+      .orderBy("train_id", "eval_id").collect().toSeq
+    assert(bloomed == exact, "bloom prefilter must not change the result")
+    assert(exact.nonEmpty) // the invariant is vacuous on an empty result
+  }
+
+  test("quantile threshold matches Spark's exact percentile aggregate") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = TextAnalysis.quantileThreshold(docs, p, "source", "v")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val want = docs.groupBy("source")
+        .agg(round(expr(s"percentile(v, $p)"), 6).as("t"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"p=$p")
+    }
   }
 
   test("registrable domain strips ports, keeps unparseable hosts distinct") {
