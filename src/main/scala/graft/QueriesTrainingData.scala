@@ -571,6 +571,27 @@ object QueriesTrainingData {
       .orderBy("source")
   }
 
+  /** Corpus snapshot diff (Dedup.snapshotDiff): two deterministic
+    * synthetic versions of the corpus — v1 drops 10% of ids, v2 drops
+    * a different ~8% and edits every 7th doc — classified added /
+    * removed / changed / unchanged, counted per source. The dataset-
+    * versioning report a corpus release ships with.
+    */
+  private def c4CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val v1 = base.where(
+      Dedup.hash60(concat(lit("v1drop:"), col("doc_id").cast("string"))) % 10 =!= 0)
+    val v2 = base
+      .where(
+        Dedup.hash60(concat(lit("v2drop:"), col("doc_id").cast("string"))) % 12 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    Dedup.snapshotDiff(v1, v2)
+      .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
   /** Per-source document-length histogram (data-card companion to
     * [[c1CorpusCard]]): fixed 128-char buckets, capped at 15, with the
     * within-source share. Single groupBy plus a broadcast-sized window.
@@ -654,6 +675,7 @@ object QueriesTrainingData {
     "p2_web_pipeline" -> (p2WebPipeline(_, _)),
     "m1_media_meta" -> (m1MediaMeta(_, _)),
     "m2_media_features" -> (m2MediaFeatures(_, _)),
+    "c4_corpus_diff" -> (c4CorpusDiff(_, _)),
     "x22_hash_split" -> (x22HashSplit(_, _)),
     "x23_token_budget" -> (x23TokenBudget(_, _)),
     "x24_quantile_filter" -> (x24QuantileFilter(_, _)),
@@ -896,6 +918,27 @@ object QueriesTrainingData {
          |JOIN uni u1 ON u1.w = bgs.w1
          |JOIN uni u2 ON u2.w = bgs.w2, tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c4_corpus_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, source, md5(text) AS m FROM documents
+         |  WHERE ('0x' || substr(md5('v1drop:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % 10 <> 0
+         |), v2 AS (
+         |  SELECT doc_id, source,
+         |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS m
+         |  FROM documents
+         |  WHERE ('0x' || substr(md5('v2drop:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % 12 <> 0
+         |), d AS (
+         |  SELECT coalesce(v2.source, v1.source) AS source,
+         |    CASE WHEN v1.m IS NULL THEN 'added'
+         |         WHEN v2.m IS NULL THEN 'removed'
+         |         WHEN v1.m <> v2.m THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+         |)
+         |SELECT source, status, count(*) AS n_docs FROM d
+         |GROUP BY source, status ORDER BY source, status""".stripMargin,
     "x22_hash_split" ->
       s"""WITH b AS (
          |  SELECT doc_id,

@@ -289,6 +289,37 @@ object Dedup {
       .withColumn("kept", !col("is_exact_dup") && col("n_near_dups") === 0)
   }
 
+  /** Corpus snapshot diff — the dataset-versioning/CDC step: classify
+    * every id across two corpus versions as added / removed / changed /
+    * unchanged. Emits (id, status, + the NEW side's carried columns,
+    * old side's for removed rows).
+    *
+    * Scale shape: content is reduced to a 16-byte md5 per side BEFORE
+    * the join, so the one full-outer shuffle carries (id, hash, carry
+    * columns), never document text — the minimum any keyed diff needs.
+    * No window, no skew risk beyond the id key itself.
+    */
+  def snapshotDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Seq("source")): DataFrame = {
+    def sideHash(df: DataFrame, pfx: String): DataFrame =
+      df.select(
+        (col(idCol) +: md5(col(textCol).cast("binary")).as(s"${pfx}_md5") +:
+          carryCols.map(c => col(c).as(s"${pfx}_$c"))): _*)
+    val o = sideHash(oldDocs, "old")
+    val n = sideHash(newDocs, "new")
+    val status = when(col("old_md5").isNull, "added")
+      .when(col("new_md5").isNull, "removed")
+      .when(col("old_md5") =!= col("new_md5"), "changed")
+      .otherwise("unchanged")
+    o.join(n, Seq(idCol), "full_outer")
+      .select(
+        (col(idCol) +: status.as("status") +:
+          carryCols.map(c =>
+            coalesce(col(s"new_$c"), col(s"old_$c")).as(c))): _*)
+  }
+
   /** Pairwise n-gram Jaccard within a blocking key, via an inverted
     * shingle index: pairs sharing >= 1 shingle get their intersection
     * counted by a (block, shingle) equi-join + groupBy — codegen'd and

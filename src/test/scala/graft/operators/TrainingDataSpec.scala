@@ -442,6 +442,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(exact.nonEmpty) // the invariant is vacuous on an empty result
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((0L, "same", "a"), (1L, "will change", "a"), (2L, "gone", "b"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq((0L, "same", "a"), (1L, "did change", "a"), (3L, "fresh", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got == Map(
+      0L -> ("unchanged", "a"), 1L -> ("changed", "a"),
+      2L -> ("removed", "b"), 3L -> ("added", "b")))
+  }
+
   test("quantile threshold matches Spark's exact percentile aggregate") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("source"), col("n_chars").cast("double").as("v"))
