@@ -155,6 +155,27 @@ class PlanChecksSpec extends SparkSpec {
       s"cell blocking lost - all-pairs product:\n$plan")
   }
 
+  test("x23 token budget is one hash exchange (the per-source window)") {
+    val plan = planOf("x23_token_budget")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val hashShuffles = """Exchange hashpartitioning[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSet
+    assert(hashShuffles.size <= 1,
+      s"${hashShuffles.size} hash shuffles — the quota needs one:\n$finalPlan")
+  }
+
+  test("x24 quantile filter: threshold join broadcasts, no percentile buffer") {
+    val plan = planOf("x24_quantile_filter")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast:\n$plan")
+    // the whole point: the exact quantile must come from the window
+    // rank-pick, never the memory-unbounded percentile aggregate
+    assert(!plan.contains("percentile"),
+      s"percentile aggregate crept back in:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"window rank-pick missing:\n$plan")
+  }
+
   test("source upsampling is shuffle-free (row-local explode)") {
     // the operator itself (not the x21 reporting aggregate) must add
     // NO exchange: copies are derived per row from the id hash
