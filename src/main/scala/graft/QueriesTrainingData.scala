@@ -571,6 +571,13 @@ object QueriesTrainingData {
       .orderBy("source")
   }
 
+  /** BPE merge learning (TextAnalysis.bpeMerges): the first 4 merges
+    * over the corpus word-count table — vocab-scale iterations, one
+    * argmax row on the driver per step.
+    */
+  private def x25BpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(docs(s, dir), steps = 4).orderBy("step")
+
   /** Corpus snapshot diff (Dedup.snapshotDiff): two deterministic
     * synthetic versions of the corpus — v1 drops 10% of ids, v2 drops
     * a different ~8% and edits every 7th doc — classified added /
@@ -676,6 +683,7 @@ object QueriesTrainingData {
     "m1_media_meta" -> (m1MediaMeta(_, _)),
     "m2_media_features" -> (m2MediaFeatures(_, _)),
     "c4_corpus_diff" -> (c4CorpusDiff(_, _)),
+    "x25_bpe_merges" -> (x25BpeMerges(_, _)),
     "x22_hash_split" -> (x22HashSplit(_, _)),
     "x23_token_budget" -> (x23TokenBudget(_, _)),
     "x24_quantile_filter" -> (x24QuantileFilter(_, _)),
@@ -918,6 +926,45 @@ object QueriesTrainingData {
          |JOIN uni u1 ON u1.w = bgs.w1
          |JOIN uni u2 ON u2.w = bgs.w2, tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x25_bpe_merges" -> {
+      // the same 4 BPE steps unrolled as CTE stages: w_i = the symbol
+      // table after i merges, p_i = pair counts, m_i = the argmax
+      // merge (count desc, pair asc). replace() and Spark's quoted
+      // regexp_replace share left-to-right non-overlapping semantics.
+      val w0 =
+        s"""w0 AS (
+           |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+           |      AS sym,
+           |    count(*) AS cnt
+           |  FROM (SELECT unnest(${OracleFragments.toksSql}) AS w
+           |        FROM documents) t
+           |  GROUP BY w
+           |)""".stripMargin
+      val stages = (0 until 4).map { i =>
+        s"""p$i AS (
+           |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      j -> syms[j] || ' ' || syms[j + 1])) AS pair
+           |    FROM (SELECT list_filter(string_split(sym, ' '), x -> x <> '')
+           |            AS syms, cnt FROM w$i) t
+           |  ) GROUP BY pair
+           |), m$i AS (
+           |  SELECT $i AS step, pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1
+           |), w${i + 1} AS (
+           |  SELECT replace(sym, ' ' || m.pair || ' ',
+           |    ' ' || replace(m.pair, ' ', '') || ' ') AS sym, cnt
+           |  FROM w$i CROSS JOIN m$i m
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $w0,
+         |$stages
+         |SELECT step, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs,
+         |  replace(pair, ' ', '') AS merged, c AS pair_count
+         |FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1
+         |      UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+         |ORDER BY step""".stripMargin
+    },
     "c4_corpus_diff" ->
       s"""WITH v1 AS (
          |  SELECT doc_id, source, md5(text) AS m FROM documents

@@ -97,6 +97,69 @@ object TextAnalysis {
             (col("v_hi") - col("v_lo")), 6).as("threshold"))
   }
 
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    * vocabulary-construction step of a training-data pipeline. Classic
+    * BPE over the WORD-COUNT table: words become space-separated
+    * symbol strings, and each step merges the globally most frequent
+    * adjacent symbol pair (count desc, pair asc on ties — fully
+    * deterministic). Returns the merge table (step, lhs, rhs, merged,
+    * pair_count), the artifact a tokenizer trainer ships.
+    *
+    * Scale shape: the corpus collapses to DISTINCT WORDS x counts in
+    * one shuffle, and every iteration runs on that vocab table (cached
+    * once) — pair counting is an explode + one groupBy over |vocab|
+    * rows, never corpus rows. The driver holds exactly ONE row per
+    * step (the argmax pair), the same bounded-collect exception as
+    * k-means centroids. Merging replaces left-to-right non-overlapping
+    * occurrences — identical semantics in Java regex (with the pattern
+    * literal-quoted) and SQL replace(), so the oracle unrolls the same
+    * steps.
+    */
+  def bpeMerges(
+      docs: DataFrame, steps: Int, textCol: String = "text"): DataFrame = {
+    require(steps > 0, "bpeMerges: steps must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(explode(wsTokens(normalize(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+          .as("sym"),
+        col("cnt"))
+      .persist()
+    var vocab = base
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    try {
+      var step = 0
+      var exhausted = false
+      while (step < steps && !exhausted) {
+        val syms = filter(split(col("sym"), " "), s => s =!= "")
+        val pairs = when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            j => concat(element_at(syms, j), lit(" "), element_at(syms, j + 1))))
+          .otherwise(array().cast("array<string>"))
+        val top = vocab.select(col("cnt"), explode(pairs).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val c = top(0).getLong(1)
+          val Array(l, r) = pair.split(" ", 2)
+          merges += ((step, l, r, l + r, c))
+          vocab = vocab.withColumn("sym",
+            regexp_replace(col("sym"),
+              java.util.regex.Pattern.quote(s" $pair "),
+              java.util.regex.Matcher.quoteReplacement(s" ${l + r} ")))
+          step += 1
+        }
+      }
+      merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+    } finally base.unpersist()
+  }
+
   /** Marker-word language profiles (n-gram heuristic stand-in; the
     * synthetic corpus is keyword soup, so profiles are deterministic
     * token matches rather than real character n-grams).

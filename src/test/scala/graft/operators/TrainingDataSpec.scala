@@ -442,6 +442,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(exact.nonEmpty) // the invariant is vacuous on an empty result
   }
 
+  test("bpe merges follow the classic greedy pair frequency order") {
+    // word counts: "aa" x4, "ab" x1 -> pair (a,a) weight 4 beats
+    // (a,b) weight 1; after both merges no adjacent pairs remain, so
+    // steps=4 exhausts at 2 merges instead of padding
+    val docs = Seq((0L, "aa aa ab"), (1L, "aa aa"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, steps = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.length == 2, s"expected exhaustion after 2 merges: ${m.toSeq}")
+    assert(m(0) == ((0, "a", "a", "aa", 4L)), s"step0: ${m(0)}")
+    assert(m(1) == ((1, "a", "b", "ab", 1L)), s"step1: ${m(1)}")
+    // overlap semantics: 'aaa' consumes left-to-right (one 'aa' + 'a')
+    val tri = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeMerges(tri, steps = 2).collect()
+      .map(r => (r.getString(3), r.getLong(4)))
+    assert(m2(0) == (("aa", 4L)), s"step0 of aaa: ${m2(0)}") // 2 adjacent pairs x weight 2
+    assert(m2(1) == (("aaa", 2L)), s"step1 of aaa: ${m2(1)}")
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     val v1 = Seq((0L, "same", "a"), (1L, "will change", "a"), (2L, "gone", "b"))
       .toDF("doc_id", "text", "source")
