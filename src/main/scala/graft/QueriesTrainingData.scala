@@ -571,6 +571,27 @@ object QueriesTrainingData {
       .orderBy("source")
   }
 
+  /** Shard-mixing quality report: per training shard (the x16
+    * hash-shard layout at 16 shards), the source-distribution entropy —
+    * a well-shuffled corpus shows near-identical entropy across shards;
+    * a skewed shard flags a broken mix before a trainer consumes it.
+    * Entropy terms are quantized to integer micro-nats BEFORE the
+    * per-shard sum (the x13/x20 discipline), so summation order can
+    * never flip the result.
+    */
+  private def c5MixEntropy(s: SparkSession, dir: String): DataFrame = {
+    val sh = operators.Mixture.shuffleShards(docs(s, dir), nShards = 16)
+    val c = sh.groupBy("shard", "source").agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy("shard").agg(sum("cnt").as("tot"))
+    val p = col("cnt").cast("double") / col("tot").cast("double")
+    c.join(broadcast(t), "shard")
+      .select(col("shard"), col("cnt"),
+        round(-p * log(p) * 1e6).cast("long").as("unats"))
+      .groupBy("shard")
+      .agg(sum("cnt").as("n_docs"), sum("unats").as("entropy_unats"))
+      .orderBy("shard")
+  }
+
   /** BPE merge learning (TextAnalysis.bpeMerges): the first 4 merges
     * over the corpus word-count table — vocab-scale iterations, one
     * argmax row on the driver per step.
@@ -597,6 +618,53 @@ object QueriesTrainingData {
     Dedup.snapshotDiff(v1, v2)
       .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "status")
+  }
+
+  /** Incremental corpus-update funnel — the release-to-release lane
+    * (p1 is the doc lane, p2 the crawl lane): snapshot diff picks the
+    * content entering the new version (added + changed), an exact-hash
+    * anti-join drops entrants whose content already lives in the
+    * retained (unchanged) corpus, and a quality floor gates what's
+    * left. Per-stage yields, one action.
+    */
+  private def p3UpdatePipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val v1 = base.where(
+      Dedup.hash60(concat(lit("v1drop:"), col("doc_id").cast("string"))) % 10 =!= 0)
+    // v2 synthesis: every 7th doc edited (-> 'changed'), and every
+    // 11th-(mod 3) doc COPIES its neighbor's text — the corpus itself
+    // has no exact text dups, so without the injection the
+    // corpus_dedup stage would be structurally unable to bind
+    val neighbor = base.select(
+      (col("doc_id") + 1).as("doc_id"), col("text").as("_ntext"))
+    val v2 = base
+      .where(
+        Dedup.hash60(concat(lit("v2drop:"), col("doc_id").cast("string"))) % 12 =!= 0)
+      .join(neighbor, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 11 === 3 && col("_ntext").isNotNull, col("_ntext"))
+          .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .drop("_ntext")
+    val diff = Dedup.snapshotDiff(v1, v2)
+    val entering = v2.join(
+      diff.where(col("status").isin("added", "changed")).select("doc_id"),
+      "doc_id")
+    val retainedMd5 = v2
+      .join(diff.where(col("status") === "unchanged").select("doc_id"), "doc_id")
+      .select(md5(col("text").cast("binary")).as("m")).distinct()
+    val deduped = entering
+      .withColumn("m", md5(col("text").cast("binary")))
+      .join(retainedMd5, Seq("m"), "left_anti")
+    val quality = deduped
+      .where(TextAnalysis.qualityScore(col("text")) >= 0.5)
+    def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    stage(0, "entering", entering)
+      .unionByName(stage(1, "corpus_dedup", deduped))
+      .unionByName(stage(2, "quality", quality))
+      .orderBy("stage")
   }
 
   /** Per-source document-length histogram (data-card companion to
@@ -683,6 +751,8 @@ object QueriesTrainingData {
     "m1_media_meta" -> (m1MediaMeta(_, _)),
     "m2_media_features" -> (m2MediaFeatures(_, _)),
     "c4_corpus_diff" -> (c4CorpusDiff(_, _)),
+    "c5_mix_entropy" -> (c5MixEntropy(_, _)),
+    "p3_update_pipeline" -> (p3UpdatePipeline(_, _)),
     "x25_bpe_merges" -> (x25BpeMerges(_, _)),
     "x22_hash_split" -> (x22HashSplit(_, _)),
     "x23_token_budget" -> (x23TokenBudget(_, _)),
@@ -926,6 +996,63 @@ object QueriesTrainingData {
          |JOIN uni u1 ON u1.w = bgs.w1
          |JOIN uni u2 ON u2.w = bgs.w2, tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p3_update_pipeline" ->
+      s"""WITH v2 AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN d.doc_id % 11 = 3 AND n.text IS NOT NULL THEN n.text
+         |         WHEN d.doc_id % 7 = 0 THEN d.text || ' rev2'
+         |         ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id - 1
+         |  WHERE ('0x' || substr(md5('v2drop:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % 12 <> 0
+         |), v1m AS (
+         |  SELECT doc_id, md5(text) AS m FROM documents
+         |  WHERE ('0x' || substr(md5('v1drop:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % 10 <> 0
+         |), v2m AS (
+         |  SELECT doc_id, md5(text) AS m FROM v2
+         |), st AS (
+         |  SELECT doc_id,
+         |    CASE WHEN v1m.m IS NULL THEN 'added'
+         |         WHEN v2m.m IS NULL THEN 'removed'
+         |         WHEN v1m.m <> v2m.m THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM v1m FULL OUTER JOIN v2m USING (doc_id)
+         |), entering AS (
+         |  SELECT v2.doc_id, v2.text FROM v2 JOIN st USING (doc_id)
+         |  WHERE st.status IN ('added', 'changed')
+         |), ret AS (
+         |  SELECT DISTINCT md5(v2.text) AS m FROM v2 JOIN st USING (doc_id)
+         |  WHERE st.status = 'unchanged'
+         |), ded AS (
+         |  SELECT e.doc_id, e.text FROM entering e
+         |  WHERE md5(e.text) NOT IN (SELECT m FROM ret)
+         |), q AS (
+         |  SELECT doc_id FROM ded WHERE ${OracleFragments.qualitySql} >= 0.5
+         |)
+         |SELECT 0 AS stage, 'entering' AS stage_name, count(*) AS n_docs
+         |FROM entering
+         |UNION ALL SELECT 1, 'corpus_dedup', count(*) FROM ded
+         |UNION ALL SELECT 2, 'quality', count(*) FROM q
+         |ORDER BY stage""".stripMargin,
+    "c5_mix_entropy" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source,
+         |    CAST(${hash60("doc_id::VARCHAR")} % 16 AS INT) AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT shard, source, count(*) AS cnt FROM sh GROUP BY 1, 2
+         |), t AS (
+         |  SELECT shard, sum(cnt) AS tot FROM c GROUP BY 1
+         |), e AS (
+         |  SELECT c.shard, cnt,
+         |    CAST(round(-(cnt::DOUBLE / tot::DOUBLE)
+         |      * ln(cnt::DOUBLE / tot::DOUBLE) * 1e6) AS BIGINT) AS unats
+         |  FROM c JOIN t USING (shard)
+         |)
+         |SELECT shard, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  CAST(sum(unats) AS BIGINT) AS entropy_unats
+         |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
     "x25_bpe_merges" -> {
       // the same 4 BPE steps unrolled as CTE stages: w_i = the symbol
       // table after i merges, p_i = pair counts, m_i = the argmax
