@@ -18,6 +18,45 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("binary"))
   }
 
+  test("end-to-end corpus pipeline (parquet -> quantile filter -> token budget -> split -> orc)") {
+    // the round-8 stages wired through the same Pipeline.run machinery
+    // as the telemetry lane: per-source relative quality floor, then a
+    // per-source token quota, then a deterministic split, loaded as ORC
+    val out = java.nio.file.Files.createTempDirectory("cli_corpus").toString
+    val extract = Registry.getExtractor("parquet")
+    val qual = Registry.getTransformer("quality_quantile_filter")(
+      Registry.parseConfig("""{"percentile": 0.25}"""))
+    val quota = Registry.getTransformer("token_budget")(
+      Registry.parseConfig("""{"budget_tokens": 800}"""))
+    val split = Registry.getTransformer("hash_split")(
+      Registry.parseConfig(
+        """{"splits": [{"name": "train", "fraction": 0.95},
+          |           {"name": "eval", "fraction": 0.05}]}""".stripMargin))
+    val load = Registry.getLoader("orc")
+    val result = Pipeline.run(
+      spark,
+      extract = s => extract(s, Registry.parseConfig(
+        """{"path": "/root/testdata/sf0.001/documents.parquet"}""")),
+      transforms = Seq("quality_quantile_filter" -> qual,
+        "token_budget" -> quota, "hash_split" -> split),
+      load = df => { val n = df.count(); load(df, Registry.parseConfig(
+        s"""{"output_dir": "$out"}""")); n })
+    assert(result.ok, s"pipeline failed: ${result.errors}")
+    // every stage observed its row count off the single action, and
+    // each filter stage genuinely shrank the corpus
+    val stageRows = result.stages.map(st => st.name -> st.rowsOut).toMap
+    assert(stageRows("extract") == 500)
+    assert(stageRows("quality_quantile_filter") < 500 &&
+      stageRows("quality_quantile_filter") > 300, s"stages: $stageRows")
+    assert(stageRows("token_budget") < stageRows("quality_quantile_filter"),
+      s"stages: $stageRows")
+    assert(stageRows("hash_split") == stageRows("token_budget"))
+    val back = spark.read.orc(out)
+    assert(back.count() == result.rowsLoaded)
+    assert(back.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "eval")))
+  }
+
   test("end-to-end pipeline via registry stages (binary -> decom -> calibrate -> parquet)") {
     val dir = java.nio.file.Files.createTempDirectory("cli_in")
     val out = java.nio.file.Files.createTempDirectory("cli_out").toString
