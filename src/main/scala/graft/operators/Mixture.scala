@@ -114,20 +114,29 @@ object Mixture {
     * Emits the input plus (split_bucket, split). Fractions must sum to
     * 1 within 1e-9 so every bucket lands in exactly one split.
     */
-  def hashSplit(
-      docs: DataFrame, splits: Seq[(String, Double)],
-      idCol: String = "doc_id"): DataFrame = {
+  /** Exclusive upper bucket bounds per split over [0, 1e6): cumulative
+    * fractions rounded to integers, the LAST forced to exactly 1e6 so
+    * float accumulation can never leave bucket 999999 unassigned.
+    * Extracted (and property-tested) because an off-by-one here
+    * silently leaks eval docs into train.
+    */
+  private[operators] def splitBounds(
+      splits: Seq[(String, Double)]): Seq[(String, Long)] = {
     require(splits.nonEmpty, "hashSplit: need at least one split")
     require(splits.forall(_._2 > 0), "hashSplit: fractions must be > 0")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"hashSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * 1e6))
+    splits.map(_._1).zip(cum.init :+ 1000000L)
+  }
+
+  def hashSplit(
+      docs: DataFrame, splits: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    val bounds = splitBounds(splits)
     val bucket = pmod(
       Dedup.hash60(concat(lit("split:"), col(idCol).cast("string"))),
       lit(1000000L))
-    // cumulative upper bounds, last forced to exactly 1e6 so float
-    // accumulation can never leave bucket 999999 unassigned
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * 1e6))
-    val bounds = splits.map(_._1).zip(cum.init :+ 1000000L)
     val assign = bounds.init.foldRight(lit(bounds.last._1): Column) {
       case ((name, hi), rest) =>
         when(col("split_bucket") < hi, name).otherwise(rest)
