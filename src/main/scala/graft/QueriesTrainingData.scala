@@ -599,6 +599,13 @@ object QueriesTrainingData {
   private def x25BpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeMerges(docs(s, dir), steps = 4).orderBy("step")
 
+  /** BPE apply side (TextAnalysis.bpeCompression): the 4 learned
+    * merges applied to the per-source word table — chars vs post-merge
+    * symbols per source.
+    */
+  private def x26BpeCompression(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeCompression(docs(s, dir), steps = 4).orderBy("source")
+
   /** Corpus snapshot diff (Dedup.snapshotDiff): two deterministic
     * synthetic versions of the corpus — v1 drops 10% of ids, v2 drops
     * a different ~8% and edits every 7th doc — classified added /
@@ -754,6 +761,7 @@ object QueriesTrainingData {
     "c5_mix_entropy" -> (c5MixEntropy(_, _)),
     "p3_update_pipeline" -> (p3UpdatePipeline(_, _)),
     "x25_bpe_merges" -> (x25BpeMerges(_, _)),
+    "x26_bpe_compression" -> (x26BpeCompression(_, _)),
     "x22_hash_split" -> (x22HashSplit(_, _)),
     "x23_token_budget" -> (x23TokenBudget(_, _)),
     "x24_quantile_filter" -> (x24QuantileFilter(_, _)),
@@ -825,6 +833,41 @@ object QueriesTrainingData {
        |      '/$$', '') AS canonical_url
        |  FROM u
        |)""".stripMargin
+
+  /** The 4 BPE merge steps unrolled as CTE stages (shared by x25 and
+    * x26): w_i = the global symbol table after i merges, p_i = pair
+    * counts, m_i = the argmax merge (count desc, pair asc). replace()
+    * and Spark's literal-quoted regexp_replace share left-to-right
+    * non-overlapping semantics.
+    */
+  private def bpeMergeCtes: String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+         |      AS sym,
+         |    count(*) AS cnt
+         |  FROM (SELECT unnest(${OracleFragments.toksSql}) AS w
+         |        FROM documents) t
+         |  GROUP BY w
+         |)""".stripMargin
+    val stages = (0 until 4).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      j -> syms[j] || ' ' || syms[j + 1])) AS pair
+         |    FROM (SELECT list_filter(string_split(sym, ' '), x -> x <> '')
+         |            AS syms, cnt FROM w$i) t
+         |  ) GROUP BY pair
+         |), m$i AS (
+         |  SELECT $i AS step, pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1
+         |), w${i + 1} AS (
+         |  SELECT replace(sym, ' ' || m.pair || ' ',
+         |    ' ' || replace(m.pair, ' ', '') || ' ') AS sym, cnt
+         |  FROM w$i CROSS JOIN m$i m
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$w0,\n$stages"
+  }
 
   /** SQL mirror of [[TextAnalysis.registrableDomain]]: strip path,
     * `:port`, trailing dot; last two labels, whole host as fallback
@@ -1053,44 +1096,45 @@ object QueriesTrainingData {
          |SELECT shard, CAST(sum(cnt) AS BIGINT) AS n_docs,
          |  CAST(sum(unats) AS BIGINT) AS entropy_unats
          |FROM e GROUP BY shard ORDER BY shard""".stripMargin,
-    "x25_bpe_merges" -> {
-      // the same 4 BPE steps unrolled as CTE stages: w_i = the symbol
-      // table after i merges, p_i = pair counts, m_i = the argmax
-      // merge (count desc, pair asc). replace() and Spark's quoted
-      // regexp_replace share left-to-right non-overlapping semantics.
-      val w0 =
-        s"""w0 AS (
-           |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
-           |      AS sym,
-           |    count(*) AS cnt
-           |  FROM (SELECT unnest(${OracleFragments.toksSql}) AS w
-           |        FROM documents) t
-           |  GROUP BY w
-           |)""".stripMargin
-      val stages = (0 until 4).map { i =>
-        s"""p$i AS (
-           |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
-           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
-           |      j -> syms[j] || ' ' || syms[j + 1])) AS pair
-           |    FROM (SELECT list_filter(string_split(sym, ' '), x -> x <> '')
-           |            AS syms, cnt FROM w$i) t
-           |  ) GROUP BY pair
-           |), m$i AS (
-           |  SELECT $i AS step, pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1
-           |), w${i + 1} AS (
-           |  SELECT replace(sym, ' ' || m.pair || ' ',
-           |    ' ' || replace(m.pair, ' ', '') || ' ') AS sym, cnt
-           |  FROM w$i CROSS JOIN m$i m
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $w0,
-         |$stages
+    "x25_bpe_merges" ->
+      s"""WITH $bpeMergeCtes
          |SELECT step, split_part(pair, ' ', 1) AS lhs,
          |  split_part(pair, ' ', 2) AS rhs,
          |  replace(pair, ' ', '') AS merged, c AS pair_count
          |FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1
          |      UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
-         |ORDER BY step""".stripMargin
+         |ORDER BY step""".stripMargin,
+    "x26_bpe_compression" -> {
+      // per-source word table symbolized, the four learned merges
+      // applied via scalar subqueries against m0..m3, then the
+      // per-source char vs post-merge symbol totals
+      val apply = (0 until 4).map { i =>
+        s"""ws${i + 1} AS (
+           |  SELECT source, w, cnt, replace(sym,
+           |    ' ' || (SELECT pair FROM m$i) || ' ',
+           |    ' ' || (SELECT replace(pair, ' ', '') FROM m$i) || ' ') AS sym
+           |  FROM ws$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeMergeCtes,
+         |ws0 AS (
+         |  SELECT source, w, count(*) AS cnt,
+         |    ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym
+         |  FROM (SELECT source, unnest(${OracleFragments.toksSql}) AS w
+         |        FROM documents) t
+         |  GROUP BY source, w
+         |),
+         |$apply,
+         |agg AS (
+         |  SELECT source,
+         |    CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+         |    CAST(sum(cnt * len(list_filter(string_split(sym, ' '),
+         |      x -> x <> ''))) AS BIGINT) AS n_symbols
+         |  FROM ws4 GROUP BY source
+         |)
+         |SELECT source, n_chars, n_symbols,
+         |  round(n_symbols::DOUBLE / n_chars::DOUBLE, 6) AS symbols_per_char
+         |FROM agg ORDER BY source""".stripMargin
     },
     "c4_corpus_diff" ->
       s"""WITH v1 AS (

@@ -160,6 +160,39 @@ object TextAnalysis {
     } finally base.unpersist()
   }
 
+  /** Apply [[bpeMerges]]' learned merge table to the per-source word
+    * table and report the compression it buys: characters vs
+    * post-merge symbols per source — the "is this tokenizer worth it
+    * on this slice" check. The merge table is k driver rows; applying
+    * it is k chained replaces over the vocab-scale (source, word)
+    * table, never the corpus.
+    */
+  def bpeCompression(
+      docs: DataFrame, steps: Int, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val merges = bpeMerges(docs, steps, textCol).orderBy("step").collect()
+    var words = docs
+      .select(col(sourceCol),
+        explode(wsTokens(normalize(col(textCol)))).as("w"))
+      .groupBy(sourceCol, "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym",
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")))
+    merges.foreach { m =>
+      val pair = s"${m.getString(1)} ${m.getString(2)}"
+      words = words.withColumn("sym",
+        regexp_replace(col("sym"),
+          java.util.regex.Pattern.quote(s" $pair "),
+          java.util.regex.Matcher.quoteReplacement(s" ${m.getString(3)} ")))
+    }
+    val nSyms = size(filter(split(col("sym"), " "), s => s =!= ""))
+    words.groupBy(sourceCol)
+      .agg(sum(col("cnt") * length(col("w"))).as("n_chars"),
+        sum(col("cnt") * nSyms).as("n_symbols"))
+      .select(col(sourceCol), col("n_chars"), col("n_symbols"),
+        round(col("n_symbols").cast("double") / col("n_chars").cast("double"), 6)
+          .as("symbols_per_char"))
+  }
+
   /** Marker-word language profiles (n-gram heuristic stand-in; the
     * synthetic corpus is keyword soup, so profiles are deterministic
     * token matches rather than real character n-grams).

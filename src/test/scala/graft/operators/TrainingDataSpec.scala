@@ -462,6 +462,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(m2(1) == (("aaa", 2L)), s"step1 of aaa: ${m2(1)}")
   }
 
+  test("bpe compression applies learned merges to the word table") {
+    // vocab 'aa' x4 + 'ab' x1 learns merges (a,a)->aa then (a,b)->ab;
+    // applied, every word collapses to ONE symbol: 10 chars, 5 symbols
+    val docs = Seq((0L, "aa aa ab", "s1"), (1L, "aa aa", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.bpeCompression(docs, steps = 4).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 10L, s"n_chars: ${r(0)}")
+    assert(r(0).getLong(2) == 5L, s"n_symbols: ${r(0)}")
+    assert(r(0).getDouble(3) == 0.5, s"ratio: ${r(0)}")
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     val v1 = Seq((0L, "same", "a"), (1L, "will change", "a"), (2L, "gone", "b"))
       .toDF("doc_id", "text", "source")
