@@ -44,7 +44,9 @@ object Bench {
     * under-reporting a 10s query 10x in the compact artifact line.
     */
   private[graft] def trim(v: Double, dp: Int): String = {
-    val s = s"%.${dp}f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit "64,33",
+    // defeating the '.'-strip AND splitting the JSON value
+    val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     if (!s.contains('.')) s
     else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
       case "" => "0"; case t => t

@@ -1108,11 +1108,20 @@ object QueriesTrainingData {
       // per-source word table symbolized, the four learned merges
       // applied via scalar subqueries against m0..m3, then the
       // per-source char vs post-merge symbol totals
+      // coalesce('') guards merge exhaustion (< 4 learned merges on a
+      // degenerate corpus): the search pattern becomes '  ', which a
+      // single-spaced symbol string never contains, so the stage is a
+      // no-op instead of NULLing every sym — mirroring the Spark side,
+      // which simply applies fewer replaces
       val apply = (0 until 4).map { i =>
+        // NOTE: inner lines must not START with '||' — this fragment
+        // is stripMargin'd again inside the outer template, which
+        // would eat the first pipe as a margin char
         s"""ws${i + 1} AS (
            |  SELECT source, w, cnt, replace(sym,
-           |    ' ' || (SELECT pair FROM m$i) || ' ',
-           |    ' ' || (SELECT replace(pair, ' ', '') FROM m$i) || ' ') AS sym
+           |    ' ' || coalesce((SELECT pair FROM m$i), '') || ' ',
+           |    ' ' || coalesce((SELECT replace(pair, ' ', '') FROM m$i), '') ||
+           |      ' ') AS sym
            |  FROM ws$i
            |)""".stripMargin
       }.mkString(",\n")

@@ -346,10 +346,19 @@ object Registry {
       // order in the config defines the bucket ranges, so it's a LIST
       // of {name, fraction}, never a map
       val id = str(c, "id_column").getOrElse("doc_id")
-      val splits = (c \ "splits").extractOpt[Seq[SplitDef]]
-        .filter(_.nonEmpty)
-        .map(_.map(s => s.name -> s.fraction))
-        .getOrElse(Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      // a present-but-malformed splits config must ERROR, not silently
+      // fall back to 90/5/5 — a user whose 80/20 map-shaped config is
+      // ignored ships the wrong eval ratio with no failure
+      val splits = (c \ "splits") match {
+        case JNothing =>
+          Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+        case v =>
+          v.extractOpt[Seq[SplitDef]].filter(_.nonEmpty)
+            .map(_.map(s => s.name -> s.fraction))
+            .getOrElse(sys.error(
+              "hash_split: 'splits' must be a non-empty LIST of " +
+                s"{name, fraction} objects, got: ${JsonMethods.compact(v)}"))
+      }
       operators.Mixture.hashSplit(df, splits, id)
     },
     "token_budget" -> { c => df =>

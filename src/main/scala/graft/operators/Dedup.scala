@@ -303,15 +303,21 @@ object Dedup {
       oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       carryCols: Seq[String] = Seq("source")): DataFrame = {
+    // presence is tracked by an explicit flag, NOT by the md5 being
+    // null — md5(null text) is null, and inferring absence from it
+    // would misreport a null-text row present in both versions as
+    // added/removed; null-safe equality (<=>)  likewise keeps a
+    // null-to-text edit classified 'changed'
     def sideHash(df: DataFrame, pfx: String): DataFrame =
       df.select(
-        (col(idCol) +: md5(col(textCol).cast("binary")).as(s"${pfx}_md5") +:
+        (col(idCol) +: lit(true).as(s"${pfx}_present") +:
+          md5(col(textCol).cast("binary")).as(s"${pfx}_md5") +:
           carryCols.map(c => col(c).as(s"${pfx}_$c"))): _*)
     val o = sideHash(oldDocs, "old")
     val n = sideHash(newDocs, "new")
-    val status = when(col("old_md5").isNull, "added")
-      .when(col("new_md5").isNull, "removed")
-      .when(col("old_md5") =!= col("new_md5"), "changed")
+    val status = when(col("old_present").isNull, "added")
+      .when(col("new_present").isNull, "removed")
+      .when(!(col("old_md5") <=> col("new_md5")), "changed")
       .otherwise("unchanged")
     o.join(n, Seq(idCol), "full_outer")
       .select(
@@ -435,19 +441,21 @@ object Dedup {
       docs: DataFrame, n: Int, minShared: Long,
       evalPred: Column, fpp: Double = 0.01,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val st = shingleTable(docs, n, idCol, textCol)
-      .select(col(idCol), hash60(col("s")).as("h"))
-    val tagged = st.join(docs.select(col(idCol), evalPred.as("is_eval")), idCol)
-    val evalSide = tagged.where(col("is_eval"))
-      .select(col(idCol).as("eval_id"), col("h"))
+    // shingle each side from ITS OWN filtered doc set: the sketch's
+    // auxiliary actions (sizing count + bloom aggregate) then scan
+    // only eval docs — shingling the whole corpus and filtering after
+    // a tag join would re-run the corpus-wide explode once per action
+    // and forfeit most of what the prefilter buys
+    val evalSide = shingleTable(docs.where(evalPred), n, idCol, textCol)
+      .select(col(idCol).as("eval_id"), hash60(col("s")).as("h"))
     // posting rows (not distinct hashes) as the size estimate: an
     // overshoot only makes the sketch larger, never less exact
     val nEval = math.max(1L, evalSide.count())
     val bloom = evalSide.stat.bloomFilter("h", nEval, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
-    val train = tagged.where(!col("is_eval"))
-      .select(col(idCol).as("train_id"), col("h"))
+    val train = shingleTable(docs.where(!evalPred), n, idCol, textCol)
+      .select(col(idCol).as("train_id"), hash60(col("s")).as("h"))
     // denominator (train doc's distinct shingles) comes from the FULL
     // posting set — the prefilter must not shrink overlap_frac
     val sizes = train.groupBy("train_id").agg(count(lit(1)).as("sz"))

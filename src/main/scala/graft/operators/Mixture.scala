@@ -127,7 +127,13 @@ object Mixture {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"hashSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
     val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * 1e6))
-    splits.map(_._1).zip(cum.init :+ 1000000L)
+    val bounds = splits.map(_._1).zip(cum.init :+ 1000000L)
+    // a fraction below ~5e-7 rounds to a zero-width bucket range —
+    // that split would silently receive zero documents, so fail fast
+    val widths = bounds.map(_._2).zip(0L +: bounds.map(_._2).init)
+    require(widths.forall { case (hi, lo) => hi > lo },
+      s"hashSplit: a fraction is too small to own any bucket: $splits")
+    bounds
   }
 
   def hashSplit(
@@ -151,11 +157,14 @@ object Mixture {
     * Hash order makes the kept set a uniform sample of the source
     * (arrival order would bias toward old crawls) and reproducible.
     *
-    * Emits (id, source, n_toks, cum_toks) for kept docs. A doc that
-    * would cross the budget is dropped but later smaller docs may
-    * still fit (cumsum <= budget per row, not a hard cut at the first
-    * overflow) — this fills the budget tighter at a bounded overshoot
-    * of zero.
+    * Emits (id, source, n_toks, cum_toks) for kept docs. The running
+    * total accumulates over ALL docs in hash order (dropped ones
+    * included) and cum_toks is monotone, so the kept set is exactly
+    * the longest hash-order PREFIX that fits the budget — once one doc
+    * crosses the line, no later doc is admitted. A greedy backfill
+    * (skip the big doc, keep trying smaller ones) would fill tighter
+    * but makes membership depend on every earlier drop; the prefix cut
+    * keeps membership replayable from (hash, budget) alone.
     *
     * Scale: ONE shuffle on source + a single window pass — same shape
     * as [[packSequences]]; at corpus scale sources are few and large,

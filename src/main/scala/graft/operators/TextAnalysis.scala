@@ -85,6 +85,11 @@ object TextAnalysis {
     val w = Window.partitionBy(groupCol).orderBy(valueCol)
     val k = (col("n") - 1) * lit(p)
     df
+      // drop NULL values first: percentile()/quantile_cont ignore
+      // nulls, but a window rank counts them (ascending NULLS FIRST),
+      // which would shift the pick — or NULL the threshold outright
+      // when the rank lands on a null row
+      .where(col(valueCol).isNotNull)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
       .groupBy(groupCol)
