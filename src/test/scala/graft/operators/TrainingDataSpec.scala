@@ -486,6 +486,42 @@ class TrainingDataSpec extends SparkSpec {
       2L -> ("removed", "b"), 3L -> ("added", "b")))
   }
 
+  test("snapshot diff: null text never fakes presence") {
+    val v1 = Seq((0L, null.asInstanceOf[String], "a"), (1L, "x", "a"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq((0L, "now real", "a"), (1L, null.asInstanceOf[String], "a"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both ids exist in both versions: null -> text and text -> null
+    // are EDITS, not additions/removals
+    assert(got == Map(0L -> "changed", 1L -> "changed"), s"got $got")
+  }
+
+  test("quantile threshold ignores null values like percentile does") {
+    val rows = Seq(("s", Some(1.0)), ("s", None), ("s", Some(3.0)),
+      ("s", None), ("s", Some(2.0)))
+      .toDF("source", "v")
+    val got = TextAnalysis.quantileThreshold(rows, 0.5, "source", "v")
+      .head()
+    assert(got.getLong(1) == 3L, s"n must count non-null only: $got")
+    assert(got.getDouble(2) == 2.0, s"median of 1,2,3 is 2: $got")
+  }
+
+  test("hash_split stage errors on malformed splits config") {
+    import org.json4s.jackson.JsonMethods.parse
+    val docs = Seq((0L, "t")).toDF("doc_id", "text")
+    // map-shaped (unordered) config must fail, not silently 90/5/5
+    val e = intercept[RuntimeException] {
+      graft.Registry.transformers("hash_split")(
+        parse("""{"splits": {"train": 0.8, "test": 0.2}}"""))(docs)
+    }
+    assert(e.getMessage.contains("LIST"), e.getMessage)
+    // absent key still means the documented default
+    val ok = graft.Registry.transformers("hash_split")(parse("{}"))(docs)
+    assert(ok.columns.contains("split"))
+  }
+
   test("quantile threshold matches Spark's exact percentile aggregate") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("source"), col("n_chars").cast("double").as("v"))
