@@ -836,14 +836,18 @@ object QueriesTrainingData {
 
   /** The 4 BPE merge steps unrolled as CTE stages (shared by x25 and
     * x26): w_i = the global symbol table after i merges, p_i = pair
-    * counts, m_i = the argmax merge (count desc, pair asc). replace()
-    * and Spark's literal-quoted regexp_replace share left-to-right
-    * non-overlapping semantics.
+    * counts, m_i = the argmax merge (count desc, pair asc). Symbols
+    * are DOUBLE-space joined with single-space ends (the
+    * TextAnalysis.bpeMerges representation): a plain non-overlapping
+    * replace of ' l  r ' then merges greedily left-to-right exactly
+    * like classic BPE — the match only consumes one space of each
+    * boundary gap, so ' a  a  a  a ' -> ' aa  aa '. replace() and
+    * Spark's literal-quoted regexp_replace share the scan semantics.
     */
   private def bpeMergeCtes: String = {
     val w0 =
       s"""w0 AS (
-         |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+         |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
          |      AS sym,
          |    count(*) AS cnt
          |  FROM (SELECT unnest(${OracleFragments.toksSql}) AS w
@@ -861,7 +865,7 @@ object QueriesTrainingData {
          |), m$i AS (
          |  SELECT $i AS step, pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1
          |), w${i + 1} AS (
-         |  SELECT replace(sym, ' ' || m.pair || ' ',
+         |  SELECT replace(sym, ' ' || replace(m.pair, ' ', '  ') || ' ',
          |    ' ' || replace(m.pair, ' ', '') || ' ') AS sym, cnt
          |  FROM w$i CROSS JOIN m$i m
          |)""".stripMargin
@@ -1105,30 +1109,33 @@ object QueriesTrainingData {
          |      UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
          |ORDER BY step""".stripMargin,
     "x26_bpe_compression" -> {
-      // per-source word table symbolized, the four learned merges
-      // applied via scalar subqueries against m0..m3, then the
-      // per-source char vs post-merge symbol totals
-      // coalesce('') guards merge exhaustion (< 4 learned merges on a
-      // degenerate corpus): the search pattern becomes '  ', which a
-      // single-spaced symbol string never contains, so the stage is a
-      // no-op instead of NULLing every sym — mirroring the Spark side,
-      // which simply applies fewer replaces
+      // per-source word table symbolized (double-space joined, see
+      // bpeMergeCtes), the four learned merges applied via scalar
+      // subqueries against m0..m3, then the per-source char vs
+      // post-merge symbol totals
+      // coalesce(chr(7)) guards merge exhaustion (< 4 learned merges
+      // on a degenerate corpus): the search pattern becomes ' \a '
+      // (BEL), which normalized symbols never contain, so the stage is
+      // a no-op instead of NULLing every sym — mirroring the Spark
+      // side, which simply applies fewer replaces. ('' is no longer a
+      // safe sentinel: '  ' DOES occur between double-spaced symbols.)
       val apply = (0 until 4).map { i =>
         // NOTE: inner lines must not START with '||' — this fragment
         // is stripMargin'd again inside the outer template, which
         // would eat the first pipe as a margin char
         s"""ws${i + 1} AS (
            |  SELECT source, w, cnt, replace(sym,
-           |    ' ' || coalesce((SELECT pair FROM m$i), '') || ' ',
-           |    ' ' || coalesce((SELECT replace(pair, ' ', '') FROM m$i), '') ||
-           |      ' ') AS sym
+           |    ' ' || coalesce((SELECT replace(pair, ' ', '  ') FROM m$i),
+           |      chr(7)) || ' ',
+           |    ' ' || coalesce((SELECT replace(pair, ' ', '') FROM m$i),
+           |      chr(7)) || ' ') AS sym
            |  FROM ws$i
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH $bpeMergeCtes,
          |ws0 AS (
          |  SELECT source, w, count(*) AS cnt,
-         |    ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym
+         |    ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS sym
          |  FROM (SELECT source, unnest(${OracleFragments.toksSql}) AS w
          |        FROM documents) t
          |  GROUP BY source, w

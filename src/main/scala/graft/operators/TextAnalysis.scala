@@ -104,36 +104,58 @@ object TextAnalysis {
 
   /** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
     * vocabulary-construction step of a training-data pipeline. Classic
-    * BPE over the WORD-COUNT table: words become space-separated
-    * symbol strings, and each step merges the globally most frequent
-    * adjacent symbol pair (count desc, pair asc on ties — fully
-    * deterministic). Returns the merge table (step, lhs, rhs, merged,
-    * pair_count), the artifact a tokenizer trainer ships.
+    * BPE over the WORD-COUNT table: words become symbol strings, and
+    * each step merges the globally most frequent adjacent symbol pair
+    * (count desc, pair asc on ties — fully deterministic). Returns the
+    * merge table (step, lhs, rhs, merged, pair_count), the artifact a
+    * tokenizer trainer ships.
+    *
+    * Symbols are joined by TWO spaces with one space at each end
+    * (" a  b  c "). That spacing is what makes a plain non-overlapping
+    * replace of " l  r " -> " lr " EXACTLY classic greedy left-to-right
+    * merging: the match consumes only the second space of the gap
+    * before `l` and the first of the gap after `r`, so the very next
+    * pair is still matchable and adjacent repeats merge like
+    * subword-nmt's lookaround regex (" a  a  a  a " -> " aa  aa ", not
+    * the alternate-merge a single-spaced replace would give). No
+    * lookarounds needed, so Java regex (pattern literal-quoted) and
+    * SQL replace() share the semantics and the oracle unrolls the same
+    * steps.
     *
     * Scale shape: the corpus collapses to DISTINCT WORDS x counts in
-    * one shuffle, and every iteration runs on that vocab table (cached
-    * once) — pair counting is an explode + one groupBy over |vocab|
-    * rows, never corpus rows. The driver holds exactly ONE row per
-    * step (the argmax pair), the same bounded-collect exception as
-    * k-means centroids. Merging replaces left-to-right non-overlapping
-    * occurrences — identical semantics in Java regex (with the pattern
-    * literal-quoted) and SQL replace(), so the oracle unrolls the same
-    * steps.
+    * one shuffle, and every iteration runs on that vocab table — pair
+    * counting is an explode + one groupBy over |vocab| rows, never
+    * corpus rows. The driver holds exactly ONE row per step (the
+    * argmax pair), the same bounded-collect exception as k-means
+    * centroids. The symbolized vocab is localCheckpoint'ed every
+    * `checkpointEvery` steps (the Graph.connectedComponents pattern,
+    * superseded checkpoints freed eagerly), so each step's job replays
+    * at most `checkpointEvery - 1` pending regexp_replaces over the
+    * last materialization — per-step cost is flat in the step index
+    * (O(k) total recompute), where the unchecked-pointed loop was
+    * O(k^2) with a k-deep plan and could not survive a realistic
+    * 32k-merge vocabulary.
     */
   def bpeMerges(
-      docs: DataFrame, steps: Int, textCol: String = "text"): DataFrame = {
+      docs: DataFrame, steps: Int, textCol: String = "text",
+      checkpointEvery: Int = 8): DataFrame = {
     require(steps > 0, "bpeMerges: steps must be positive")
+    require(checkpointEvery > 0, "bpeMerges: checkpointEvery must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs
       .select(explode(wsTokens(normalize(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(
-        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" "))
           .as("sym"),
         col("cnt"))
       .persist()
     var vocab = base
+    // the last checkpoint backing `vocab`'s lineage; superseded ones
+    // are dead the moment the next materializes and are freed eagerly
+    // (local checkpoints bypass the cache manager, see GraftShims)
+    var ckpt: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     try {
       var step = 0
@@ -156,13 +178,24 @@ object TextAnalysis {
           merges += ((step, l, r, l + r, c))
           vocab = vocab.withColumn("sym",
             regexp_replace(col("sym"),
-              java.util.regex.Pattern.quote(s" $pair "),
+              java.util.regex.Pattern.quote(s" $l  $r "),
               java.util.regex.Matcher.quoteReplacement(s" ${l + r} ")))
           step += 1
+          if (step % checkpointEvery == 0 && step < steps) {
+            val next = vocab.localCheckpoint() // eager: materializes now
+            ckpt.foreach(org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint)
+            ckpt = Some(next)
+            vocab = next
+          }
         }
       }
       merges.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
-    } finally base.unpersist()
+    } finally {
+      base.unpersist()
+      // the merge table lives on the driver; no returned plan reads the
+      // vocab, so the final checkpoint is freed too
+      ckpt.foreach(org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint)
+    }
   }
 
   /** Apply [[bpeMerges]]' learned merge table to the per-source word
@@ -170,7 +203,11 @@ object TextAnalysis {
     * post-merge symbols per source — the "is this tokenizer worth it
     * on this slice" check. The merge table is k driver rows; applying
     * it is k chained replaces over the vocab-scale (source, word)
-    * table, never the corpus.
+    * table, never the corpus — with a localCheckpoint every 16 merges
+    * so a large-k apply keeps a bounded expression chain instead of a
+    * k-deep regexp_replace nest (the final checkpoint backs the lazy
+    * result and is reclaimed by the ContextCleaner when the caller
+    * drops it, same as Graph.connectedComponents' returned labels).
     */
   def bpeCompression(
       docs: DataFrame, steps: Int, textCol: String = "text",
@@ -181,13 +218,19 @@ object TextAnalysis {
         explode(wsTokens(normalize(col(textCol)))).as("w"))
       .groupBy(sourceCol, "w").agg(count(lit(1)).as("cnt"))
       .withColumn("sym",
-        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")))
-    merges.foreach { m =>
-      val pair = s"${m.getString(1)} ${m.getString(2)}"
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")))
+    var ckpt: Option[DataFrame] = None
+    merges.zipWithIndex.foreach { case (m, i) =>
       words = words.withColumn("sym",
         regexp_replace(col("sym"),
-          java.util.regex.Pattern.quote(s" $pair "),
+          java.util.regex.Pattern.quote(s" ${m.getString(1)}  ${m.getString(2)} "),
           java.util.regex.Matcher.quoteReplacement(s" ${m.getString(3)} ")))
+      if ((i + 1) % 16 == 0 && i + 1 < merges.length) {
+        val next = words.localCheckpoint()
+        ckpt.foreach(org.apache.spark.sql.GraftShims.unpersistLocalCheckpoint)
+        ckpt = Some(next)
+        words = next
+      }
     }
     val nSyms = size(filter(split(col("sym"), " "), s => s =!= ""))
     words.groupBy(sourceCol)

@@ -462,6 +462,44 @@ class TrainingDataSpec extends SparkSpec {
     assert(m2(1) == (("aaa", 2L)), s"step1 of aaa: ${m2(1)}")
   }
 
+  test("bpe merge application is classic greedy left-to-right on 4+ repeats") {
+    // the case a single-spaced consuming replace gets WRONG: 'aaaa'
+    // must merge to [aa, aa] (classic/subword-nmt), not [aa, a, a]
+    // (alternate merging). Step 1 then merges (aa, aa) -> 'aaaa',
+    // which only exists if step 0 produced BOTH 'aa' symbols.
+    val docs = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, steps = 2).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(m(0) == ((0, "aa", 3L)), s"step0: ${m(0)}") // pairs (a,a) x3 overlapping
+    assert(m(1) == ((1, "aaaa", 1L)), s"step1: ${m(1)}")
+  }
+
+  test("bpe merge learning at steps=64 stays flat per step (checkpointed lineage)") {
+    // 100 distinct 4-char words over 11 letters: several hundred
+    // learnable merges, so 64 steps never exhaust. The checkpoint
+    // every 8 steps bounds each step's lineage to <=7 pending
+    // replaces over the last materialization — without it, cost per
+    // step grows linearly in the step index (O(k^2) total) and the
+    // 64-step run lands ~4x over the linear prediction. The ratio
+    // bound is deliberately loose (linear predicts ~4x, the
+    // unchecked-pointed loop measures >~10x) to stay robust to job-
+    // scheduling noise.
+    val words = for { a <- 'a' to 'j'; b <- 'a' to 'j' } yield s"$a${b}x$a$b"
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    def timed(steps: Int): (Long, Int) = {
+      val t0 = System.nanoTime()
+      val n = TextAnalysis.bpeMerges(docs, steps).count()
+      ((System.nanoTime() - t0) / 1000000L, n.toInt)
+    }
+    timed(4) // warm: codegen + shuffle-service init off the measurement
+    val (t16, n16) = timed(16)
+    val (t64, n64) = timed(64)
+    assert(n16 == 16 && n64 == 64, s"expected full merge counts: $n16, $n64")
+    assert(t64 <= 8 * t16 + 2000,
+      s"steps=64 took ${t64}ms vs ${t16}ms for steps=16 - per-step cost is growing")
+  }
+
   test("bpe compression applies learned merges to the word table") {
     // vocab 'aa' x4 + 'ab' x1 learns merges (a,a)->aa then (a,b)->ab;
     // applied, every word collapses to ONE symbol: 10 chars, 5 symbols
