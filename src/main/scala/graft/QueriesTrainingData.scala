@@ -874,14 +874,22 @@ object QueriesTrainingData {
   }
 
   /** SQL mirror of [[TextAnalysis.registrableDomain]]: strip path,
-    * `:port`, trailing dot; last two labels, whole host as fallback
-    * when the two-label pattern can't match.
+    * `:port`, trailing dot; numeric (IPv4-style) hosts keep the whole
+    * host; last two labels — promoted to last THREE when the two-label
+    * tail is a known public suffix (the embedded PSL subset, shared
+    * with the Spark side so the IN list can never drift) — with the
+    * whole host as fallback when the two-label pattern can't match.
     */
   private def domainSql(urlExpr: String): String = {
     val host = s"regexp_replace(regexp_replace(regexp_replace($urlExpr, " +
       s"'/.*$$', ''), ':[0-9]+$$', ''), '\\.$$', '')"
     val two = s"regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1)"
-    s"(CASE WHEN $two = '' THEN $host ELSE $two END)"
+    val three =
+      s"regexp_extract($host, '([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$$', 1)"
+    val psl = TextAnalysis.publicSuffixes.toSeq.sorted
+      .map(s => s"'$s'").mkString(", ")
+    s"(CASE WHEN regexp_matches($host, '^[0-9.]+$$') OR $two = '' THEN $host " +
+      s"WHEN $two IN ($psl) AND $three <> '' THEN $three ELSE $two END)"
   }
 
   val oracles: Map[String, String] = Map(

@@ -441,15 +441,59 @@ object TextAnalysis {
         "^www\\.", ""),
       "/$", "")
 
+  /** Embedded subset of the Mozilla Public Suffix List: the common
+    * two-label ccTLD registration suffixes under which a SECOND-level
+    * label is itself registrable (bbc.co.uk and amazon.co.uk are
+    * different registrants). Deliberately static and small — the full
+    * PSL is a moving external artifact; this subset covers the ccTLDs
+    * a web crawl hits constantly, and an unlisted suffix degrades to
+    * the last-two-labels heuristic, never to an error.
+    */
+  val publicSuffixes: Set[String] = Set(
+    // UK / Ireland / Israel / South Africa
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk", "co.il", "org.il", "ac.il", "gov.il",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    // Oceania
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    // East / South / Southeast Asia
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "go.jp", "ed.jp",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in", "res.in",
+    "gen.in", "firm.in", "ind.in", "com.sg", "net.sg", "org.sg",
+    "edu.sg", "gov.sg", "per.sg", "co.id", "or.id", "net.id", "web.id",
+    "ac.id", "go.id", "co.th", "in.th", "or.th", "ac.th", "go.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.pk", "edu.pk", "gov.pk", "com.bd",
+    // Türkiye / Middle East / Africa
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.eg", "com.sa", "com.ng", "com.ua", "in.ua",
+    // Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "com.pe", "com.ve", "com.ec", "com.uy", "com.do",
+    "com.gt", "com.py", "com.bo")
+
   /** Registrable-domain approximation from a CANONICAL url: the last
     * two dot-separated labels of the host (the part before the first
-    * slash, with any `:port` suffix and trailing dot stripped). Hosts
-    * the two-label pattern can't match (single-label like `localhost`,
-    * IPs, empty) fall back to the WHOLE host rather than collapsing
-    * into one '' pseudo-domain — a domain-cap stage must not treat all
-    * unparseable hosts as a single shared quota bucket. A heuristic,
-    * not a public-suffix-list lookup — documented as such; good enough
-    * for per-domain corpus stats and blocking.
+    * slash, with any `:port` suffix and trailing dot stripped) —
+    * EXCEPT when those two labels are a known two-label public suffix
+    * ([[publicSuffixes]]), where the registrable domain is the last
+    * THREE labels (bbc.co.uk, not co.uk — a domain-cap stage must not
+    * merge every UK site into one quota bucket). Numeric (IPv4-style)
+    * hosts and hosts the two-label pattern can't match (single-label
+    * like `localhost`, empty) keep the WHOLE host rather than
+    * collapsing into a shared pseudo-domain: '1.2.3.4' and '5.6.3.4'
+    * are unrelated hosts, not two pages of domain '3.4'. A static-
+    * subset heuristic, not a live PSL lookup — documented as such;
+    * good enough for per-domain corpus stats and blocking.
     */
   def registrableDomain(canonicalUrl: Column): Column = {
     val host = regexp_replace(
@@ -458,6 +502,12 @@ object TextAnalysis {
         ":[0-9]+$", ""),
       "\\.$", "")
     val twoLabel = regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
-    when(twoLabel === lit(""), host).otherwise(twoLabel)
+    val threeLabel =
+      regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+    when(host.rlike("^[0-9.]+$") || twoLabel === lit(""), host)
+      .otherwise(when(
+        twoLabel.isInCollection(publicSuffixes) && threeLabel =!= lit(""),
+        threeLabel)
+        .otherwise(twoLabel))
   }
 }

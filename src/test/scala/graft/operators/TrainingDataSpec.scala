@@ -581,7 +581,16 @@ class TrainingDataSpec extends SparkSpec {
       "ex-1.org./a" -> "ex-1.org",           // trailing dot stripped
       "localhost/a" -> "localhost",          // single label: whole host
       "localhost:9000" -> "localhost",       // single label + port
-      "intranet" -> "intranet")              // bare single-label host
+      "intranet" -> "intranet",              // bare single-label host
+      // two-label public suffixes: registrable = last THREE labels
+      "bbc.co.uk/news" -> "bbc.co.uk",
+      "amazon.co.uk/dp/1" -> "amazon.co.uk",
+      "news.bbc.co.uk/x" -> "bbc.co.uk",     // deeper host: still three
+      "shop.example.com.au" -> "example.com.au",
+      "co.uk" -> "co.uk",                    // host IS the suffix: keep it
+      // numeric hosts: whole host, never 'last two labels'
+      "1.2.3.4/page" -> "1.2.3.4",
+      "5.6.3.4:8080/x" -> "5.6.3.4")
     val got = cases.map(_._1).toDF("c")
       .select(col("c"), TextAnalysis.registrableDomain(col("c")).as("d"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -591,6 +600,10 @@ class TrainingDataSpec extends SparkSpec {
     // the failure mode the fallback prevents: two unrelated unparseable
     // hosts must NOT collapse into one '' quota bucket
     assert(got("localhost/a") != got("intranet"))
+    // ...and the PSL failure mode: two UK registrants must not merge,
+    // nor two unrelated IP hosts sharing their last two octets
+    assert(got("bbc.co.uk/news") != got("amazon.co.uk/dp/1"))
+    assert(got("1.2.3.4/page") != got("5.6.3.4:8080/x"))
   }
 
   test("url canonicalization matches the reference model over the variant space") {
@@ -779,6 +792,18 @@ class TrainingDataSpec extends SparkSpec {
       parse("""{"max_per_domain": 2}"""))(df)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 1L, 3L), s"kept $kept") // example.com capped at 2
+    // two-label public suffixes are NOT one quota bucket: with cap=2,
+    // 2 bbc.co.uk pages and 2 amazon.co.uk pages all survive (under
+    // the old last-two-labels rule all four shared domain 'co.uk' and
+    // two would be dropped)
+    val uk = Seq(
+      (0L, "https://bbc.co.uk/news"), (1L, "https://bbc.co.uk/sport"),
+      (2L, "https://amazon.co.uk/dp/1"), (3L, "https://amazon.co.uk/dp/2"))
+      .toDF("doc_id", "url")
+    val keptUk = graft.Registry.transformers("domain_cap")(
+      parse("""{"max_per_domain": 2}"""))(uk)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptUk == Set(0L, 1L, 2L, 3L), s"kept $keptUk")
   }
 
   test("text analysis edge cases: empty and whitespace-only text") {
