@@ -429,13 +429,17 @@ object Dedup {
     * is bit-identical to [[contaminationPairs]] — the oracle replays
     * the exact semantics and the Bloom stays an invisible prefilter.
     *
-    * Two bounded departures from the pure-plan rule, both inherent to
-    * Bloom construction: building the sketch costs auxiliary actions
-    * over the eval-side hashes (a sizing count + the sketch aggregate —
-    * eval-sized, not corpus-sized), and membership runs as a scala
-    * filter UDF over the broadcast sketch (Spark has no public
-    * might_contain expression) — 8 bytes in, a boolean out, applied
-    * before the shuffle it exists to shrink.
+    * One bounded departure from the pure-plan rule, inherent to Bloom
+    * construction: building the sketch costs auxiliary actions over
+    * the eval-side hashes (a sizing count + the sketch aggregate —
+    * eval-sized, not corpus-sized; the eval posting table is cached
+    * across the pair so the explode runs once). Membership itself is
+    * Spark's own codegen'd `BloomFilterMightContain` catalyst
+    * expression over the serialized sketch (the same expression the
+    * engine's runtime bloom-join filter injects), so the prefilter
+    * stays inside whole-stage codegen — no ScalaUDF, no broadcast
+    * handle to leak; the sketch bytes ride the plan exactly like an
+    * injected runtime filter's scalar-subquery result.
     */
   def bloomContaminationPairs(
       docs: DataFrame, n: Int, minShared: Long,
@@ -448,18 +452,31 @@ object Dedup {
     // and forfeit most of what the prefilter buys
     val evalSide = shingleTable(docs.where(evalPred), n, idCol, textCol)
       .select(col(idCol).as("eval_id"), hash60(col("s")).as("h"))
-    // posting rows (not distinct hashes) as the size estimate: an
-    // overshoot only makes the sketch larger, never less exact
-    val nEval = math.max(1L, evalSide.count())
-    val bloom = evalSide.stat.bloomFilter("h", nEval, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    // cache across the two auxiliary actions (sizing count + sketch
+    // aggregate), then release: the final join's lazy read re-derives
+    // the eval postings at action time, but the actions-we-run-now pay
+    // the explode once instead of twice. Posting rows (not distinct
+    // hashes) as the size estimate: an overshoot only makes the sketch
+    // larger, never less exact.
+    evalSide.persist()
+    val bloomBytes = try {
+      val nEval = math.max(1L, evalSide.count())
+      val bloom = evalSide.stat.bloomFilter("h", nEval, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    } finally evalSide.unpersist(blocking = false)
+    val mightContain = org.apache.spark.sql.GraftShims.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftShims.expression(col("h"))))
     val train = shingleTable(docs.where(!evalPred), n, idCol, textCol)
       .select(col(idCol).as("train_id"), hash60(col("s")).as("h"))
     // denominator (train doc's distinct shingles) comes from the FULL
     // posting set — the prefilter must not shrink overlap_frac
     val sizes = train.groupBy("train_id").agg(count(lit(1)).as("sz"))
-    train.where(mightContain(col("h")))
+    train.where(mightContain)
       .join(evalSide, "h")
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))

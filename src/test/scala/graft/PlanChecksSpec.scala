@@ -176,6 +176,17 @@ class PlanChecksSpec extends SparkSpec {
       s"window rank-pick missing:\n$plan")
   }
 
+  test("d14 bloom prefilter is a codegen expression, not a ScalaUDF") {
+    // membership must run as Spark's own BloomFilterMightContain so the
+    // prefilter participates in whole-stage codegen; a ScalaUDF would
+    // box every hash and fence the codegen span right where the
+    // corpus-wide scan is hottest
+    val plan = planOf("d14_bloom_contamination")
+    assert(plan.contains("might_contain"),
+      s"BloomFilterMightContain missing from the d14 plan:\n$plan")
+    assert(!plan.contains("UDF"), s"ScalaUDF crept back into d14:\n$plan")
+  }
+
   test("source upsampling is shuffle-free (row-local explode)") {
     // the operator itself (not the x21 reporting aggregate) must add
     // NO exchange: copies are derived per row from the id hash
