@@ -20,4 +20,57 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.trim(0.25, 2) == "0.25")
     assert(Bench.trim(64.33, 1) == "64.3")
   }
+
+  private def parse(line: String): Map[String, Any] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(line).values
+      .asInstanceOf[Map[String, Any]]
+  }
+
+  test("compact line keeps the FULL registry via prefix keys when names overflow") {
+    // 114 realistic names cannot fit a 2000-char tail at any precision
+    // with full names; the prefix format must carry every query
+    val names = (1 to 14).map(i => s"d${i}_dedup_variant_name") ++
+      (1 to 26).map(i => s"x${i}_text_variant_name") ++
+      (1 to 30).map(i => s"q${i}_relational_name") ++
+      (1 to 15).map(i => s"t${i}_telemetry_name") ++
+      (1 to 6).map(i => s"st${i}_stream_name") ++
+      (1 to 5).map(i => s"c${i}_corpus_name") ++
+      (1 to 5).map(i => s"s${i}_ann_name") ++
+      (1 to 3).map(i => s"e${i}_cluster_name")
+    val results = names.zipWithIndex.map { case (n, i) => n -> (i % 50) / 10.0 }
+    val line = Bench.compactJson(results, 67.0, "sf0.1", "{}")
+    assert(line.length <= 1990, s"compact line overflows: ${line.length}")
+    val m = parse(line)
+    assert(m("keys") == "prefix")
+    assert(m("n_queries").toString == results.size.toString)
+    val qs = m("queries").asInstanceOf[Map[String, Any]]
+    assert(qs.size == results.size, s"dropped queries: ${qs.size}")
+    assert(qs.contains("d8") && qs.contains("st3") && qs.contains("x24"))
+  }
+
+  test("compact line keeps full names when they fit") {
+    val results = (1 to 10).map(i => s"q${i}_short_name" -> i / 10.0)
+    val m = parse(Bench.compactJson(results, 5.5, "sf0.1", "{}"))
+    assert(!m.contains("keys"))
+    assert(m("queries").asInstanceOf[Map[String, Any]].contains("q1_short_name"))
+  }
+
+  test("compact line falls back to slowest-k when prefixes collide") {
+    // duplicate prefixes (two q1_*) disqualify the prefix format; the
+    // line must degrade to the slowest-k truncation, never emit a dict
+    // with silently-merged keys
+    val base = (1 to 200).map(i =>
+      s"q${i}_some_quite_long_query_name_variant_$i" -> i / 10.0)
+    val results = base :+ ("q1_second_query_with_same_prefix" -> 9.9)
+    val line = Bench.compactJson(results, 100.0, "sf0.1", "{}")
+    assert(line.length <= 1990)
+    val m = parse(line)
+    assert(!m.contains("keys"))
+    assert(m("n_queries") == 201)
+    val qs = m("queries").asInstanceOf[Map[String, Any]]
+    assert(qs.size < 201 && qs.nonEmpty)
+    // slowest-k keeps the worst offenders under their FULL names
+    assert(qs.contains("q200_some_quite_long_query_name_variant_200"))
+  }
 }
