@@ -79,14 +79,20 @@ object Registry {
           sourceId = str(c, "source_id")))
     },
     // newline-delimited JSON documents (pinned schema). Corrupt lines
-    // are dropped, but their count is observed ("jsonl_corrupt_lines")
-    // on the same action that runs the pipeline — any registered
-    // QueryExecutionListener (Pipeline.MetricsListener included) sees
-    // the data-quality metric with zero extra scans.
+    // are dropped, but their count is observed on the same action that
+    // runs the pipeline — any registered QueryExecutionListener
+    // (Pipeline.MetricsListener included) sees the data-quality metric
+    // with zero extra scans. The observation name carries the source
+    // path ("jsonl_corrupt_lines:<path>") because Spark requires
+    // observed-metric names to be UNIQUE per query: two jsonl extracts
+    // unioned/joined in one action would otherwise fail analysis with
+    // a duplicated-observed-metrics error. Listeners match the
+    // "jsonl_corrupt_lines" prefix.
     "jsonl" -> { (spark, c) =>
       import org.apache.spark.sql.functions.{col, count, lit, when}
-      val raw = JsonlSource.read(spark,
-        str(c, "path").getOrElse(sys.error("jsonl extractor needs 'path'")))
+      val path =
+        str(c, "path").getOrElse(sys.error("jsonl extractor needs 'path'"))
+      val raw = JsonlSource.read(spark, path)
       // the observation must reference a DATA column alongside
       // _corrupt: Spark refuses a raw-JSON scan whose only referenced
       // column is the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD
@@ -95,7 +101,7 @@ object Registry {
       // the parsed-row metric for free
       val firstData = raw.columns.find(_ != "_corrupt").getOrElse("_corrupt")
       raw
-        .observe("jsonl_corrupt_lines",
+        .observe(s"jsonl_corrupt_lines:$path",
           count(when(col("_corrupt").isNotNull, lit(1))).as("rows"),
           count(col(firstData)).as("parsed_rows"))
         .where(col("_corrupt").isNull)
@@ -380,7 +386,13 @@ object Registry {
       // each source (quality < the source's p-quantile) — adapts to
       // per-source score distributions where quality_filter's absolute
       // threshold can't. Window-sort quantile (TextAnalysis
-      // .quantileThreshold), never an in-memory percentile
+      // .quantileThreshold), never an in-memory percentile.
+      // NULL semantics (unlike quality_filter's absolute threshold):
+      // a row with a NULL quality score fails `_q >= _thr` and is
+      // DROPPED, and a source whose scores are ALL NULL gets no
+      // quantile row, so the inner threshold join drops the whole
+      // source — a null score means unscorable content, and a relative
+      // floor with no distribution to rank against keeps nothing
       import org.apache.spark.sql.functions.{broadcast, col}
       val src = str(c, "source_column").getOrElse("source")
       val text = str(c, "text_column").getOrElse("text")

@@ -305,7 +305,10 @@ class TrainingDataSpec extends SparkSpec {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        qe.observedMetrics.get("jsonl_corrupt_lines")
+        // the observation name carries the source path (uniqueness
+        // within a multi-extract action) — listeners match the prefix
+        qe.observedMetrics
+          .collectFirst { case (n, r) if n.startsWith("jsonl_corrupt_lines") => r }
           .foreach(r => corrupt = r.getAs[Long]("rows"))
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -320,6 +323,17 @@ class TrainingDataSpec extends SparkSpec {
     // the dropped-line count reached a listener off the SAME action —
     // the metric the extractor comment promises is genuinely observable
     assert(corrupt == 2L)
+    // the uniqueness footgun the path-suffixed name prevents: two
+    // jsonl extracts unioned in ONE action must pass analysis (a
+    // shared observation name fails with duplicated observed metrics)
+    val dir2 = java.nio.file.Files.createTempDirectory("jsonlobs2").toString
+    val w2 = new java.io.PrintWriter(new java.io.File(dir2, "part-0.json"))
+    w2.println("""{"doc_id": 9, "text": "c", "lang": "en", "source": "s"}""")
+    w2.close()
+    val both = graft.Registry.extractors("jsonl")(spark, parse(s"""{"path": "$dir"}"""))
+      .unionByName(
+        graft.Registry.extractors("jsonl")(spark, parse(s"""{"path": "$dir2"}""")))
+    assert(both.count() == 3)
   }
 
   test("registry: jsonl loader/extractor round-trip and url_dedup stage") {
