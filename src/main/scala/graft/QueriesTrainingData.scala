@@ -100,6 +100,10 @@ object QueriesTrainingData {
         maxDfFraction = Some(0.01))
       .orderBy("a_id", "b_id")
 
+  private def d15DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(docs(s, dir), winLen = 40)
+      .orderBy("doc_id", "span_start")
+
   private def d3MinhashSig(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(docs(s, dir), numHashes = 8, shingleSize = 3)
       .orderBy("doc_id", "k")
@@ -733,6 +737,7 @@ object QueriesTrainingData {
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
+    "d15_dup_spans" -> (d15DupSpans(_, _)),
     "d3_minhash_sig" -> (d3MinhashSig(_, _)),
     "d4_lsh_pairs" -> (d4LshPairs(_, _)),
     "d5_simhash" -> (d5Simhash(_, _)),
@@ -1314,6 +1319,31 @@ object QueriesTrainingData {
          |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
          |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.05
          |ORDER BY a_id, b_id""".stripMargin,
+    "d15_dup_spans" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS pos
+         |  FROM documents WHERE length(text) >= 40
+         |), wins AS (
+         |  SELECT doc_id, pos,
+         |    ('0x' || substr(md5(substr(text, pos::INT, 40)), 1, 15))::BIGINT AS h
+         |  FROM pos
+         |), rep AS (
+         |  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+         |), marked AS (
+         |  SELECT w.doc_id, w.pos,
+         |    CASE WHEN lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) IS NULL
+         |           OR w.pos > lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) + 40
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM wins w JOIN rep USING (h)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM marked
+         |)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end,
+         |  max(pos) + 39 - min(pos) + 1 AS span_len
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
     "d3_minhash_sig" ->
       s"""WITH $minhashSigsCte
          |SELECT doc_id, k, minhash FROM sigs ORDER BY doc_id, k""".stripMargin,

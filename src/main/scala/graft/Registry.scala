@@ -161,6 +161,44 @@ object Registry {
       df.drop(text).join(cleaned, Seq(id))
         .withColumnRenamed("clean_text", text)
     },
+    "dup_span_strip" -> { c => df =>
+      // substring-level dedup (Lee et al. 2022 via Dedup.dupSpans):
+      // CUT every corpus-wide duplicated run of >= window_len chars
+      // from the text. Documented divergence from the paper: the
+      // suffix-array formulation keeps ONE occurrence of each
+      // duplicated substring; this stage cuts all of them (the
+      // boilerplate stance — a run that repeats across the corpus is
+      // chrome, not signal). Docs reduced to nothing are dropped.
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val win = int(c, "window_len").getOrElse(40)
+      val minOcc = int(c, "min_occurrences").getOrElse(2)
+      val spans = operators.Dedup.dupSpans(df, win, minOcc.toLong, id, text)
+        .groupBy(col(id))
+        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+          .as("_spans"))
+      // fold the sorted spans left-to-right, keeping the text BETWEEN
+      // them: (cursor, acc) -> append [cursor, span_start) and jump
+      // the cursor past the span — one pass, no per-span explode
+      val rebuilt = aggregate(
+        col("_spans"),
+        struct(lit(1L).as("cur"), lit("").as("acc")),
+        (st, sp) => struct(
+          (sp.getField("span_end") + lit(1L)).as("cur"),
+          concat(st.getField("acc"),
+            col(text).substr(st.getField("cur").cast("int"),
+              (sp.getField("span_start") - st.getField("cur")).cast("int")))
+            .as("acc")),
+        st => concat(st.getField("acc"),
+          col(text).substr(st.getField("cur").cast("int"),
+            greatest(length(col(text)) - st.getField("cur").cast("int") + 1, lit(0)))))
+      df.join(spans, Seq(id), "left")
+        .withColumn(text,
+          when(col("_spans").isNull, col(text)).otherwise(rebuilt))
+        .drop("_spans")
+        .where(length(col(text)) > 0)
+    },
     "domain_cap" -> { c => df =>
       // per-registrable-domain quota (crawl balancing): keep at most
       // max_per_domain docs per domain, lowest id first — ONE window,

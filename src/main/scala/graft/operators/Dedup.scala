@@ -614,4 +614,66 @@ object Dedup {
         size(kept).cast("long").as("n_kept"),
         array_join(kept, "\n").as("clean_text"))
   }
+
+  /** Exact substring-level duplicate spans — the character-window
+    * formulation of suffix-array training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * every length-`winLen` character window of the raw text is hashed;
+    * a window is duplicated iff its hash occurs at least `minOcc`
+    * times corpus-wide (which catches cross-document copies AND
+    * within-document repeats, like the suffix array does); per
+    * document, duplicated windows whose coverage overlaps or touches
+    * merge into maximal spans. Any duplicated substring of length >=
+    * winLen is covered exactly — its windows collide at every
+    * alignment — so the reported spans are the substrings a
+    * remove-duplicated-spans pass would cut.
+    *
+    * Output: (id, span_start, span_end, span_len), 1-based inclusive
+    * character positions, one row per maximal duplicated span.
+    *
+    * Scale shape: ONE corpus scan — the window stream (id, pos, h),
+    * which carries no text past the hash projection, exchanges once on
+    * the 60-bit hash and the corpus-wide occurrence count is a window
+    * aggregate in place (the d2 inverted-index pattern); only rows
+    * surviving `minOcc` (dup-fraction-sized) reach the per-doc islands
+    * exchange. The h-exchange is O(total chars x 24 B) — the inherent
+    * cost of exact substring dedup without a distributed suffix array
+    * (Lee et al. build one; at extreme scale swap in the two-scan
+    * variant that aggregates bare hashes and broadcasts the repeated
+    * set back, trading a second scan for a 3x smaller shuffle, or run
+    * the approximate winnowing pass (x10) first).
+    */
+  def dupSpans(
+      docs: DataFrame, winLen: Int, minOcc: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(winLen >= 2, s"winLen must be >= 2, got $winLen")
+    // one row per window position; docs shorter than winLen have no
+    // windows (they cannot contain a length->=winLen duplicate). The
+    // explicit when() guard matters: sequence(1, 0) would DESCEND.
+    val wins = docs
+      .select(col(idCol),
+        explode(when(length(col(textCol)) >= winLen,
+            sequence(lit(1), length(col(textCol)) - (winLen - 1)))
+          .otherwise(array())).as("pos"),
+        col(textCol))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        hash60(col(textCol).substr(col("pos"), lit(winLen))).as("h"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("occ") >= minOcc)
+      .drop("occ")
+      // windows at p1 < p2 cover contiguously iff p2 <= p1 + winLen
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + winLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (winLen - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
 }

@@ -831,4 +831,62 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(1L)._1 == 0 && out(2L)._1 == 0)
     assert(out(3L)._2 == 1.0) // all stopwords
   }
+
+  test("dup spans: exact boundaries for cross-doc copies and within-doc repeats") {
+    // doc 1 and 2 share COPY (60 chars) at different offsets inside
+    // otherwise-unique text; doc 3 repeats REP (25 chars) twice
+    // internally; doc 4 is unique; doc 5 is shorter than the window.
+    // Fillers share no 20-char substring with each other or with the
+    // planted runs, and the characters ADJACENT to each planted run
+    // differ across docs — otherwise the shared context legitimately
+    // extends the duplicated span past the plant.
+    val az = ('a' to 'z').mkString            // 26
+    val copy = az + az.reverse + "01234567"   // 60 chars, in docs 1 and 2
+    val rep = "0123456789ABCDEFGHJKLMNOP"     // 25 chars, twice in doc 3
+    val pad1 = "alpha segment with strictly original wording."
+    val pad2 = "beta segment keeps to its very own phrasing!"
+    val pad3 = "gamma portion written in another standalone voice;"
+    val pad4 = "delta tail that closes with still different text?"
+    val pad5 = " middle filler appearing exactly once here "
+    val pad6 = "epsilon body made of words used nowhere else at all"
+    val df = Seq(
+      (1L, pad1 + copy + pad2),
+      (2L, pad3 + pad4 + copy),
+      (3L, rep + pad5 + rep),
+      (4L, pad6),
+      (5L, "short")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, winLen = 20)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
+    // cross-doc copy: one span each, EXACTLY covering the 60 shared chars
+    val p1 = pad1.length.toLong
+    assert(spans(1L) == List((p1 + 1, p1 + 60, 60L)), s"doc1: ${spans.get(1L)}")
+    val p34 = (pad3.length + pad4.length).toLong
+    assert(spans(2L) == List((p34 + 1, p34 + 60, 60L)), s"doc2: ${spans.get(2L)}")
+    // within-doc repeat: both occurrences reported, exact 25-char spans
+    val d3start2 = (rep.length + pad5.length).toLong
+    assert(spans(3L) == List((1L, 25L, 25L), (d3start2 + 1, d3start2 + 25, 25L)),
+      s"doc3: ${spans.get(3L)}")
+    // unique and too-short docs contribute nothing
+    assert(!spans.contains(4L) && !spans.contains(5L))
+  }
+
+  test("registry dup_span_strip cuts duplicated runs and drops emptied docs") {
+    import org.json4s.jackson.JsonMethods.parse
+    val boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE!!" // 38 chars, everywhere
+    val docsDf = Seq(
+      (0L, "alpha body one keeps its words " + boiler, "a"),
+      (1L, boiler + " beta body two phrased differently", "a"),
+      (2L, boiler, "b"), // nothing but the duplicated run -> dropped
+      (3L, "gamma body three never repeats anything", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.Registry.transformers("dup_span_strip")(
+      parse("""{"window_len": 20}"""))(docsDf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(
+      0L -> "alpha body one keeps its words ",
+      1L -> " beta body two phrased differently",
+      3L -> "gamma body three never repeats anything"), s"got $out")
+  }
 }
