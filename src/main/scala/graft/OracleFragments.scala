@@ -31,6 +31,21 @@ private[graft] object OracleFragments {
        |       i -> array_to_string(($toksSql)[i:i+${n - 1}], ' '))
        |  ELSE [$normSql] END""".stripMargin
 
+  /** Per-window polynomial hash matching TextHashOps.rollingHashes
+    * (same B/M constants, same code-point semantics — `unicode` +
+    * char-based `substr` count code points exactly like the kernel).
+    * Expects `text` and a 1-based `pos` column in scope. HUGEINT
+    * accumulation: 40 terms x (codepoint < 2^21) x (power < 2^61)
+    * stays far under the 128-bit ceiling, one mod at the end.
+    */
+  def rollingHashSql(winLen: Int): String = {
+    val pows = graft.functions.TextHashOps.powers(winLen).mkString("[", ", ", "]")
+    s"""(list_sum(list_transform(range(0, $winLen),
+       |    j -> unicode(substr(text, (pos + j)::INT, 1))::HUGEINT
+       |         * ($pows)[(j + 1)::INT]::HUGEINT))
+       |  % 2305843009213693951::HUGEINT)::BIGINT""".stripMargin
+  }
+
   val rawToksSqlNoNorm: String =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 

@@ -1325,7 +1325,7 @@ object QueriesTrainingData {
          |  FROM documents WHERE length(text) >= 40
          |), wins AS (
          |  SELECT doc_id, pos,
-         |    ('0x' || substr(md5(substr(text, pos::INT, 40)), 1, 15))::BIGINT AS h
+         |    ${OracleFragments.rollingHashSql(40)} AS h
          |  FROM pos
          |), rep AS (
          |  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2

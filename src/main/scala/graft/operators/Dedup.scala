@@ -648,17 +648,17 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(winLen >= 2, s"winLen must be >= 2, got $winLen")
-    // one row per window position; docs shorter than winLen have no
-    // windows (they cannot contain a length->=winLen duplicate). The
-    // explicit when() guard matters: sequence(1, 0) would DESCEND.
+    // one row per window position, hashed by the Rabin-Karp kernel —
+    // one O(len) pass per doc, no per-window substring strings (the
+    // substr+md5 form of this pass cost 2.5 of d15's 3.3 s at sf0.1).
+    // Docs shorter than winLen yield the empty array (they cannot
+    // contain a length->=winLen duplicate); explode drops them.
     val wins = docs
       .select(col(idCol),
-        explode(when(length(col(textCol)) >= winLen,
-            sequence(lit(1), length(col(textCol)) - (winLen - 1)))
-          .otherwise(array())).as("pos"),
-        col(textCol))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        hash60(col(textCol).substr(col("pos"), lit(winLen))).as("h"))
+        posexplode(graft.functions.TextHashExpressions
+          .rollingWindowHashes(col(textCol), winLen)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     wins
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
