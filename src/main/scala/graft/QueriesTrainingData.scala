@@ -100,6 +100,27 @@ object QueriesTrainingData {
         maxDfFraction = Some(0.01))
       .orderBy("a_id", "b_id")
 
+  /** DSIR importance resampling end-to-end: log-weights against a
+    * quality-exemplar target (docs with quality >= 0.5), then A-ES
+    * weighted sampling entirely in log space (key = ln(-ln u) -
+    * log_weight orders exactly like -ln(u)/w), global top-50 via
+    * distributed TakeOrdered + a rank window over the 50 survivors.
+    */
+  private def x27DsirSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lw = TextAnalysis.dsirLogWeights(
+      docs(s, dir), TextAnalysis.qualityScore(col("text")) >= 0.5)
+    val h = Dedup.hash60(concat(lit("dsir:"), col("doc_id").cast("string")))
+    val u = (h + lit(1L)).cast("double") / 1.152921504606846976e18
+    lw.withColumn("sample_key",
+        round(log(negate(log(u))) - col("log_weight"), 6))
+      .orderBy("sample_key", "doc_id").limit(50)
+      .withColumn("rk",
+        row_number().over(Window.orderBy("sample_key", "doc_id")))
+      .select("rk", "doc_id", "n_tokens", "log_weight", "sample_key")
+      .orderBy("rk")
+  }
+
   private def d15DupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(docs(s, dir), winLen = 40)
       .orderBy("doc_id", "span_start")
@@ -734,6 +755,7 @@ object QueriesTrainingData {
     "x16_shard_shuffle" -> (x16ShardShuffle(_, _)),
     "x17_chunking" -> (x17Chunking(_, _)),
     "x21_source_upsample" -> (x21SourceUpsample(_, _)),
+    "x27_dsir_sample" -> (x27DsirSample(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -1038,6 +1060,36 @@ object QueriesTrainingData {
          |        / (count(*) * 1e6), 6) AS avg_logprob
          |FROM toks JOIN freq USING (w), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x27_dsir_sample" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${OracleFragments.qualitySql} >= 0.5 AS is_t,
+         |    unnest($toksSql) AS w
+         |  FROM documents
+         |), freq AS (
+         |  SELECT w, count(*) AS cr,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+         |  FROM toks GROUP BY w
+         |), scal AS (
+         |  SELECT sum(cr)::DOUBLE AS nr, sum(ct)::DOUBLE AS nt,
+         |    count(*)::DOUBLE AS v
+         |  FROM freq
+         |), agg AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens,
+         |    sum(round((ln((f.ct + 1) / (s.nt + s.v))
+         |             - ln((f.cr + 1) / (s.nr + s.v))) * 1e6)::BIGINT) AS slr
+         |  FROM toks t JOIN freq f USING (w), scal s
+         |  GROUP BY t.doc_id
+         |), keyed AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(slr::DOUBLE / (n_tokens * 1e6), 6) AS log_weight,
+         |    round(ln(-ln((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+         |          / 1152921504606846976.0))
+         |      - round(slr::DOUBLE / (n_tokens * 1e6), 6), 6) AS sample_key
+         |  FROM agg
+         |)
+         |SELECT row_number() OVER (ORDER BY sample_key, doc_id) AS rk,
+         |  doc_id, n_tokens, log_weight, sample_key
+         |FROM keyed ORDER BY sample_key, doc_id LIMIT 50""".stripMargin,
     "x20_bigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
          |tl AS (SELECT doc_id, $toksSql AS t FROM documents),

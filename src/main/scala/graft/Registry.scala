@@ -199,6 +199,27 @@ object Registry {
         .drop("_spans")
         .where(length(col(text)) > 0)
     },
+    "dsir_sample" -> { c => df =>
+      // DSIR importance resampling (Xie et al. 2023): weight each doc
+      // by its unigram likelihood ratio against the target exemplar
+      // set (quality >= target_quality_min), then keep the k A-ES
+      // winners — sampling stays in log space, no exp anywhere
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val qMin = (c \ "target_quality_min").extractOpt[Double].getOrElse(0.5)
+      val k = int(c, "k").getOrElse(1000)
+      val lw = operators.TextAnalysis.dsirLogWeights(
+        df, operators.TextAnalysis.qualityScore(col(text)) >= qMin, id, text)
+      val h = operators.Dedup.hash60(concat(lit("dsir:"), col(id).cast("string")))
+      val u = (h + lit(1L)).cast("double") / 1.152921504606846976e18
+      val winners = lw
+        .withColumn("_key", round(log(negate(log(u))) - col("log_weight"), 6))
+        .orderBy(col("_key"), col(id)).limit(k)
+        .select(col(id), col("log_weight"))
+      df.join(winners, Seq(id))
+    },
     "domain_cap" -> { c => df =>
       // per-registrable-domain quota (crawl balancing): keep at most
       // max_per_domain docs per domain, lowest id first — ONE window,

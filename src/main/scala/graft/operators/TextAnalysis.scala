@@ -347,6 +347,63 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its tokens are under a
+    * TARGET unigram LM (the docs matching `targetPred` — the
+    * high-quality exemplar set) than under the RAW corpus LM.
+    *
+    * log_weight(doc) = mean_t [ln p_t(t) - ln p_r(t)] — the log of
+    * the per-token geometric-mean likelihood ratio, length-normalized
+    * so long documents don't saturate the weight. Both LMs are
+    * add-one smoothed over the shared corpus vocabulary, so
+    * target-OOV tokens get finite mass. Resampling stays in log
+    * space: the A-ES key -ln(u)/w orders identically as
+    * ln(-ln u) - log_weight, so no exp() ever runs (and no
+    * cross-engine exp ULP risk joins the accepted ln class).
+    *
+    * Determinism: per-token log-ratios are quantized to integer
+    * micro-nats BEFORE the per-doc sum (the x13 rule). Docs with zero
+    * tokens produce no rows (both engines agree by construction).
+    *
+    * Shape: the raw-LM frequency aggregate over the full token
+    * stream, the target-LM aggregate over the target docs' stream
+    * (targetPred evaluated ONCE PER DOC in a Filter — carrying it as
+    * a flag column through the explode re-evaluates a doc-level
+    * predicate per token row, which turned a 0.6 s query into 11 s at
+    * sf0.1 when the predicate itself tokenizes), a vocab-sized left
+    * join of the two, scalars on one broadcast row, then the token
+    * stream joins the vocab table and one groupBy(doc) — the x13 cost
+    * class plus the target-subset pass.
+    */
+  def dsirLogWeights(
+      docs: org.apache.spark.sql.DataFrame, targetPred: Column,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    def tokStream(d: org.apache.spark.sql.DataFrame) = d.select(col(idCol),
+      explode(wsTokens(normalize(col(textCol)))).as("w"))
+    val toks = tokStream(docs)
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("cr"))
+      .join(tokStream(docs.where(targetPred))
+          .groupBy("w").agg(count(lit(1)).as("ct_t")),
+        Seq("w"), "left")
+      .select(col("w"), col("cr"), coalesce(col("ct_t"), lit(0L)).as("ct"))
+    val scal = freq.select(
+      sum(col("cr")).cast("double").as("nr"),
+      sum(col("ct")).cast("double").as("nt"),
+      count(lit(1)).cast("double").as("v"))
+    val microNatRatio = round(
+      (log((col("ct") + lit(1)) / (col("nt") + col("v"))) -
+        log((col("cr") + lit(1)) / (col("nr") + col("v")))) * 1e6).cast("long")
+    toks.join(freq, "w")
+      .crossJoin(broadcast(scal))
+      .select(col(idCol), microNatRatio.as("lr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("slr").cast("double") / (col("n_tokens") * 1e6), 6)
+          .as("log_weight"))
+  }
+
   /** Interpolated bigram LM score (one order above [[unigramLogProb]] —
     * the KenLM-shaped perplexity quality signal): per-bigram
     * p = lambda * c(w1 w2)/c(w1) + (1-lambda) * c(w2)/N, averaged in

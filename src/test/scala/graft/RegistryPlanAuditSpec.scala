@@ -35,6 +35,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "x6_tfidf" -> "corpus doc-count scalar broadcast: 1 row",
     "x8_bm25" -> "doc-count + avgdl scalars broadcast: 1 row each",
     "x13_unigram_logprob" -> "corpus token-total scalar broadcast: 1 row",
+    "x27_dsir_sample" -> "LM totals + vocab-size scalar broadcast: 1 row",
     "x20_bigram_logprob" -> "corpus total scalar broadcast: 1 row",
     "x15_source_mix" -> "rate table broadcast: one row per source",
     "t9_string_decom" -> "parameter-definition fan-out: config-sized broadcast"

@@ -872,6 +872,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(!spans.contains(4L) && !spans.contains(5L))
   }
 
+  test("dsir log-weights favor target-like docs; registry stage keeps k winners") {
+    import org.json4s.jackson.JsonMethods.parse
+    // target dialect {apple banana cherry}, off-target {rock stone
+    // gravel}; the probes share no words across dialects
+    val docsDf = Seq(
+      (0L, "apple banana cherry apple banana", "tgt"),
+      (1L, "cherry apple banana cherry apple", "tgt"),
+      (2L, "rock stone gravel rock stone gravel", "raw"),
+      (3L, "stone gravel rock stone gravel", "raw"),
+      (4L, "apple banana apple banana", "probe"), // target-like
+      (5L, "rock stone rock stone", "probe")) // off-target
+      .toDF("doc_id", "text", "source")
+    val lw = TextAnalysis.dsirLogWeights(docsDf, $"source" === "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    assert(lw(4L) > lw(5L),
+      s"target-like probe should outweigh off-target: $lw")
+    assert(lw(4L) > 0 && lw(5L) < 0,
+      s"signs should split around the neutral ratio: $lw")
+    // stage plumbing: k=3 keeps 3 full rows with the weight attached
+    // (qMin 0 makes every doc target, so this checks shape, not bias —
+    // the bias property is asserted on dsirLogWeights above)
+    val kept = graft.Registry.transformers("dsir_sample")(
+      parse("""{"k": 3, "target_quality_min": 0.0}"""))(docsDf)
+    assert(kept.count() == 3)
+    assert(kept.columns.toSet == Set("doc_id", "text", "source", "log_weight"))
+  }
+
   test("registry dup_span_strip cuts duplicated runs and drops emptied docs") {
     import org.json4s.jackson.JsonMethods.parse
     val boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE!!" // 38 chars, everywhere
