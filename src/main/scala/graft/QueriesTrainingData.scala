@@ -100,6 +100,9 @@ object QueriesTrainingData {
         maxDfFraction = Some(0.01))
       .orderBy("a_id", "b_id")
 
+  private def x28GopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFlags(docs(s, dir)).orderBy("doc_id")
+
   /** DSIR importance resampling end-to-end: log-weights against a
     * quality-exemplar target (docs with quality >= 0.5), then A-ES
     * weighted sampling entirely in log space (key = ln(-ln u) -
@@ -756,6 +759,7 @@ object QueriesTrainingData {
     "x17_chunking" -> (x17Chunking(_, _)),
     "x21_source_upsample" -> (x21SourceUpsample(_, _)),
     "x27_dsir_sample" -> (x27DsirSample(_, _)),
+    "x28_gopher_rules" -> (x28GopherRules(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -1060,6 +1064,40 @@ object QueriesTrainingData {
          |        / (count(*) * 1e6), 6) AS avg_logprob
          |FROM toks JOIN freq USING (w), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x28_gopher_rules" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |stats AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |    round(sum(length(w))::DOUBLE / count(*), 6) AS mean_word_len,
+         |    round(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)::DOUBLE
+         |          / count(*), 6) AS frac_alpha_words,
+         |    count(DISTINCT CASE WHEN list_contains(${OracleFragments.stopListSql}, w)
+         |                        THEN w END) AS n_stop_distinct,
+         |    round(sum(CASE WHEN regexp_matches(w, '#|\\.\\.\\.') THEN 1 ELSE 0 END)::DOUBLE
+         |          / count(*), 6) AS symbol_word_ratio
+         |  FROM toks GROUP BY doc_id
+         |), co AS (
+         |  SELECT d.doc_id,
+         |    coalesce(s.n_words, 0) AS n_words,
+         |    coalesce(s.mean_word_len, 0.0) AS mean_word_len,
+         |    coalesce(s.frac_alpha_words, 0.0) AS frac_alpha_words,
+         |    coalesce(s.n_stop_distinct, 0) AS n_stop_distinct,
+         |    coalesce(s.symbol_word_ratio, 0.0) AS symbol_word_ratio
+         |  FROM documents d LEFT JOIN stats s USING (doc_id)
+         |)
+         |SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+         |  n_stop_distinct, symbol_word_ratio,
+         |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+         |  (frac_alpha_words >= 0.8) AS pass_alpha_words,
+         |  (n_stop_distinct >= 2) AS pass_stopwords,
+         |  (symbol_word_ratio < 0.1) AS pass_symbol_ratio,
+         |  ((n_words >= 50 AND n_words <= 100000)
+         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |    AND (frac_alpha_words >= 0.8)
+         |    AND (n_stop_distinct >= 2)
+         |    AND (symbol_word_ratio < 0.1)) AS kept
+         |FROM co ORDER BY doc_id""".stripMargin,
     "x27_dsir_sample" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${OracleFragments.qualitySql} >= 0.5 AS is_t,

@@ -199,6 +199,19 @@ object Registry {
         .drop("_spans")
         .where(length(col(text)) > 0)
     },
+    "gopher_filter" -> { c => df =>
+      // Gopher quality rules (Rae et al. 2021): keep only docs passing
+      // every deterministic rule flag; bounds for the word-count rule
+      // are configurable per corpus
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val minW = int(c, "min_words").getOrElse(50)
+      val maxW = int(c, "max_words").getOrElse(100000)
+      val keep = operators.TextAnalysis.gopherFlags(df, minW, maxW, id, text)
+        .where(col("kept")).select(col(id))
+      df.join(keep, Seq(id), "left_semi")
+    },
     "dsir_sample" -> { c => df =>
       // DSIR importance resampling (Xie et al. 2023): weight each doc
       // by its unigram likelihood ratio against the target exemplar

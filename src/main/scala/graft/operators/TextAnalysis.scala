@@ -347,6 +347,60 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Gopher-style quality rule flags (Rae et al. 2021, appendix A1.1
+    * "quality filtering heuristics", the deterministic subset): per
+    * document — word count in [minWords, maxWords], mean word length
+    * in [3, 10], fraction of words containing an alphabetic character
+    * >= 0.8, at least 2 DISTINCT stopwords present, and
+    * symbol-to-word ratio (# and ellipsis) < 0.1. Output carries each
+    * rule flag plus the conjunction `kept`, so a pipeline can filter
+    * on `kept` while a data card reports which rule rejects what.
+    *
+    * Shape: explode tokens once, every statistic is an aggregate of
+    * the SAME grouped pass (one exchange on the doc id) — per-doc
+    * array lambdas would re-tokenize per element under
+    * CollapseProject (the shingles() trap), quadratic in doc length.
+    * Zero-token docs rejoin with kept = false (word count 0).
+    */
+  def gopherFlags(
+      docs: org.apache.spark.sql.DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(wsTokens(normalize(col(textCol)))).as("w"))
+    val stats = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_words"),
+      round(sum(length(col("w"))).cast("double") / count(lit(1)), 6)
+        .as("mean_word_len"),
+      round(sum(when(col("w").rlike("[a-z]"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("frac_alpha_words"),
+      countDistinct(when(col("w").isin(stopwords: _*), col("w")))
+        .as("n_stop_distinct"),
+      round(sum(when(col("w").rlike("#|\\.\\.\\."), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("symbol_word_ratio"))
+    // flags evaluate on the COALESCED stats (a zero-token doc has
+    // symbol ratio 0.0, which passes that one rule on either engine —
+    // kept is still false via the word-count rule)
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("mean_word_len"), lit(0.0)).as("mean_word_len"),
+        coalesce(col("frac_alpha_words"), lit(0.0)).as("frac_alpha_words"),
+        coalesce(col("n_stop_distinct"), lit(0L)).as("n_stop_distinct"),
+        coalesce(col("symbol_word_ratio"), lit(0.0)).as("symbol_word_ratio"))
+      .withColumn("pass_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_mean_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_alpha_words", col("frac_alpha_words") >= 0.8)
+      .withColumn("pass_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("pass_symbol_ratio", col("symbol_word_ratio") < 0.1)
+      .withColumn("kept",
+        col("pass_word_count") && col("pass_mean_word_len") &&
+          col("pass_alpha_words") && col("pass_stopwords") &&
+          col("pass_symbol_ratio"))
+  }
+
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every document by how much more likely its tokens are under a

@@ -872,6 +872,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(!spans.contains(4L) && !spans.contains(5L))
   }
 
+  test("gopher rules: each rule flips on its designed fixture") {
+    import org.json4s.jackson.JsonMethods.parse
+    val good = ("the quick brown fox jumps over a lazy dog and then " * 6).trim // 66 words, stopwords, alpha
+    val docsDf = Seq(
+      (0L, good), // passes everything
+      (1L, "the a of"), // too few words
+      (2L, ("ab " * 60 + "the a").trim), // mean word len 2.06 < 3
+      (3L, ("12345 " * 60 + "the a").trim), // alpha frac ~0.03
+      (4L, ("quick brown fox jumps " * 15).trim), // no stopwords
+      (5L, (("#### " * 12) + good).trim), // symbol ratio 12/78 > 0.1
+      (6L, "")) // zero tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFlags(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("kept"), s"good doc rejected: ${out(0L)}")
+    assert(!out(1L).getAs[Boolean]("pass_word_count"))
+    assert(!out(2L).getAs[Boolean]("pass_mean_word_len"), s"${out(2L)}")
+    assert(!out(3L).getAs[Boolean]("pass_alpha_words"), s"${out(3L)}")
+    assert(!out(4L).getAs[Boolean]("pass_stopwords"))
+    assert(!out(5L).getAs[Boolean]("pass_symbol_ratio"), s"${out(5L)}")
+    assert(out(6L).getAs[Long]("n_words") == 0L && !out(6L).getAs[Boolean]("kept"))
+    // every reject is single-cause except the designed overlaps
+    assert((1L to 6L).forall(i => !out(i).getAs[Boolean]("kept")))
+    val kept = graft.Registry.transformers("gopher_filter")(
+      parse("""{"min_words": 50}"""))(docsDf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(0L), s"stage kept $kept")
+  }
+
   test("dsir log-weights favor target-like docs; registry stage keeps k winners") {
     import org.json4s.jackson.JsonMethods.parse
     // target dialect {apple banana cherry}, off-target {rock stone
