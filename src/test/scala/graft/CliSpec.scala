@@ -7,7 +7,8 @@ class CliSpec extends SparkSpec {
   test("registry resolves stages and errors helpfully on unknown names") {
     assert(Registry.allStages("extractors") == Seq("binary", "csv", "jsonl", "orc", "parquet"))
     assert(Registry.allStages("transformers") == Seq("apid_filter", "calibration",
-      "chunk_documents", "decom", "decontaminate", "domain_cap", "exact_dedup",
+      "chunk_documents", "decom", "decontaminate", "domain_cap", "dsir_sample",
+      "dup_span_strip", "exact_dedup", "gopher_filter",
       "hash_split", "lang_filter", "line_dedup", "near_dedup", "pack_sequences",
       "perplexity_filter", "pii_redact", "quality_filter", "quality_quantile_filter",
       "repetition_filter", "semantic_dedup", "simhash_dedup", "source_mix",
@@ -55,6 +56,40 @@ class CliSpec extends SparkSpec {
     assert(back.count() == result.rowsLoaded)
     assert(back.select("split").distinct().collect().map(_.getString(0)).toSet
       .subsetOf(Set("train", "eval")))
+  }
+
+  test("end-to-end corpus pipeline (parquet -> gopher -> dup spans -> dsir -> orc)") {
+    // the round-9 stages chained through Pipeline.run: rule-based
+    // quality gate, substring-level dedup rewrite, then importance
+    // resampling down to a fixed budget
+    val out = java.nio.file.Files.createTempDirectory("cli_corpus9").toString
+    val extract = Registry.getExtractor("parquet")
+    val gopher = Registry.getTransformer("gopher_filter")(
+      Registry.parseConfig("""{"min_words": 20}"""))
+    val strip = Registry.getTransformer("dup_span_strip")(
+      Registry.parseConfig("""{"window_len": 40}"""))
+    val dsir = Registry.getTransformer("dsir_sample")(
+      Registry.parseConfig("""{"k": 100, "target_quality_min": 0.4}"""))
+    val load = Registry.getLoader("orc")
+    val result = Pipeline.run(
+      spark,
+      extract = s => extract(s, Registry.parseConfig(
+        """{"path": "/root/testdata/sf0.001/documents.parquet"}""")),
+      transforms = Seq("gopher_filter" -> gopher,
+        "dup_span_strip" -> strip, "dsir_sample" -> dsir),
+      load = df => { val n = df.count(); load(df, Registry.parseConfig(
+        s"""{"output_dir": "$out"}""")); n })
+    assert(result.ok, s"pipeline failed: ${result.errors}")
+    val stageRows = result.stages.map(st => st.name -> st.rowsOut).toMap
+    assert(stageRows("extract") == 500)
+    assert(stageRows("gopher_filter") < 500 && stageRows("gopher_filter") > 0,
+      s"stages: $stageRows")
+    assert(stageRows("dup_span_strip") <= stageRows("gopher_filter"),
+      s"stages: $stageRows")
+    assert(stageRows("dsir_sample") == 100, s"stages: $stageRows")
+    val back = spark.read.orc(out)
+    assert(back.count() == result.rowsLoaded && result.rowsLoaded == 100)
+    assert(back.columns.contains("log_weight"))
   }
 
   test("end-to-end pipeline via registry stages (binary -> decom -> calibrate -> parquet)") {
