@@ -58,6 +58,14 @@ try:
 except FileNotFoundError:
     sys.exit(0)
 cur = json.load(open(sys.argv[1])).get("queries", {})
+if cur and not (set(cur) & set(base)):
+    # the compact line carries PREFIX keys (keys:"prefix"); the
+    # full-name dict lives in the sidecar the line points at
+    try:
+        cur = json.load(open(json.load(open(sys.argv[1]))
+                             .get("queries_file", "BENCH_LAST.json")))["queries"]
+    except FileNotFoundError:
+        pass
 regs = sorted(((k, v, base[k], v / base[k]) for k, v in cur.items()
                if k in base and base[k] > 0 and v > 0),
               key=lambda t: -t[3])[:5]
