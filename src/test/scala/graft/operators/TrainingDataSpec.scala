@@ -928,6 +928,43 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept.columns.toSet == Set("doc_id", "text", "source", "log_weight"))
   }
 
+  test("dup spans match a brute-force reference on random small-alphabet corpora") {
+    // small alphabet forces organic window collisions; the reference
+    // recomputes duplicated windows by literal substring counting and
+    // merges islands in plain Scala
+    val winLen = 6
+    val rnd = new scala.util.Random(42)
+    val corpora = (1 to 3).map { _ =>
+      (0L until 12L).map { id =>
+        val len = 4 + rnd.nextInt(40)
+        (id, (1 to len).map(_ => "abc".charAt(rnd.nextInt(3))).mkString)
+      }
+    }
+    for (corpus <- corpora) {
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, t) <- corpus; i <- 0 to t.length - winLen)
+        counts(t.substring(i, i + winLen)) = counts.getOrElse(t.substring(i, i + winLen), 0) + 1
+      val expected = corpus.flatMap { case (id, t) =>
+        val dupPos = (0 to t.length - winLen)
+          .filter(i => counts(t.substring(i, i + winLen)) >= 2).map(_ + 1L)
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (p <- dupPos) {
+          // merge iff this window starts at or before the previous
+          // window's start + winLen (contiguous coverage), i.e. at or
+          // before the current span end + 1
+          if (spans.nonEmpty && p <= spans.last._2 + 1)
+            spans(spans.length - 1) = (spans.last._1, p + winLen - 1)
+          else spans += ((p, p + winLen - 1))
+        }
+        spans.map { case (a, b) => (id, a, b, b - a + 1) }
+      }.toSet
+      val got = Dedup.dupSpans(corpus.toDF("doc_id", "text"), winLen)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected,
+        s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("registry dup_span_strip cuts duplicated runs and drops emptied docs") {
     import org.json4s.jackson.JsonMethods.parse
     val boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE!!" // 38 chars, everywhere
