@@ -962,6 +962,24 @@ class TrainingDataSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(got == expected,
         s"missing=${expected -- got} extra=${got -- expected}")
+      // and the strip stage must cut exactly those spans from the text
+      val expectedText = corpus.map { case (id, t) =>
+        val spans = expected.filter(_._1 == id).toSeq.sortBy(_._2)
+        val sb = new StringBuilder
+        var cur = 1L
+        for ((_, a, b, _) <- spans) {
+          sb ++= t.substring(cur.toInt - 1, a.toInt - 1)
+          cur = b + 1
+        }
+        sb ++= t.substring(cur.toInt - 1)
+        id -> sb.toString
+      }.filter(_._2.nonEmpty).toMap
+      val stripped = graft.Registry.transformers("dup_span_strip")(
+        org.json4s.jackson.JsonMethods.parse(s"""{"window_len": $winLen}"""))(
+        corpus.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(stripped == expectedText,
+        s"diff=${(expectedText.toSet diff stripped.toSet) ++ (stripped.toSet diff expectedText.toSet)}")
     }
   }
 
