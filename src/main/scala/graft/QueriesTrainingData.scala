@@ -114,6 +114,9 @@ object QueriesTrainingData {
     val lw = TextAnalysis.dsirLogWeights(
       docs(s, dir), TextAnalysis.qualityScore(col("text")) >= 0.5)
     val h = Dedup.hash60(concat(lit("dsir:"), col("doc_id").cast("string")))
+    // u in (0, 1]; at the 2^-60 edge u = 1, ln(-ln 1) = -inf and the
+    // doc deterministically sorts first — both engines agree, same
+    // benign class as x19's key-0 edge
     val u = (h + lit(1L)).cast("double") / 1.152921504606846976e18
     lw.withColumn("sample_key",
         round(log(negate(log(u))) - col("log_weight"), 6))
