@@ -200,6 +200,22 @@ class PlanChecksSpec extends SparkSpec {
       s"upsample introduced a shuffle:\n$plan")
   }
 
+  test("d15 dup spans: rolling-hash kernel in plan, two data exchanges") {
+    val plan = planOf("d15_dup_spans")
+    // windows must come from the Rabin-Karp kernel, not substr+md5
+    assert(plan.toLowerCase.contains("rollingwindowhashes"),
+      s"rolling-hash kernel missing:\n$plan")
+    // the designed shape: one exchange on the hash (occurrence count),
+    // one on the doc id (islands) — plus the output sort's range
+    // exchange; anything more means the frequency pass regressed to
+    // the recompute-both-sides join
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val hashShuffles = """Exchange hashpartitioning[^\[]*\[plan_id=(\d+)\]""".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSet
+    assert(hashShuffles.size <= 2,
+      s"${hashShuffles.size} hash shuffles — frequency join regressed?\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the scan->agg path of q1") {
     val plan = planOf("q1_agg")
     // '*(n)' prefixes mark codegen stages in Spark 4 plan strings
