@@ -623,6 +623,47 @@ object QueriesTrainingData {
       .orderBy("shard")
   }
 
+  /** Token frequency-of-frequencies (the Good-Turing spectrum): for
+    * each log2 bucket of occurrence count, how many distinct tokens
+    * land there and what token mass they carry. The data-card view of
+    * the corpus's Zipf shape — a fat singleton bucket means noisy
+    * vocabulary, a thin one means heavy boilerplate. Two vocab-scale
+    * aggregates: token->count, then count-bucket->stats; no global
+    * rank sort (rank-based Zipf curves need a single-partition window
+    * at corpus scale; the spectrum carries the same signal shuffle-
+    * light).
+    */
+  private def c6FreqSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      explode(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))).as("w"))
+    // exact integer floor(log2): binary-digit count minus one — a
+    // float log2 rounds differently across engines at 2^k edges
+    toks.groupBy("w").agg(count(lit(1)).as("cf"))
+      .select((length(conv(col("cf"), 10, 2)) - 1).cast("long").as("bucket"), col("cf"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("token_mass"))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("count_lo"),
+        col("n_tokens"), col("token_mass"))
+      .orderBy("bucket")
+  }
+
+  /** Per-source lexical diversity: token count, distinct-token count,
+    * and type-token ratio — the data-card signal for template-heavy
+    * vs organic sources. One exchange on (source, token) for the
+    * distinct, then a source-level rollup.
+    */
+  private def x29LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))).as("w"))
+    toks.groupBy("source").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+      .orderBy("source")
+  }
+
   /** BPE merge learning (TextAnalysis.bpeMerges): the first 4 merges
     * over the corpus word-count table — vocab-scale iterations, one
     * argmax row on the driver per step.
@@ -763,6 +804,8 @@ object QueriesTrainingData {
     "x21_source_upsample" -> (x21SourceUpsample(_, _)),
     "x27_dsir_sample" -> (x27DsirSample(_, _)),
     "x28_gopher_rules" -> (x28GopherRules(_, _)),
+    "x29_lexical_diversity" -> (x29LexicalDiversity(_, _)),
+    "c6_freq_spectrum" -> (c6FreqSpectrum(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -1067,6 +1110,18 @@ object QueriesTrainingData {
          |        / (count(*) * 1e6), 6) AS avg_logprob
          |FROM toks JOIN freq USING (w), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c6_freq_spectrum" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+         |freq AS (SELECT w, count(*) AS cf FROM toks GROUP BY w)
+         |SELECT (length(bin(cf)) - 1)::BIGINT AS bucket,
+         |  (1::BIGINT << (length(bin(cf)) - 1)) AS count_lo,
+         |  count(*) AS n_tokens, sum(cf)::BIGINT AS token_mass
+         |FROM freq GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "x29_lexical_diversity" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS w FROM documents)
+         |SELECT source, count(*) AS n_tokens, count(DISTINCT w) AS n_types,
+         |  round(count(DISTINCT w)::DOUBLE / count(*), 6) AS ttr
+         |FROM toks GROUP BY source ORDER BY source""".stripMargin,
     "x28_gopher_rules" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
          |stats AS (
