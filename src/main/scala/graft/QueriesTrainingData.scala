@@ -103,6 +103,66 @@ object QueriesTrainingData {
   private def x28GopherRules(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherFlags(docs(s, dir)).orderBy("doc_id")
 
+  /** Synthetic C4 input: the d12 8-token line grouping, plus the
+    * markers the rules look for — a deterministic terminal-punct cycle
+    * per line (doc_id + line index mod 4: . ! ? none), a "javascript"
+    * token on line 0 of every 7th doc, and one lorem / brace / badword
+    * line appended to every 11th / 13th / 17th doc (the raw corpus
+    * contains none of these, so without synthesis every page-level
+    * rule would be vacuously true — the x12 PII pattern).
+    */
+  private def c4LineDf(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    val nContent = ceil(size(toks) / lit(8.0)).cast("int")
+    val punctCycle = array(lit("."), lit("!"), lit("?"), lit(""))
+    val content = when(nContent > lit(0),
+      transform(sequence(lit(0), nContent - lit(1)), l => {
+        val body = array_join(slice(toks, l * lit(8) + lit(1), lit(8)), " ")
+        val withJs = when(col("doc_id") % 7 === 0 && l === lit(0),
+          concat(lit("javascript "), body)).otherwise(body)
+        concat(withJs,
+          element_at(punctCycle, ((col("doc_id") + l) % 4).cast("int") + lit(1)))
+      }))
+      .otherwise(array().cast("array<string>"))
+    def marker(mod: Int, line: String) =
+      when(col("doc_id") % mod === 0, array(lit(line)))
+        .otherwise(array().cast("array<string>"))
+    docs(s, dir).select(col("doc_id"),
+      concat(content,
+        marker(11, "lorem ipsum dolor sit amet."),
+        marker(13, "var page = { config: true };"),
+        marker(17, "this line mentions badword1 explicitly."))
+        .as("lines"))
+  }
+
+  /** C4 heuristic cleaning rules (Raffel et al. 2020): line keeps +
+    * page rejects over the synthesized line table, fingerprinting the
+    * surviving text.
+    */
+  private def x30C4Rules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.c4Clean(c4LineDf(s, dir))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("has_lorem"), col("has_brace"), col("has_badword"), col("kept"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020): corpus-LM
+    * likelihood terciles per source — head / middle / tail.
+    */
+  private def x31CcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(docs(s, dir), nBuckets = 3)
+      .select("doc_id", "source", "n_tokens", "avg_logprob",
+        "bucket", "bucket_name")
+      .orderBy("doc_id")
+
+  /** UniMax budget allocation (Chung et al. 2023): water-filling a
+    * 75%-of-corpus token budget across languages at a 1-epoch cap.
+    */
+  private def x32UnimaxMix(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.unimaxAllocation(docs(s, dir),
+        budgetFraction = 0.75, epochCap = 1.0)
+      .orderBy("lang")
+
   /** DSIR importance resampling end-to-end: log-weights against a
     * quality-exemplar target (docs with quality >= 0.5), then A-ES
     * weighted sampling entirely in log space (key = ln(-ln u) -
@@ -842,7 +902,10 @@ object QueriesTrainingData {
     "x22_hash_split" -> (x22HashSplit(_, _)),
     "x23_token_budget" -> (x23TokenBudget(_, _)),
     "x24_quantile_filter" -> (x24QuantileFilter(_, _)),
-    "d14_bloom_contamination" -> (d14BloomContamination(_, _)))
+    "d14_bloom_contamination" -> (d14BloomContamination(_, _)),
+    "x30_c4_rules" -> (x30C4Rules(_, _)),
+    "x31_ccnet_buckets" -> (x31CcnetBuckets(_, _)),
+    "x32_unimax_mix" -> (x32UnimaxMix(_, _)))
 
   // --- oracle SQL fragments (DuckDB dialect) ---------------------------
 
@@ -1826,5 +1889,83 @@ object QueriesTrainingData {
          |FROM documents ORDER BY media_id""".stripMargin,
     "m2_media_features" ->
       """SELECT doc_id AS media_id, 16 AS feature_dim
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "x30_c4_rules" ->
+      s"""WITH tl AS (
+         |  SELECT doc_id, $rawToksLowerSql AS toks FROM documents
+         |), lns AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+         |      l -> (CASE WHEN doc_id % 7 = 0 AND l = 0 THEN 'javascript ' ELSE '' END) ||
+         |           array_to_string(toks[l * 8 + 1 : l * 8 + 8], ' ') ||
+         |           (['.', '!', '?', ''])[CAST((doc_id + l) % 4 AS INT) + 1]) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END) ||
+         |    (CASE WHEN doc_id % 13 = 0 THEN ['var page = { config: true };'] ELSE []::VARCHAR[] END) ||
+         |    (CASE WHEN doc_id % 17 = 0 THEN ['this line mentions badword1 explicitly.'] ELSE []::VARCHAR[] END) AS lines
+         |  FROM tl
+         |), ev AS (
+         |  SELECT doc_id, lines,
+         |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+         |      AND len(string_split(l, ' ')) >= 5
+         |      AND NOT regexp_matches(lower(l), '\\bjavascript\\b')) AS kept_lines,
+         |    len(list_filter(lines, l -> contains(lower(l), 'lorem ipsum'))) > 0 AS has_lorem,
+         |    len(list_filter(lines, l -> contains(l, '{'))) > 0 AS has_brace,
+         |    len(list_filter(lines, l -> regexp_matches(lower(l), 'badword1|badword2'))) > 0 AS has_badword
+         |  FROM lns
+         |)
+         |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept_lines) AS BIGINT) AS n_kept,
+         |  has_lorem, has_brace, has_badword,
+         |  (len(kept_lines) >= 3 AND NOT has_lorem AND NOT has_brace
+         |    AND NOT has_badword) AS kept,
+         |  md5(coalesce(array_to_string(kept_lines, chr(10)), '')) AS clean_md5
+         |FROM ev ORDER BY doc_id""".stripMargin,
+    "x31_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |tot AS (SELECT count(*)::DOUBLE AS n_total FROM toks),
+         |freq AS (SELECT w, count(*) AS cf FROM toks GROUP BY w),
+         |lm AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    round(sum(round(ln(cf / n_total) * 1e6)::BIGINT)::DOUBLE
+         |          / (count(*) * 1e6), 6) AS avg_logprob
+         |  FROM toks JOIN freq USING (w), tot GROUP BY doc_id
+         |), bk AS (
+         |  SELECT d.doc_id, d.source, lm.n_tokens, lm.avg_logprob,
+         |    ntile(3) OVER (PARTITION BY d.source
+         |                   ORDER BY lm.avg_logprob DESC, d.doc_id) AS bucket
+         |  FROM lm JOIN documents d USING (doc_id)
+         |)
+         |SELECT doc_id, source, n_tokens, avg_logprob, bucket,
+         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |              ELSE 'tail' END AS bucket_name
+         |FROM bk ORDER BY doc_id""".stripMargin,
+    "x32_unimax_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang
+         |), ranked AS (
+         |  SELECT lang, n_tokens, n_tokens::DOUBLE * 1.0 AS cap,
+         |    row_number() OVER (ORDER BY n_tokens::DOUBLE * 1.0, lang) AS i,
+         |    sum(n_tokens::DOUBLE * 1.0) OVER (ORDER BY n_tokens::DOUBLE * 1.0, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         |    count(*) OVER () AS n,
+         |    sum(n_tokens) OVER ()::DOUBLE * 0.75 AS b
+         |  FROM cnt
+         |), flg AS (
+         |  SELECT *, (p + (n - i) * cap <= b) AS sat FROM ranked
+         |), kr AS (
+         |  SELECT coalesce(max(CASE WHEN sat THEN i END), 0) AS k,
+         |    coalesce(max(CASE WHEN sat THEN p END), 0.0) AS pk,
+         |    max(b) AS bb, max(n) AS nn
+         |  FROM flg
+         |), lv AS (
+         |  SELECT CASE WHEN nn > k THEN (bb - pk) / (nn - k)
+         |              ELSE 1.7976931348623157e308 END AS level
+         |  FROM kr
+         |)
+         |SELECT f.lang, f.n_tokens, f.cap,
+         |  round(least(f.cap, lv.level), 6) AS alloc,
+         |  round(round(least(f.cap, lv.level), 6) / f.n_tokens, 6) AS epochs,
+         |  (f.cap <= lv.level) AS capped
+         |FROM flg f, lv ORDER BY lang""".stripMargin)
 }

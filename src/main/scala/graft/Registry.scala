@@ -233,6 +233,59 @@ object Registry {
         .select(col(id), col("log_weight"))
       df.join(winners, Seq(id))
     },
+    "c4_clean" -> { c => df =>
+      // C4 heuristic cleaning (Raffel et al. 2020): line keeps
+      // (terminal punct, min words, no "javascript") + page rejects
+      // (lorem ipsum / brace / blocklist / too few surviving lines).
+      // Splits the text column on `delimiter`, keeps passing pages,
+      // rewrites text from the surviving lines — the line_dedup shape
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val minWpl = int(c, "min_words_per_line").getOrElse(5)
+      val minKept = int(c, "min_kept_lines").getOrElse(3)
+      val delim = str(c, "delimiter").getOrElse("\n")
+      val lines = df.select(col(id),
+        split(col(text), java.util.regex.Pattern.quote(delim)).as("lines"))
+      val cleaned = operators.TextAnalysis.c4Clean(lines, minWpl, minKept, idCol = id)
+        .where(col("kept"))
+        .select(col(id), col("clean_text"))
+      df.drop(text).join(cleaned, Seq(id))
+        .withColumnRenamed("clean_text", text)
+    },
+    "ccnet_bucket_filter" -> { c => df =>
+      // CCNet perplexity bucketing (Wenzek et al. 2020): keep only the
+      // configured corpus-LM likelihood buckets (default head+middle —
+      // the CCNet recipe's training split; tail is the noise bucket)
+      import org.apache.spark.sql.functions.col
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val src = str(c, "source_column").getOrElse("source")
+      val keep = (c \ "keep_buckets").extractOpt[Seq[String]]
+        .filter(_.nonEmpty).getOrElse(Seq("head", "middle"))
+      val picked = operators.TextAnalysis.perplexityBuckets(df, 3, id, text, src)
+        .where(col("bucket_name").isin(keep: _*)).select(col(id))
+      df.join(picked, Seq(id), "left_semi")
+    },
+    "unimax_resample" -> { c => df =>
+      // UniMax mixture (Chung et al. 2023): water-fill the token
+      // budget across languages, then resample each doc at its
+      // group's epoch rate via the hash-lottery upsampler — groups at
+      // the cap keep every doc once, groups above the water level are
+      // thinned to it. The allocation table is |groups| rows,
+      // broadcast into the join; the resample itself is row-local
+      import org.apache.spark.sql.functions._
+      val grp = str(c, "group_column").getOrElse("lang")
+      val text = str(c, "text_column").getOrElse("text")
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val frac = (c \ "budget_fraction").extractOpt[Double].getOrElse(0.75)
+      val cap = (c \ "epoch_cap").extractOpt[Double].getOrElse(1.0)
+      val alloc = operators.Mixture.unimaxAllocation(df, frac, cap, grp, text)
+        .select(col(grp), col("epochs"))
+      operators.Mixture.sourceUpsample(
+        df.join(broadcast(alloc), Seq(grp)), col("epochs"), id)
+        .drop("epochs")
+    },
     "domain_cap" -> { c => df =>
       // per-registrable-domain quota (crawl balancing): keep at most
       // max_per_domain docs per domain, lowest id first — ONE window,

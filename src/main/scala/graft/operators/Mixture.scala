@@ -256,4 +256,77 @@ object Mixture {
       .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
       .drop("n_copies")
   }
+
+  /** UniMax-style token-budget allocation across languages (Chung et
+    * al. 2023, "UniMax: Fairer and More Effective Language Sampling"):
+    * spend a total token budget as UNIFORMLY as possible across
+    * groups, capping each group at `epochCap` epochs of its own data —
+    * big languages stop soaking up budget proportional to their size,
+    * small ones never repeat past the epoch cap.
+    *
+    * UniMax's greedy loop (allocate the smallest language, recompute
+    * the uniform share, repeat) is exactly the water-filling problem,
+    * which has a closed distributed form: sort groups ascending by
+    * cap c_i = epochCap x tokens_i, and with prefix sums P_i the
+    * number of fully-capped groups is k = max{ i : P_i + (n-i)*c_i
+    * <= B } (the test is monotone in i because c is sorted), giving
+    * water level L = (B - P_k)/(n - k); each group receives
+    * min(c_i, L). No driver loop, no iteration — one aggregate, one
+    * window over |groups| rows, one broadcast-size reduction.
+    *
+    * `budget` defaults to `budgetFraction` x the corpus total. Output
+    * per group: (group, n_tokens, cap, alloc, epochs, capped), with
+    * alloc summing to the budget when the caps can hold it (else
+    * every group saturates and the leftover is unallocated — reported
+    * via `capped` all-true).
+    *
+    * Scale shape: one token-count aggregate (exchange on the group
+    * col — the x29 cost class), then all remaining arithmetic runs on
+    * |groups| rows (dozens of languages, never corpus-sized).
+    */
+  def unimaxAllocation(
+      docs: DataFrame, budgetFraction: Double = 0.75,
+      epochCap: Double = 1.0, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(budgetFraction > 0, "unimaxAllocation: budgetFraction must be positive")
+    require(epochCap > 0, "unimaxAllocation: epochCap must be positive")
+    val counts = docs
+      .groupBy(col(groupCol))
+      .agg(sum(size(TextAnalysis.wsTokens(TextAnalysis.normalize(col(textCol))))
+        .cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens").cast("double") * epochCap)
+    // everything below runs on |groups| rows: rank by cap, prefix-sum,
+    // evaluate the monotone saturation test, reduce (k, P_k, B, n) to
+    // one broadcast row, and apply min(cap, L) back on the group table
+    val w = Window.orderBy(col("cap"), col(groupCol))
+    val all = Window.partitionBy()
+    val ranked = counts
+      .withColumn("_i", row_number().over(w))
+      .withColumn("_p", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_b",
+        sum(col("n_tokens")).over(all).cast("double") * budgetFraction)
+      .withColumn("_sat",
+        col("_p") + (col("_n") - col("_i")) * col("cap") <= col("_b"))
+    val kRow = ranked
+      .agg(
+        max(when(col("_sat"), struct(col("_i").as("k"), col("_p").as("pk"))))
+          .as("_kr"),
+        max(col("_b")).as("b"),
+        max(col("_n")).as("n"))
+      .select(
+        coalesce(col("_kr.k"), lit(0)).as("k"),
+        coalesce(col("_kr.pk"), lit(0.0)).as("pk"),
+        col("b"), col("n"))
+    val level = when(col("n") > col("k"),
+      (col("b") - col("pk")) / (col("n") - col("k")))
+      .otherwise(lit(Double.MaxValue))
+    ranked.crossJoin(broadcast(kRow))
+      .withColumn("alloc", round(least(col("cap"), level), 6))
+      .withColumn("epochs", round(col("alloc") / col("n_tokens"), 6))
+      .withColumn("capped", col("cap") <= level)
+      .select(col(groupCol), col("n_tokens"), col("cap"),
+        col("alloc"), col("epochs"), col("capped"))
+  }
 }

@@ -621,4 +621,91 @@ object TextAnalysis {
         threeLabel)
         .otherwise(twoLabel))
   }
+
+  /** Default page-rejecting phrase list for [[c4Clean]] — a stand-in
+    * for C4's "List of Dirty, Naughty ..." blocklist (the real list is
+    * an external resource; the rule machinery is what matters here).
+    */
+  val c4Badwords: Seq[String] = Seq("badword1", "badword2")
+
+  /** C4-style heuristic cleaning (Raffel et al. 2020 §2.2, the
+    * deterministic line/page rules): keep only lines that end in
+    * terminal punctuation, have at least `minWordsPerLine` words, and
+    * do not contain the word "javascript"; reject the whole page when
+    * it contains "lorem ipsum", a curly brace (code smell), a
+    * blocklisted phrase, or fewer than `minKeptLines` surviving lines.
+    *
+    * Input: one row per document with an ordered array column of
+    * lines. Output per doc: line counts, each page-rule flag, the
+    * conjunction `kept`, and `clean_text` (newline-joined survivors)
+    * — so a pipeline can filter on `kept` while a data card reports
+    * which rule rejects what.
+    *
+    * Scale shape: every rule is a pure array expression over the row's
+    * own lines (filter/exists — no explode, no shuffle, no UDF). At
+    * 100 TB this is a map-only pass bounded by parquet decode, the
+    * same cost class as [[qualityScore]].
+    */
+  def c4Clean(
+      docsLines: DataFrame,
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3,
+      badwords: Seq[String] = c4Badwords,
+      idCol: String = "doc_id", linesCol: String = "lines"): DataFrame = {
+    val badRe = badwords.map(java.util.regex.Pattern.quote).mkString("|")
+    def lineKept(l: Column): Column =
+      l.rlike("[.!?\"]$") &&
+        size(split(l, " ")) >= minWordsPerLine &&
+        !lower(l).rlike("\\bjavascript\\b")
+    val keptLines = filter(col(linesCol), lineKept _)
+    docsLines.select(
+        col(idCol),
+        size(col(linesCol)).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_kept"),
+        exists(col(linesCol), l => lower(l).contains("lorem ipsum"))
+          .as("has_lorem"),
+        exists(col(linesCol), l => l.contains("{")).as("has_brace"),
+        exists(col(linesCol), l => lower(l).rlike(badRe)).as("has_badword"),
+        array_join(keptLines, "\n").as("clean_text"))
+      .withColumn("kept",
+        col("n_kept") >= minKeptLines &&
+          !col("has_lorem") && !col("has_brace") && !col("has_badword"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): score
+    * every document with the corpus unigram LM ([[unigramLogProb]]),
+    * then split each source's documents into `nBuckets` equal-depth
+    * buckets by descending likelihood — bucket 1 ("head") is the most
+    * LM-like text, the last ("tail") the least. CCNet trains its LM on
+    * Wikipedia; here the corpus itself is the LM corpus, which keeps
+    * the operator self-contained and the oracle exact.
+    *
+    * Output: (id, source, n_tokens, avg_logprob, bucket, bucket_name)
+    * with bucket_name in head/middle/tail for nBuckets = 3 (plain
+    * "b<k>" otherwise). Docs with zero tokens have no LM rows and drop
+    * out (the x13 inner-join semantics).
+    *
+    * Scale shape: the LM pass is the x13 cost class (token exchange +
+    * vocab join); the bucketing is one ntile window per source — an
+    * exchange on source plus a per-source sort. At extreme scale a
+    * full per-source sort is the bottleneck; the documented swap is
+    * two-pass approximate quantiles (the x24 `quantileThreshold`
+    * pattern) once exact equal-depth ranks stop mattering.
+    */
+  def perplexityBuckets(
+      docs: DataFrame, nBuckets: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, "perplexityBuckets: nBuckets must be positive")
+    val lm = unigramLogProb(docs, idCol, textCol)
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col("avg_logprob").desc, col(idCol))
+    val named = if (nBuckets == 3)
+      when(col("bucket") === 1, "head")
+        .when(col("bucket") === 2, "middle").otherwise("tail")
+    else concat(lit("b"), col("bucket").cast("string"))
+    lm.join(docs.select(col(idCol), col(sourceCol)), idCol)
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .withColumn("bucket_name", named)
+  }
 }

@@ -38,7 +38,9 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "x27_dsir_sample" -> "LM totals + vocab-size scalar broadcast: 1 row",
     "x20_bigram_logprob" -> "corpus total scalar broadcast: 1 row",
     "x15_source_mix" -> "rate table broadcast: one row per source",
-    "t9_string_decom" -> "parameter-definition fan-out: config-sized broadcast"
+    "t9_string_decom" -> "parameter-definition fan-out: config-sized broadcast",
+    "x31_ccnet_buckets" -> "corpus token-total scalar broadcast: 1 row (the x13 LM)",
+    "x32_unimax_mix" -> "water-level scalar broadcast: 1 row"
   )
 
   test("no registry query plans a CartesianProduct, a ScalaUDF, " +

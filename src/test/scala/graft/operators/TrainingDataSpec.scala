@@ -1000,4 +1000,133 @@ class TrainingDataSpec extends SparkSpec {
       1L -> " beta body two phrased differently",
       3L -> "gamma body three never repeats anything"), s"got $out")
   }
+
+  test("c4 rules: each line and page rule flips on its designed fixture") {
+    import org.json4s.jackson.JsonMethods.parse
+    val goodLine = "this line has plenty of words and ends well."
+    val docsDf = Seq(
+      (0L, Seq(goodLine, "another perfectly fine sentence right here!", "a third keeper question mark line here?")), // kept
+      (1L, Seq(goodLine, "no terminal punctuation on this line", goodLine)), // line 2 dropped -> below min
+      (2L, Seq(goodLine, "too short.", goodLine)), // short line dropped
+      (3L, Seq(goodLine, "this line mentions javascript somewhere fine.", goodLine)), // js line dropped
+      (4L, Seq(goodLine, goodLine, goodLine, "some Lorem Ipsum filler text here.")), // page reject
+      (5L, Seq(goodLine, goodLine, goodLine, "config = { nested: true } stuff.")), // page reject
+      (6L, Seq(goodLine, goodLine, goodLine, "contains badword1 in the middle somewhere.")), // page reject
+      (7L, Seq.empty[String])) // nothing survives
+      .toDF("doc_id", "lines")
+    val out = TextAnalysis.c4Clean(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("kept") && out(0L).getAs[Long]("n_kept") == 3)
+    assert(out(1L).getAs[Long]("n_kept") == 2 && !out(1L).getAs[Boolean]("kept"))
+    assert(out(2L).getAs[Long]("n_kept") == 2 && !out(2L).getAs[Boolean]("kept"))
+    assert(out(3L).getAs[Long]("n_kept") == 2 && !out(3L).getAs[Boolean]("kept"))
+    assert(out(4L).getAs[Boolean]("has_lorem") && !out(4L).getAs[Boolean]("kept"))
+    assert(out(5L).getAs[Boolean]("has_brace") && !out(5L).getAs[Boolean]("kept"))
+    assert(out(6L).getAs[Boolean]("has_badword") && !out(6L).getAs[Boolean]("kept"))
+    assert(out(7L).getAs[Long]("n_kept") == 0L && out(7L).getAs[String]("clean_text") == "")
+    // the clean text is the surviving lines in original order
+    assert(out(1L).getAs[String]("clean_text") == s"$goodLine\n$goodLine")
+    // stage: newline-joined text in, only passing pages out, text rewritten
+    val pages = Seq(
+      (0L, Seq(goodLine, goodLine, goodLine).mkString("\n")),
+      (4L, Seq(goodLine, goodLine, goodLine, "some lorem ipsum here.").mkString("\n")))
+      .toDF("doc_id", "text")
+    val kept = graft.Registry.transformers("c4_clean")(parse("{}"))(pages)
+      .collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == Set(0L))
+    assert(kept.head.getAs[String]("text") == Seq(goodLine, goodLine, goodLine).mkString("\n"))
+  }
+
+  test("ccnet buckets: equal-depth terciles per source, head most LM-like") {
+    import org.json4s.jackson.JsonMethods.parse
+    // 6 docs per source; common words score high under the corpus LM,
+    // rare words low
+    val docsDf = (0L to 5L).map { i =>
+      val text = if (i < 3) "common common common words words"
+      else s"rare$i unique$i singleton$i oddity$i token$i"
+      (i, text, "sA")
+    }.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.perplexityBuckets(docsDf).collect()
+    assert(out.length == 6)
+    val byBucket = out.groupBy(_.getAs[String]("bucket_name"))
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.forall(_.length == 2), s"tercile depth: ${byBucket.view.mapValues(_.length).toMap}")
+    val headMin = byBucket("head").map(_.getAs[Double]("avg_logprob")).min
+    val tailMax = byBucket("tail").map(_.getAs[Double]("avg_logprob")).max
+    assert(headMin >= tailMax, s"head $headMin should be >= tail $tailMax")
+    // zero-token docs drop out (x13 inner-join semantics)
+    val withEmpty = docsDf.union(Seq((9L, "", "sA")).toDF("doc_id", "text", "source"))
+    assert(TextAnalysis.perplexityBuckets(withEmpty).count() == 6)
+    // stage keeps head+middle by default
+    val kept = graft.Registry.transformers("ccnet_bucket_filter")(parse("{}"))(docsDf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.size == 4, s"stage kept $kept")
+  }
+
+  test("unimax allocation matches the greedy water-fill reference") {
+    // reference: UniMax's own loop — repeatedly give every remaining
+    // group an equal share, saturating any group whose cap is below it
+    def greedy(caps: Seq[Double], budget: Double): Map[Int, Double] = {
+      var remaining = budget
+      var left = caps.zipWithIndex.sortBy(_._1).toList
+      var out = Map.empty[Int, Double]
+      while (left.nonEmpty) {
+        val share = remaining / left.size
+        left.find(_._1 <= share) match {
+          case Some((c, i)) =>
+            out += i -> c; remaining -= c; left = left.filterNot(_._2 == i)
+          case None =>
+            out ++= left.map { case (_, i) => i -> share }; left = Nil
+        }
+      }
+      out
+    }
+    for ((sizes, frac, cap) <- Seq(
+        (Seq(10L, 20L, 40L, 100L), 0.5, 1.0),
+        (Seq(10L, 20L, 40L, 100L), 0.5, 2.0),
+        (Seq(7L, 7L, 7L), 0.9, 1.0), // uniform groups, nobody capped
+        (Seq(5L, 300L), 0.99, 1.0), // tiny + giant
+        (Seq(12L, 30L), 2.0, 1.5))) { // budget exceeds capacity: all capped
+      val docsDf = sizes.zipWithIndex.flatMap { case (n, i) =>
+        // two docs per group so the token aggregate actually groups
+        Seq((s"l$i", ("w " * (n.toInt / 2)).trim),
+          (s"l$i", ("w " * (n.toInt - n.toInt / 2)).trim))
+      }.zipWithIndex.map { case ((l, t), id) => (id.toLong, l, t) }
+        .toDF("doc_id", "lang", "text")
+      val out = Mixture.unimaxAllocation(docsDf, frac, cap, "lang").collect()
+        .map(r => r.getAs[String]("lang") -> r).toMap
+      val caps = sizes.map(_.toDouble * cap)
+      val budget = sizes.sum.toDouble * frac
+      val ref = greedy(caps, math.min(budget, caps.sum))
+      sizes.indices.foreach { i =>
+        val got = out(s"l$i").getAs[Double]("alloc")
+        assert(math.abs(got - ref(i)) < 1e-5,
+          s"sizes=$sizes frac=$frac cap=$cap group $i: got $got want ${ref(i)}")
+        assert(got <= caps(i) + 1e-9)
+      }
+      if (caps.sum >= budget) {
+        val total = out.values.map(_.getAs[Double]("alloc")).sum
+        assert(math.abs(total - budget) < 1e-4, s"alloc sum $total != budget $budget")
+      }
+    }
+  }
+
+  test("unimax_resample stage keeps capped groups whole and thins the rest") {
+    import org.json4s.jackson.JsonMethods.parse
+    // small lang: capped at 1 epoch (every doc exactly once); big
+    // lang: thinned to the water level by the hash lottery
+    val docsDf = ((0L to 9L).map(i => (i, "aa", "w w w w w")) ++
+      (10L to 59L).map(i => (i, "bb", "w w w w w")))
+      .toDF("doc_id", "lang", "text")
+    val res = graft.Registry.transformers("unimax_resample")(
+      parse("""{"budget_fraction": 0.5}"""))(docsDf)
+    val byLang = res.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // budget = 150 tokens; caps: aa 50, bb 250 -> aa saturated (50),
+    // bb at level 100 tokens = 20 docs expected via lottery
+    assert(byLang("aa") == 10L, s"capped group must keep every doc once: $byLang")
+    assert(byLang("bb") < 50L && byLang("bb") > 5L,
+      s"thinned group should be lottery-reduced toward 20: $byLang")
+    assert(res.columns.contains("copy"))
+  }
 }
