@@ -159,8 +159,14 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       s""""$k":"${jsonEscape(v)}""""
     }.mkString("{", ",", "}")
+    // n_success/n_errors make the total self-describing: "value" sums
+    // only successful queries (errored ones carry a -1.0 sentinel), so
+    // a round-over-round total comparison without these counts silently
+    // understates a partial-failure regression (r9 ADVICE)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_success":${ok.size},""" +
+        s""""n_errors":${results.size - ok.size},"queries":$qs,""" +
         s""""sf":"$sfDir","runs_per_query":2,"errors":$errJson,"shuffle":$sh}"""
     try {
       java.nio.file.Files.write(

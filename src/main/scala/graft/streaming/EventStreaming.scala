@@ -13,36 +13,32 @@ import org.apache.spark.sql.types._
   */
 object EventStreaming {
 
-  /** Parquet schema of events.parquet with ts as raw epoch-nanos (read
-    * under spark.sql.legacy.parquet.nanosAsLong, as Tables.events does
-    * for the batch path — streaming sources need the schema up front).
-    */
-  private val eventsNanosSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Shared harness: events file stream -> `transform` -> complete-mode
     * memory sink, drained and returned as a batch DataFrame. The drain
     * protocol (processAllAvailable inside try, stop+awaitTermination in
     * finally) is the fragile part — keep it in one place.
+    *
+    * Streaming sources need their schema up front, and the testdata's
+    * `ts` physical type has changed across driver generations (epoch-
+    * nanos int64 vs timestamp[us]) — so probe the actual file with a
+    * batch read and reuse Tables.normalizeEventTs for the conversion,
+    * instead of hardcoding a schema that silently mis-scales when the
+    * file changes (round 9's 1000x-compressed-timeline failure).
     */
   private def runToMemorySink(
       spark: SparkSession, dir: String, queryName: String,
       outputMode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a directory: stream the whole sf dir
     // but list only the events file (new matching files would be picked
     // up as later micro-batches)
-    val stream = spark.readStream
-      .schema(eventsNanosSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     drainToMemorySink(spark, queryName, outputMode)(transform(stream))
   }
 

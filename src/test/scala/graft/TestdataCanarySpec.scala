@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Canary against driver-side testdata regeneration changing a physical
+  * schema out from under us. Round 9 lost 12 queries to analysis errors
+  * and silently wrong-answered 3 streaming queries when events.ts moved
+  * from epoch-nanos int64 to timestamp[us]: the hardcoded nanos read
+  * interpreted µs values as ns, compressing the timeline 1000x while
+  * schema_match stayed true. These checks fail LOUDLY on any such shift
+  * before window math ever runs.
+  */
+class TestdataCanarySpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("events.ts loads as a timestamp within a sane epoch range") {
+    val events = Tables.events(spark, sfDir)
+    assert(events.schema("ts").dataType == TimestampType,
+      s"events.ts loaded as ${events.schema("ts").dataType}, expected TimestampType")
+    val Array(row) = events.agg(
+      min("ts").as("lo"), max("ts").as("hi"), count(lit(1)).as("n")).collect()
+    val (lo, hi) = (row.getAs[Timestamp]("lo"), row.getAs[Timestamp]("hi"))
+    val loYear = 2020
+    val hiYear = 2040
+    def year(t: Timestamp): Int = t.toInstant.atZone(java.time.ZoneOffset.UTC).getYear
+    assert(row.getAs[Long]("n") > 0, "events table is empty")
+    assert(year(lo) >= loYear && year(hi) <= hiYear,
+      s"events.ts range [$lo, $hi] outside sane epoch years [$loYear, $hiYear] — " +
+        "a unit-scale misread (ns vs us vs ms) compresses or explodes the timeline")
+    // a 1000x-compressed timeline also collapses the span: the testdata
+    // covers days of activity, so demand the span exceeds one hour
+    assert(hi.getTime - lo.getTime > 3600L * 1000,
+      s"events.ts span ${hi.getTime - lo.getTime} ms is under an hour — timeline compressed?")
+  }
+
+  test("streaming source sees the same timeline as the batch loader") {
+    // the streaming path derives its schema separately (file probe), so
+    // canary it separately: same row count and same min/max instant
+    val batch = Tables.events(spark, sfDir)
+      .agg(count(lit(1)), min("ts"), max("ts")).collect()(0)
+    val streamed = streaming.EventStreaming.drainToMemorySink(
+      spark, "canary_mem")(
+      streamingEvents().groupBy().agg(count(lit(1)), min("ts"), max("ts")))
+      .collect()(0)
+    assert(streamed == batch,
+      s"streaming (count,min,max)=$streamed != batch $batch")
+  }
+
+  private def streamingEvents() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.normalizeEventTs(
+      spark.readStream
+        .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
+}
