@@ -90,6 +90,16 @@ object Bench {
       try {
         spark.range(1000000L).select(sum(col("id"))).collect()
         Tables(spark, sfDir, "region").groupBy("r_name").count().collect()
+        // JIT/codegen-warm the connected-components loop on a toy edge
+        // list: the CC machinery (per-round join+agg+observe+checkpoint)
+        // takes 2-3 executions to reach steady state, and whichever CC
+        // query ran first in the session absorbed ~7-14s of that warmup
+        // even at sf0.001 (min-of-2 didn't recover — both runs were
+        // partially cold). One-time JVM cost, so it belongs here, not
+        // in any query's timing.
+        import spark.implicits._
+        val toyEdges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+        operators.Graph.connectedComponents(toyEdges, "a", "b").collect()
       } catch { case _: Throwable => () }
     }
 

@@ -450,22 +450,29 @@ object Dedup {
     // only eval docs — shingling the whole corpus and filtering after
     // a tag join would re-run the corpus-wide explode once per action
     // and forfeit most of what the prefilter buys
+    // localCheckpoint (eager) instead of persist/unpersist: the eval
+    // explode runs ONCE and every consumer — the sizing count, the
+    // bloom aggregate, AND the final join's lazy read — scans the
+    // materialized blocks. A persist released before returning left
+    // the final action re-deriving the explode (the r9 d14 residual);
+    // holding a persist open had no release point on a lazy result.
+    // The checkpoint is reclaimed by the ContextCleaner once the
+    // caller drops the result — the Graph.connectedComponents /
+    // bpeMerges precedent. The eval set (benchmark suites) is the
+    // small side by construction at production scale, so executor-
+    // local materialization without lineage is an acceptable trade.
     val evalSide = shingleTable(docs.where(evalPred), n, idCol, textCol)
       .select(col(idCol).as("eval_id"), hash60(col("s")).as("h"))
-    // cache across the two auxiliary actions (sizing count + sketch
-    // aggregate), then release: the final join's lazy read re-derives
-    // the eval postings at action time, but the actions-we-run-now pay
-    // the explode once instead of twice. Posting rows (not distinct
-    // hashes) as the size estimate: an overshoot only makes the sketch
-    // larger, never less exact.
-    evalSide.persist()
-    val bloomBytes = try {
+      .localCheckpoint()
+    val bloomBytes = {
+      // posting rows (not distinct hashes) as the size estimate: an
+      // overshoot only makes the sketch larger, never less exact
       val nEval = math.max(1L, evalSide.count())
       val bloom = evalSide.stat.bloomFilter("h", nEval, fpp)
       val out = new java.io.ByteArrayOutputStream()
       bloom.writeTo(out)
       out.toByteArray
-    } finally evalSide.unpersist(blocking = false)
+    }
     val mightContain = org.apache.spark.sql.GraftShims.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal
