@@ -205,6 +205,14 @@ object QueriesExtended {
       .orderBy("cluster_id")
   }
 
+  /** Soft dedup (Dedup.softDedupWeights): every doc down-weighted to
+    * 1/|near-dup cluster| instead of dropped — the SlimPajama-style
+    * alternative when duplicates carry popularity signal.
+    */
+  private def d16SoftDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.softDedupWeights(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** Incremental batch-vs-corpus dedup: docs with doc_id % 10 == 7 play
     * the "new crawl increment"; each is flagged for exact and verified
     * near duplication against the rest — the check a continuously
@@ -580,6 +588,7 @@ object QueriesExtended {
     "e2_kmeans" -> (e2Kmeans(_, _)),
     "d8_dedup_clusters" -> (d8DedupClusters(_, _)),
     "d10_cluster_survivors" -> (d10ClusterSurvivors(_, _)),
+    "d16_soft_dedup" -> (d16SoftDedup(_, _)),
     "d11_incremental_dedup" -> (d11IncrementalDedup(_, _)),
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
@@ -689,6 +698,23 @@ object QueriesExtended {
          |)
          |SELECT cluster_id, doc_id AS survivor_id, q AS best_quality, n_members
          |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "d16_soft_dedup" ->
+      s"""WITH RECURSIVE
+         |${OracleFragments.minhashSigsCte},
+         |${OracleFragments.dedupClustersCte(0.1)},
+         |csz AS (
+         |  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |  FROM clusters GROUP BY cluster_id
+         |), cs AS (
+         |  SELECT c.doc_id, c.cluster_id, s.cluster_size
+         |  FROM clusters c JOIN csz s USING (cluster_id)
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(cs.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(cs.cluster_size, 1) AS cluster_size,
+         |  round(1.0::DOUBLE / coalesce(cs.cluster_size, 1), 6) AS weight
+         |FROM documents d LEFT JOIN cs USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "d11_incremental_dedup" ->
       s"""WITH
          |${OracleFragments.minhashSigsCte},

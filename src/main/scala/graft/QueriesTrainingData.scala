@@ -848,7 +848,22 @@ object QueriesTrainingData {
       .select(col("media_id"), size(col("features")).as("feature_dim"))
       .orderBy("media_id")
 
+  /** Per-doc character entropy (TextAnalysis.charEntropy): the
+    * gibberish/compression quality signal, micro-nat-quantized.
+    */
+  private def x33CharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(docs(s, dir)).orderBy("doc_id")
+
+  /** Hashed-feature linear classifier apply (TextAnalysis
+    * .classifierScore): the FineWeb-Edu-style quality-model filter
+    * shape with a deterministic weight table.
+    */
+  private def x34ClassifierScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_char_entropy" -> (x33CharEntropy(_, _)),
+    "x34_classifier_score" -> (x34ClassifierScore(_, _)),
     "x1_token_stats" -> (x1TokenStats(_, _)),
     "x2_quality" -> (x2Quality(_, _)),
     "x3_langid" -> (x3LangId(_, _)),
@@ -1033,6 +1048,44 @@ object QueriesTrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "x33_char_entropy" ->
+      s"""WITH chars AS (
+         |  SELECT doc_id, unnest(regexp_extract_all($normSql, '.')) AS c
+         |  FROM documents
+         |), cnts AS (
+         |  SELECT doc_id, c, count(*)::BIGINT AS cnt FROM chars GROUP BY doc_id, c
+         |), agg AS (
+         |  SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS k,
+         |    sum(round(cnt * ln(cnt) * 1e6)::BIGINT)::BIGINT AS squ
+         |  FROM cnts GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(a.n, 0) AS n_chars_norm,
+         |  coalesce(a.k, 0) AS n_distinct_chars,
+         |  CASE WHEN coalesce(a.n, 0) <= 0 THEN 0.0
+         |       ELSE round((round(ln(a.n) * 1e6)::BIGINT * a.n - a.squ)::DOUBLE
+         |                  / (a.n * 1e6), 6)
+         |  END AS char_entropy_nats
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "x34_classifier_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    ${hash60(s"'clsw:' || (${hash60("t")} % 65536)::VARCHAR")} % 2001 - 1000
+         |      AS wm
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n, sum(wm)::BIGINT AS s
+         |  FROM w GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.doc_id, coalesce(a.n, 0) AS n_tokens,
+         |    CASE WHEN coalesce(a.n, 0) <= 0 THEN 0.0
+         |         ELSE round(a.s::DOUBLE / (a.n * 1000.0), 6) END AS clf_score
+         |  FROM documents d LEFT JOIN agg a USING (doc_id)
+         |)
+         |SELECT doc_id, n_tokens, clf_score,
+         |  (n_tokens > 0 AND clf_score > 0.0) AS kept
+         |FROM scored ORDER BY doc_id""".stripMargin,
     "x14_seq_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source,

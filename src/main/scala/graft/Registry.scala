@@ -376,6 +376,42 @@ object Registry {
       df.where(operators.TextAnalysis.qualityScore(
         org.apache.spark.sql.functions.col(text)) >= minScore)
     },
+    "entropy_filter" -> { c => df =>
+      // drop low-character-entropy docs (boilerplate/repetition) and,
+      // with max_entropy, near-random blobs — the x33 signal as a stage
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val minH = (c \ "min_entropy").extractOpt[Double].getOrElse(1.5)
+      val maxH = (c \ "max_entropy").extractOpt[Double].getOrElse(Double.MaxValue)
+      val keep = operators.TextAnalysis.charEntropy(df, id, text)
+        .where(col("char_entropy_nats") >= minH &&
+          col("char_entropy_nats") <= maxH)
+        .select(col(id))
+      df.join(keep, Seq(id), "left_semi")
+    },
+    "classifier_filter" -> { c => df =>
+      // hashed-feature linear quality model (x34): keep docs the model
+      // scores above the threshold — the FineWeb-Edu filter shape
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val dim = int(c, "dim").getOrElse(1 << 16)
+      val thr = (c \ "threshold").extractOpt[Double].getOrElse(0.0)
+      val keep = operators.TextAnalysis.classifierScore(df, dim, thr, id, text)
+        .where(col("kept")).select(col(id))
+      df.join(keep, Seq(id), "left_semi")
+    },
+    "soft_dedup_weights" -> { c => df =>
+      // annotate (never drop): sampling weight 1/|near-dup cluster| per
+      // doc (d16) — downstream samplers consume `weight` directly
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      df.join(operators.Dedup.softDedupWeights(df, idCol = id, textCol = text)
+        .select(org.apache.spark.sql.functions.col(id),
+          org.apache.spark.sql.functions.col("cluster_size"),
+          org.apache.spark.sql.functions.col("weight")), Seq(id))
+    },
     "lang_filter" -> { c => df =>
       val text = str(c, "text_column").getOrElse("text")
       val langs = (c \ "languages").extractOpt[Seq[String]].filter(_.nonEmpty)

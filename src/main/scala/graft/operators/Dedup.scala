@@ -236,6 +236,39 @@ object Dedup {
       .select(col("node").as(idCol), col("component").as("cluster_id"))
   }
 
+  /** Soft deduplication: instead of DROPPING near-duplicates (d8/d10),
+    * down-weight every member of a duplicate cluster to 1/|cluster| —
+    * the SlimPajama-style alternative when duplicates carry signal
+    * (popular pages) but must not dominate the training distribution.
+    * Returns one row per INPUT doc: cluster size (1 for docs in no
+    * verified cluster) and sampling weight = 1/size, so the corpus's
+    * total effective mass counts each duplicate GROUP once.
+    *
+    * Scale shape: the cluster pass is [[jaccardClusters]] (banded
+    * candidates + CC closure); the weighting adds one |clusters|-scale
+    * count aggregate and a left join back to the doc ids — broadcast-
+    * able, since verified-duplicate clusters are a small fraction of
+    * any real corpus.
+    */
+  def softDedupWeights(
+      docs: DataFrame, n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val clusters = jaccardClusters(docs, n, numHashes, rowsPerBand,
+      threshold, idCol, textCol)
+    val sized = clusters.join(
+      clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+      "cluster_id")
+    docs.select(col(idCol))
+      .join(sized.select(col(idCol), col("cluster_id"), col("cluster_size")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Incremental dedup flags: for each NEW document (isNew true), is it
     * an exact duplicate of the existing corpus, and how many verified
     * near-duplicate partners does it have there — the batch-vs-corpus

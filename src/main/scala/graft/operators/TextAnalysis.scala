@@ -708,4 +708,115 @@ object TextAnalysis {
       .withColumn("bucket", ntile(nBuckets).over(w))
       .withColumn("bucket_name", named)
   }
+
+  /** Per-document character-level Shannon entropy (nats) of the
+    * normalized text — the gibberish/compression quality signal
+    * (low-entropy docs are boilerplate/repetition, near-uniform-random
+    * docs are binary junk or encoded blobs; both are filtered before
+    * training). Spaces of the normalized text count as symbols.
+    *
+    * Determinism: H = ln(n) - (Σ_c cnt_c·ln(cnt_c))/n, with each
+    * cnt_c·ln(cnt_c) term quantized to integer micro-nats BEFORE the
+    * sum (the x13/c5 discipline — ln runs on INTEGER counts only, so
+    * both engines quantize the same value and summation order can
+    * never flip the result).
+    *
+    * Scale shape: map-only — per row, sort the char array and fold it
+    * ONCE, accumulating each run's cnt·ln(cnt) at run boundaries
+    * (O(len·log len) sort + O(len) fold, independent of alphabet
+    * size), so the corpus pass is bounded by parquet decode like x30;
+    * no explode, no shuffle, no per-distinct-char rescans.
+    */
+  def charEntropy(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // regexp_extract_all, not split(_, ""): Java's zero-width split
+    // keeps a trailing empty element under Spark's limit=-1, which
+    // DuckDB's splitter does not produce. '.' is safe — normalize()
+    // collapsed every newline into the space class already. coalesce:
+    // a NULL text must count as an empty doc, not poison size() to -1.
+    val chars = regexp_extract_all(
+      normalize(coalesce(col(textCol), lit(""))), lit("."), lit(0))
+    def quant(run: Column): Column = when(run > 0,
+      round(run.cast("double") * log(run.cast("double")) * 1e6).cast("long"))
+      .otherwise(lit(0L))
+    // fold state: (cur run's char, its length so far, finished-runs'
+    // Σ cnt·ln(cnt) in micro-nats, finished-run count); finish flushes
+    // the final run. "" can never collide with a real element ('.'
+    // never matches empty), so it is a safe pre-first-run sentinel.
+    val zero = struct(lit("").as("cur"), lit(0L).as("run"),
+      lit(0L).as("squ"), lit(0L).as("k"))
+    def folded(cs: Column) = aggregate(array_sort(cs), zero,
+      (a, c) => when(c === a.getField("cur"),
+        struct(a.getField("cur").as("cur"),
+          (a.getField("run") + 1L).as("run"),
+          a.getField("squ").as("squ"), a.getField("k").as("k")))
+        .otherwise(struct(c.as("cur"), lit(1L).as("run"),
+          (a.getField("squ") + quant(a.getField("run"))).as("squ"),
+          (a.getField("k") + when(a.getField("run") > 0, 1L).otherwise(0L)).as("k"))),
+      a => struct(
+        (a.getField("squ") + quant(a.getField("run"))).as("squ"),
+        (a.getField("k") + when(a.getField("run") > 0, 1L).otherwise(0L)).as("k")))
+    // STAGED selects, one expensive alias per step: lambda folds are
+    // excluded from codegen subexpression elimination, so a flat
+    // Project that mentions `chars`/`folded` per output column would
+    // re-run the regex and the whole fold 3× per row (measured: 4.9 s
+    // vs 1.3 s at sf0.1). CollapseProject keeps non-cheap aliases with
+    // >1 use in their own Project, so the staging survives the
+    // optimizer.
+    val n = col("_chars_n")
+    docs
+      .select(col(idCol), chars.as("_chars"))
+      .select(col(idCol), size(col("_chars")).as("_chars_n"),
+        folded(col("_chars")).as("_folded"))
+      .select(col(idCol), n.cast("long").as("n_chars_norm"),
+        col("_folded").getField("k").as("n_distinct_chars"),
+        when(n <= 0, 0.0).otherwise(
+          round((round(log(n) * 1e6).cast("long") * n.cast("long")
+            - col("_folded").getField("squ"))
+            .cast("double") / (n.cast("long") * lit(1e6)), 6))
+          .as("char_entropy_nats"))
+  }
+
+  /** Hashed-feature linear quality classifier (the fastText /
+    * FineWeb-Edu shape): each token hashes into one of `dim` feature
+    * buckets, each bucket carries a fixed weight, and the document's
+    * score is the mean bucket weight of its tokens — exactly how a
+    * trained linear model is APPLIED at corpus scale (training happens
+    * offline; the pipeline ships the weight table). Weights here are
+    * derived deterministically from the bucket index (md5 → integer in
+    * [-1000, 1000] milli-units) so the oracle can reproduce them; a
+    * real deployment broadcasts its learned table and nothing else
+    * changes.
+    *
+    * Determinism: per-token weights are INTEGER milli-units summed as
+    * integers (order-free), divided and rounded once at the end — the
+    * same discipline as x13's micro-nats.
+    *
+    * Scale shape: map-only array expressions per row (hash + weight
+    * lookup are pure functions of the token), bounded by parquet
+    * decode; no UDF, no shuffle, no weight-table join at all.
+    */
+  def classifierScore(
+      docs: DataFrame, dim: Int = 1 << 16, threshold: Double = 0.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = wsTokens(normalize(coalesce(col(textCol), lit(""))))
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+    val weightMilli = (t: Column) =>
+      h60(concat(lit("clsw:"), (h60(t) % dim).cast("string"))) % 2001 - 1000
+    // staged like charEntropy: the weight fold is not subexpression-
+    // eliminable, so alias it once and derive score/kept from the
+    // aliased attributes
+    val n = col("_n_toks")
+    docs
+      .select(col(idCol), toks.as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("_n_toks"),
+        aggregate(col("_toks"), lit(0L), (acc, t) => acc + weightMilli(t))
+          .as("_sum_milli"))
+      .select(col(idCol), n.cast("long").as("n_tokens"),
+        when(n <= 0, 0.0)
+          .otherwise(round(col("_sum_milli").cast("double")
+            / (n.cast("long") * lit(1000.0)), 6)).as("clf_score"))
+      .withColumn("kept", col("n_tokens") > 0 && col("clf_score") > threshold)
+  }
 }

@@ -7,12 +7,14 @@ class CliSpec extends SparkSpec {
   test("registry resolves stages and errors helpfully on unknown names") {
     assert(Registry.allStages("extractors") == Seq("binary", "csv", "jsonl", "orc", "parquet"))
     assert(Registry.allStages("transformers") == Seq("apid_filter", "c4_clean",
-      "calibration", "ccnet_bucket_filter", "chunk_documents", "decom",
+      "calibration", "ccnet_bucket_filter", "chunk_documents",
+      "classifier_filter", "decom",
       "decontaminate", "domain_cap", "dsir_sample",
-      "dup_span_strip", "exact_dedup", "gopher_filter",
+      "dup_span_strip", "entropy_filter", "exact_dedup", "gopher_filter",
       "hash_split", "lang_filter", "line_dedup", "near_dedup", "pack_sequences",
       "perplexity_filter", "pii_redact", "quality_filter", "quality_quantile_filter",
-      "repetition_filter", "semantic_dedup", "simhash_dedup", "source_mix",
+      "repetition_filter", "semantic_dedup", "simhash_dedup",
+      "soft_dedup_weights", "source_mix",
       "source_upsample", "stratified_sample", "token_budget", "unimax_resample",
       "url_dedup", "weighted_sample"))
     assert(Registry.allStages("loaders") == Seq("ccsds", "csv", "jsonl", "orc", "parquet"))

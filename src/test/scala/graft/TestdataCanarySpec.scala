@@ -49,6 +49,49 @@ class TestdataCanarySpec extends SparkSpec {
       s"streaming (count,min,max)=$streamed != batch $batch")
   }
 
+  /** Full schema inventory of every driver table, as Spark loads them
+    * TODAY. Strict on purpose: a silent driver-side type change (the
+    * events ts int64 -> timestamp[us] shift) corrupts oracle compares
+    * or timelines without tripping any schema_match flag, so a regen
+    * that alters ANY column should make `sbt test` red at HEAD and be
+    * adapted to deliberately, not discovered via 15 failed queries.
+    * events is asserted post-normalization above, not here.
+    */
+  test("driver tables load with the expected columns and types") {
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double",
+        "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp_ntz"),
+      "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int"))
+    val diffs = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
+      val got = Tables(spark, sfDir, name).schema
+        .map(f => f.name -> f.dataType.simpleString)
+      if (got == cols) None
+      else Some(s"$name: loaded $got, expected $cols")
+    }
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
+
   private def streamingEvents() = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.normalizeEventTs(

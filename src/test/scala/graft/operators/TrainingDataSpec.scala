@@ -1129,4 +1129,51 @@ class TrainingDataSpec extends SparkSpec {
       s"thinned group should be lottery-reduced toward 20: $byLang")
     assert(res.columns.contains("copy"))
   }
+
+  test("char entropy: uniform > skewed > single-symbol, and exact on a known doc") {
+    val docsDf = Seq(
+      (0L, "abcd"),          // uniform over 4 symbols: H = ln 4
+      (1L, "aaab"),          // skewed
+      (2L, "aaaa"),          // single symbol: H = 0
+      (3L, ""),              // empty: H = 0 by convention
+      (4L, "AB  cd"))        // normalize: lowercase + space collapse -> "ab cd"
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_norm"), r.getAs[Double]("char_entropy_nats"))).toMap
+    assert(math.abs(got(0L)._2 - math.log(4)) < 1e-6, s"uniform: $got")
+    assert(got(2L) == (4L, 0.0))
+    assert(got(3L) == (0L, 0.0))
+    assert(got(1L)._2 > 0.0 && got(1L)._2 < got(0L)._2,
+      s"skewed must land strictly between 0 and uniform: $got")
+    assert(got(4L)._1 == 5L, s"normalized length must collapse whitespace: $got")
+  }
+
+  test("classifier score is the integer-milli mean weight and kept thresholds at 0") {
+    val docsDf = Seq((0L, "alpha beta beta"), (1L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("clf_score"),
+          r.getAs[Boolean]("kept"))).toMap
+    // reproduce the deterministic weight table by hand
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(15), 16)
+    def wm(t: String): Long = h60(s"clsw:${h60(t) % 65536}") % 2001 - 1000
+    val expect = (wm("alpha") + 2 * wm("beta")).toDouble / (3 * 1000.0)
+    assert(got(0L)._1 == 3L)
+    assert(math.abs(got(0L)._2 - expect) < 1e-6, s"got ${got(0L)._2} expect $expect")
+    assert(got(0L)._3 == (expect > 0.0))
+    assert(got(1L) == (0L, 0.0, false), s"empty doc: $got")
+  }
+
+  test("soft dedup weights: cluster members share 1/size, singletons weigh 1.0") {
+    val w = Dedup.softDedupWeights(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Double]("weight"))).toMap
+    assert(w.size == 6, s"one row per input doc: $w")
+    // docs 0,1,2 are one near-dup cluster; 4,5 exact dups; 3 alone
+    assert(w(0L) == (3L, 0.333333) && w(1L) == (3L, 0.333333) && w(2L) == (3L, 0.333333), s"$w")
+    assert(w(4L) == (2L, 0.5) && w(5L) == (2L, 0.5), s"$w")
+    assert(w(3L) == (1L, 1.0), s"$w")
+  }
 }
