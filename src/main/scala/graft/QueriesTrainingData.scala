@@ -852,7 +852,7 @@ object QueriesTrainingData {
     * gibberish/compression quality signal, micro-nat-quantized.
     */
   private def x33CharEntropy(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.charEntropy(docs(s, dir)).orderBy("doc_id")
+    TextAnalysis.charEntropyGrouped(docs(s, dir)).orderBy("doc_id")
 
   /** Hashed-feature linear classifier apply (TextAnalysis
     * .classifierScore): the FineWeb-Edu-style quality-model filter

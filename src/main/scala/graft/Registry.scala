@@ -384,7 +384,7 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val minH = (c \ "min_entropy").extractOpt[Double].getOrElse(1.5)
       val maxH = (c \ "max_entropy").extractOpt[Double].getOrElse(Double.MaxValue)
-      val keep = operators.TextAnalysis.charEntropy(df, id, text)
+      val keep = operators.TextAnalysis.charEntropyGrouped(df, id, text)
         .where(col("char_entropy_nats") >= minH &&
           col("char_entropy_nats") <= maxH)
         .select(col(id))

@@ -777,6 +777,34 @@ object TextAnalysis {
           .as("char_entropy_nats"))
   }
 
+  /** [[charEntropy]] as explode + two codegen hash aggregates — the
+    * documented alternative shape: the sorted-fold variant is map-only
+    * but interpreted (lambda HOFs never enter whole-stage codegen),
+    * this one pays a map-side-combined (doc, char) exchange to keep
+    * every operator in Tungsten codegen. Same math, same quantization,
+    * bit-identical output.
+    */
+  def charEntropyGrouped(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chars = regexp_extract_all(
+      normalize(coalesce(col(textCol), lit(""))), lit("."), lit(0))
+    val cnts = docs.select(col(idCol), explode(chars).as("c"))
+      .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("cnt"))
+    val agg = cnts.groupBy(col(idCol)).agg(
+      sum("cnt").as("n"), count(lit(1)).as("k"),
+      sum(round(col("cnt").cast("double") * log(col("cnt").cast("double")) * 1e6)
+        .cast("long")).as("squ"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_chars_norm"),
+        coalesce(col("k"), lit(0L)).as("n_distinct_chars"),
+        when(coalesce(col("n"), lit(0L)) <= 0, 0.0).otherwise(
+          round((round(log(col("n")) * 1e6).cast("long") * col("n") - col("squ"))
+            .cast("double") / (col("n") * lit(1e6)), 6))
+          .as("char_entropy_nats"))
+  }
+
   /** Hashed-feature linear quality classifier (the fastText /
     * FineWeb-Edu shape): each token hashes into one of `dim` feature
     * buckets, each bucket carries a fixed weight, and the document's

@@ -1147,6 +1147,13 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(1L)._2 > 0.0 && got(1L)._2 < got(0L)._2,
       s"skewed must land strictly between 0 and uniform: $got")
     assert(got(4L)._1 == 5L, s"normalized length must collapse whitespace: $got")
+    // the codegen explode+aggregate shape (the x33 default) must agree
+    // with the map-only fold bit-for-bit — same math, same quantization
+    val grouped = TextAnalysis.charEntropyGrouped(docsDf)
+      .orderBy("doc_id").collect().toSeq
+    val fold = TextAnalysis.charEntropy(docsDf)
+      .orderBy("doc_id").collect().toSeq
+    assert(grouped == fold, s"variants disagree:\n$grouped\n$fold")
   }
 
   test("classifier score is the integer-milli mean weight and kept thresholds at 0") {
