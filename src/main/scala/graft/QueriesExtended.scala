@@ -236,6 +236,12 @@ object QueriesExtended {
     graft.streaming.EventStreaming.dedupTypeCounts(s, dir)
       .orderBy("event_type")
 
+  // --- st7: bounded-state streaming dedup (TTL via watermark) ----------
+
+  private def st7StreamDedupTtl(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreaming.dedupTypeCountsBounded(s, dir)
+      .orderBy("event_type")
+
   // --- st3: stream-stream interval join --------------------------------
 
   private def st3StreamJoin(s: SparkSession, dir: String): DataFrame =
@@ -592,6 +598,7 @@ object QueriesExtended {
     "d11_incremental_dedup" -> (d11IncrementalDedup(_, _)),
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
+    "st7_stream_dedup_ttl" -> (st7StreamDedupTtl(_, _)),
     "st3_stream_join" -> (st3StreamJoin(_, _)),
     "st4_stream_session" -> (st4StreamSession(_, _)),
     "x10_winnowing" -> (x10Winnowing(_, _)),
@@ -866,6 +873,11 @@ object QueriesExtended {
         |  count(*) AS n, round(sum(value), 6) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "st2_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st7_stream_dedup_ttl" ->
+      // single gate micro-batch: nothing reaches the TTL, so bounded
+      // dedup == global distinct (the TTL path is spec-tested)
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st3_stream_join" ->

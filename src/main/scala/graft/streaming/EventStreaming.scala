@@ -119,6 +119,27 @@ object EventStreaming {
         .agg(count(lit(1)).as("n_users"))
     }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * holds a key's dedup state only until the event-time watermark
+    * passes its timestamp plus the delay — re-occurrences after expiry
+    * are admitted again, so state is bounded by the watermark horizon
+    * instead of the stream's full key cardinality. That is the
+    * production posture for an unbounded stream: st2's plain
+    * `dropDuplicates` state grows forever (correct for the gate,
+    * unbounded at 100 TB/day). The TTL re-admission semantics is
+    * spec-tested across three micro-batches; within the gate's single
+    * micro-batch nothing expires, so the drained counts equal global
+    * distinct counts and the batch oracle applies.
+    */
+  def dedupTypeCountsBounded(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(spark, dir, "st7_mem", outputMode = "append") { stream =>
+      stream
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+    }.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+
   /** Sessionization as a NATIVE streaming aggregation: Spark's
     * session_window merges events with gaps under 30 minutes into one
     * growing per-user window (state-store-backed window merge — the

@@ -171,4 +171,54 @@ class StreamingSpec extends SparkSpec {
       hooks = hooks)
     assert(!result.ok && result.errors.nonEmpty && errored)
   }
+
+  test("dropDuplicatesWithinWatermark re-admits a key after its TTL expires") {
+    // the st7 semantics: dedup state lives only until the event-time
+    // watermark passes entry-time + delay — a duplicate INSIDE the
+    // horizon is dropped, the same key AFTER expiry is admitted again
+    // (bounded state on an unbounded stream)
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("stream_ttl")
+    def writeBatch(
+        name: String,
+        rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ttl_batch")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    val t0 = Timestamp.valueOf("2025-06-01 00:00:00")
+    def ts(hours: Double) =
+      new Timestamp(t0.getTime + (hours * 3600 * 1000).toLong)
+    writeBatch("b1.parquet", Seq((1L, ts(0), 1L, "click", 1.0, "{}")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = stream.writeStream.format("memory").queryName("ttl_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2.parquet", Seq(
+        (2L, ts(1.5), 1L, "click", 1.0, "{}"), // inside horizon -> dropped
+        (3L, ts(10.0), 99L, "view", 1.0, "{}"))) // advances watermark to t0+8h
+      q.processAllAvailable()
+      // state for (1, click) expired at watermark > t0+2h -> re-admitted
+      writeBatch("b3.parquet", Seq((4L, ts(10.0), 1L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("ttl_sink").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("event_id")))
+      assert(got.length == 3, s"expected 3 admitted rows, got ${got.toSeq}")
+      assert(got.count(r => r._1 == 1L && r._2 == "click") == 2,
+        s"key must be admitted before AND after the TTL: ${got.toSeq}")
+      assert(!got.exists(_._3 == 2L),
+        s"inside-horizon duplicate must be dropped: ${got.toSeq}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ttl_sink")
+    }
+  }
 }
