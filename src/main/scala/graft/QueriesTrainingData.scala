@@ -36,15 +36,21 @@ object QueriesTrainingData {
       TextAnalysis.qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
 
-  private def x3LangId(s: SparkSession, dir: String): DataFrame = {
-    val pred = TextAnalysis.langId(col("text"))
-    docs(s, dir).select(
-      col("doc_id"),
-      pred.getField("code").as("lang_pred"),
-      round(pred.getField("score"), 6).as("lang_score"),
-      col("lang").as("lang_true"))
+  private def x3LangId(s: SparkSession, dir: String): DataFrame =
+    // staged: tokenize once per row, then score the aliased attribute —
+    // the inline langId(col) form re-evaluated the tokenization per
+    // language and per field reference (~30 regex splits per row)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.wsTokens(lower(col("text"))).as("_toks"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdFromTokens(col("_toks")).as("_pred"))
+      .select(
+        col("doc_id"),
+        col("_pred").getField("code").as("lang_pred"),
+        round(col("_pred").getField("score"), 6).as("lang_score"),
+        col("lang").as("lang_true"))
       .orderBy("doc_id")
-  }
 
   private def x4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -307,7 +313,9 @@ object QueriesTrainingData {
     val survivors = Dedup.exactGroups(d).select(col("survivor_id").as("doc_id"))
     d.join(survivors, "doc_id")
       .where(TextAnalysis.qualityScore(col("text")) >= 0.5)
-      .where(TextAnalysis.langId(col("text")).getField("code") === "en")
+      .withColumn("_toks", TextAnalysis.wsTokens(lower(col("text"))))
+      .where(TextAnalysis.langIdFromTokens(col("_toks")).getField("code") === "en")
+      .drop("_toks")
       .groupBy("source")
       .agg(count(lit(1)).as("n_selected"),
         round(avg(length(col("text"))), 6).as("avg_len"))
@@ -413,8 +421,10 @@ object QueriesTrainingData {
     * before the exchange.
     */
   private def c1CorpusCard(s: SparkSession, dir: String): DataFrame = {
-    val pred = TextAnalysis.langId(col("text")).getField("code")
-    docs(s, dir).select(col("source"),
+    val pred = TextAnalysis.langIdFromTokens(col("_toks")).getField("code")
+    docs(s, dir)
+      .withColumn("_toks", TextAnalysis.wsTokens(lower(col("text"))))
+      .select(col("source"),
         TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
         TextAnalysis.qualityScore(col("text")).as("q"),
         md5(TextAnalysis.normalize(col("text")).cast("binary")).as("cm"),

@@ -413,12 +413,16 @@ object Registry {
           org.apache.spark.sql.functions.col("weight")), Seq(id))
     },
     "lang_filter" -> { c => df =>
+      import org.apache.spark.sql.functions._
       val text = str(c, "text_column").getOrElse("text")
       val langs = (c \ "languages").extractOpt[Seq[String]].filter(_.nonEmpty)
         .getOrElse(sys.error("lang_filter needs 'languages'"))
-      df.where(operators.TextAnalysis.langId(
-        org.apache.spark.sql.functions.col(text)).getField("code")
-        .isin(langs.map(x => x: Any): _*))
+      // stage the tokenization (see TextAnalysis.langId scaladoc)
+      df.withColumn("_lang_toks",
+          operators.TextAnalysis.wsTokens(lower(col(text))))
+        .where(operators.TextAnalysis.langIdFromTokens(col("_lang_toks"))
+          .getField("code").isin(langs.map(x => x: Any): _*))
+        .drop("_lang_toks")
     },
     "chunk_documents" -> { c => df =>
       // split long docs into context-window chunks (Mixture
