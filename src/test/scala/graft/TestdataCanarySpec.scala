@@ -92,6 +92,22 @@ class TestdataCanarySpec extends SparkSpec {
     assert(diffs.isEmpty, diffs.mkString("\n"))
   }
 
+  /** The legacy branch must keep working: a future driver regen could
+    * revert to TIMESTAMP(NANOS) (read as epoch-nanos long under the
+    * legacy flag), and the current testdata no longer exercises it.
+    */
+  test("normalizeEventTs converts an epoch-nanos long column to the same instant") {
+    import spark.implicits._
+    val micros = 1748736000000000L // 2025-06-01T00:00:00Z in epoch-micros
+    val legacy = Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Tables.normalizeEventTs(legacy)
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.select("ts").collect()(0).getAs[Timestamp]("ts")
+    assert(got.toInstant.toEpochMilli == micros / 1000,
+      s"nanos branch produced $got")
+  }
+
   private def streamingEvents() = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.normalizeEventTs(
