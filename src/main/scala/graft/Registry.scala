@@ -34,6 +34,19 @@ object Registry {
   private def int(c: JValue, k: String): Option[Int] = (c \ k).extractOpt[Int]
   private def bool(c: JValue, k: String): Option[Boolean] = (c \ k).extractOpt[Boolean]
 
+  /** Fail fast when a stage's scratch column names already exist on the
+    * incoming frame: `withColumn` would silently OVERWRITE the user's
+    * column and the stage would then drop it — data loss that surfaces
+    * only rows later. A loud error with the stage name beats either.
+    */
+  private def requireFree(
+      df: org.apache.spark.sql.DataFrame, stage: String, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$stage: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them upstream; these names are reserved stage scratch space")
+  }
+
   val extractors: Map[String, Extractor] = Map(
     // V2 `ccsds` source: splittable on sync markers, APID pushdown
     "binary" -> { (spark, c) =>
@@ -297,6 +310,7 @@ object Registry {
       val cap = int(c, "max_per_domain").getOrElse(1000)
       val dom = operators.TextAnalysis.registrableDomain(
         operators.TextAnalysis.canonicalizeUrl(col(url)))
+      requireFree(df, "domain_cap", "_rk")
       df.withColumn("_rk", row_number().over(
           Window.partitionBy(dom).orderBy(col(id))))
         .where(col("_rk") <= cap)
@@ -404,25 +418,29 @@ object Registry {
     },
     "soft_dedup_weights" -> { c => df =>
       // annotate (never drop): sampling weight 1/|near-dup cluster| per
-      // doc (d16) — downstream samplers consume `weight` directly
+      // doc (d16) — downstream samplers consume `weight` directly.
+      // Contract: OVERWRITES any pre-existing cluster_size/weight
+      // columns (e.g. from an earlier weighting stage) instead of
+      // producing ambiguous duplicate names after the join.
       val id = str(c, "id_column").getOrElse("doc_id")
       val text = str(c, "text_column").getOrElse("text")
-      df.join(operators.Dedup.softDedupWeights(df, idCol = id, textCol = text)
-        .select(org.apache.spark.sql.functions.col(id),
-          org.apache.spark.sql.functions.col("cluster_size"),
-          org.apache.spark.sql.functions.col("weight")), Seq(id))
+      df.drop("cluster_size", "weight")
+        .join(operators.Dedup.softDedupWeights(df, idCol = id, textCol = text)
+          .select(org.apache.spark.sql.functions.col(id),
+            org.apache.spark.sql.functions.col("cluster_size"),
+            org.apache.spark.sql.functions.col("weight")), Seq(id))
     },
     "lang_filter" -> { c => df =>
       import org.apache.spark.sql.functions._
       val text = str(c, "text_column").getOrElse("text")
       val langs = (c \ "languages").extractOpt[Seq[String]].filter(_.nonEmpty)
         .getOrElse(sys.error("lang_filter needs 'languages'"))
-      // stage the tokenization (see TextAnalysis.langId scaladoc)
-      df.withColumn("_lang_toks",
-          operators.TextAnalysis.wsTokens(lower(col(text))))
-        .where(operators.TextAnalysis.langIdFromTokens(col("_lang_toks"))
-          .getField("code").isin(langs.map(x => x: Any): _*))
-        .drop("_lang_toks")
+      // langId is a single-pass kernel (one tokenization per row even
+      // when the predicate is pushed and alias-inlined), so no staging
+      // or temp column is needed — the filter cannot collide with any
+      // user column
+      df.where(operators.TextAnalysis.langId(col(text))
+        .getField("code").isin(langs.map(x => x: Any): _*))
     },
     "chunk_documents" -> { c => df =>
       // split long docs into context-window chunks (Mixture
@@ -476,6 +494,7 @@ object Registry {
       val h = operators.Dedup.hash60(concat(lit("ws:"), col(id).cast("string")))
       val u = (h + lit(1L)).cast("double") / 1.152921504606846976e18
       val wq = greatest(operators.TextAnalysis.qualityScore(col(text)), lit(0.01))
+      requireFree(df, "weighted_sample", "_key", "_rk")
       df.withColumn("_key", negative(log(u)) / wq)
         .withColumn("_rk", row_number().over(
           Window.partitionBy(col(stratum)).orderBy(col("_key"), col(id))))
@@ -562,6 +581,7 @@ object Registry {
       val src = str(c, "source_column").getOrElse("source")
       val text = str(c, "text_column").getOrElse("text")
       val p = (c \ "percentile").extractOpt[Double].getOrElse(0.25)
+      requireFree(df, "quality_quantile_filter", "_q", "_thr")
       val scored = df.withColumn("_q",
         operators.TextAnalysis.qualityScore(col(text)))
       val thr = operators.TextAnalysis

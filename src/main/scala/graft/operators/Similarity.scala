@@ -45,15 +45,44 @@ object Similarity {
     when(na > 0.0 && nb > 0.0, d / (na * nb)).otherwise(0.0)
   }
 
+  /** Planning-time sanity check for the broadcast-nested-loop paths:
+    * the QUERY side is broadcast to every corpus partition, so a query
+    * set beyond the session's broadcast threshold means the caller
+    * picked the wrong operator — fail loudly at plan time (Catalyst's
+    * size estimate, no job) instead of OOMing executors mid-stage.
+    * The |queries| ≪ |corpus| contract is the operator's definition,
+    * not a tunable; the corpus-scale paths are [[lshTopK]] and
+    * `Clustering.ivfTopK`.
+    */
+  private def requireBroadcastableQueries(queries: DataFrame, op: String): Unit = {
+    val conf = queries.sparkSession.conf
+    val threshold =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // threshold -1 disables AUTO broadcast but explicit broadcast()
+    // hints still apply; guard against Spark's 8 GB hard hint limit then
+    val limit = if (threshold > 0) threshold else 8L << 30
+    val estimate = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estimate <= BigInt(limit),
+      s"$op broadcasts the query side to every corpus partition, but the " +
+        s"query set's estimated size ($estimate bytes) exceeds the broadcast " +
+        s"limit ($limit bytes). This operator is the |queries| << |corpus| " +
+        "baseline - use lshTopK or Clustering.ivfTopK for large query sets, " +
+        "or raise spark.sql.autoBroadcastJoinThreshold deliberately.")
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
     *
     * queries x corpus is a broadcast nested-loop by design: the query
     * set is expected to be small (it is broadcast); the corpus streams
     * partition-local. For corpus-x-corpus all-pairs use the LSH variant.
+    * Oversized query sides fail at plan time
+    * ([[requireBroadcastableQueries]]).
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireBroadcastableQueries(queries, "bruteForceTopK")
     val c = corpus.select(col(idCol).as("neighbor_id"), normalized(col(vecCol)).as("c_vec"))
     val q = queries.select(col(idCol).as("query_id"), normalized(col(vecCol)).as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
@@ -84,6 +113,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.{vectorDotInt8, vectorQuantScale, vectorQuantize}
+    requireBroadcastableQueries(queries, "quantizedTopK")
     def prep(df: DataFrame, role: String): DataFrame =
       df.select(col(idCol).as(s"${role}_id"), normalized(col(vecCol)).as("en"))
         .select(col(s"${role}_id"), col("en").as(s"${role}_en"),

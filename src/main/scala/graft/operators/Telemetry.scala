@@ -38,6 +38,15 @@ object Telemetry {
     * duplicate (name, time) pairs collapse last-wins in sample order ==
     * seq order; `max_by(eng_value, seq_count)` reproduces that
     * deterministically.
+    *
+    * PASS `parameterNames` on any data path: with names, building the
+    * plan launches NO job (spec-asserted in TelemetrySpec). The empty
+    * default falls back to `pivot("name")`, which runs an EAGER
+    * distinct-scan of the whole sample frame at PLAN time to discover
+    * the columns — acceptable interactively, wrong inside a pipeline
+    * whose inputs are 100 TB (the scan runs even if the query is never
+    * executed). The MIB/decom definitions already know the parameter
+    * set; thread it through.
     */
   def wide(samples: DataFrame, parameterNames: Seq[String] = Nil): DataFrame = {
     val p = samples.groupBy(col("time_tai"))

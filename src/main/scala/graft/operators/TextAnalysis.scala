@@ -264,22 +264,47 @@ object TextAnalysis {
     * deterministically to the greatest language code (lexicographic max
     * of the (score, code) pair — same rule an SQL max(struct) applies).
     *
-    * IMPORTANT for hot paths: this form re-evaluates the tokenization
-    * per language and per size() reference (~15 regex splits per row —
-    * lambda HOF subtrees are not subexpression-eliminated). Callers on
-    * a data path should stage the token array once with
-    * `wsTokens(lower(text)).as("_toks")` in its own Project and pass
-    * the ATTRIBUTE through [[langIdFromTokens]] (x3 did the inline
-    * form: 13.8 s → 3.9 s at sf1 after staging).
+    * Single-pass kernel: the token array is referenced EXACTLY ONCE in
+    * the whole expression tree (one `aggregate` whose merge counts
+    * every language's markers and whose finish computes the argmax
+    * struct from the accumulator lambda variable). This matters because
+    * the optimizer freely re-inlines aliased expressions — a pushed
+    * Filter predicate substitutes the alias body once per reference
+    * (PushPredicateThroughNonJoin has no cheapness guard, unlike
+    * CollapseProject), and lambda HOF subtrees are not subexpression-
+    * eliminated. The earlier per-language `size(filter(...))` form hit
+    * ~15 regex splits per row whenever an optimizer rule inlined it;
+    * this form costs one split per row under ANY inlining.
     */
   def langId(text: Column): Column = langIdFromTokens(wsTokens(lower(text)))
 
-  /** [[langId]] over an already-staged token-array column. */
+  /** [[langId]] over an already-staged token-array column. Staging is
+    * no longer load-bearing (the kernel reads the array once) but keeps
+    * plans readable when several stages share the tokens.
+    */
   def langIdFromTokens(toks: Column): Column = {
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
-      struct(langScoreFromTokens(toks, markers).as("score"), lit(code).as("code"))
-    }
-    array_max(array(scored: _*))
+    val codes = langMarkers.toSeq.sortBy(_._1)
+    // acc(0) = total tokens, acc(i+1) = marker hits for codes(i)
+    val init = typedlit(Seq.fill(codes.size + 1)(0L))
+    aggregate(
+      toks,
+      init,
+      (acc, t) => array(
+        (element_at(acc, 1) + lit(1L)) +:
+          codes.zipWithIndex.map { case ((_, markers), i) =>
+            element_at(acc, i + 2) +
+              when(t.isInCollection(markers), 1L).otherwise(0L)
+          }: _*),
+      acc => {
+        val total = element_at(acc, 1)
+        val scored = codes.zipWithIndex.map { case ((code, _), i) =>
+          struct(
+            when(total > 0, element_at(acc, i + 2).cast("double") / total)
+              .otherwise(0.0).as("score"),
+            lit(code).as("code"))
+        }
+        array_max(array(scored: _*))
+      })
   }
 
   /** 128-bit content fingerprint of normalized text + a 60-bit integer

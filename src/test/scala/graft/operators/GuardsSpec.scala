@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Misuse guards: plan-time checks that turn quiet scale hazards
+  * (eager plan-time scans, oversized broadcasts, clobbered user
+  * columns) into loud errors.
+  */
+class GuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A frame whose scan THROWS: proves by construction whether an
+    * operator runs a job at plan time.
+    */
+  private def poisonedSamples: DataFrame =
+    spark.range(4).as[Long]
+      .map { _ =>
+        throw new RuntimeException("plan-time scan!")
+        (0.0, "p", 0.0, 0) // scalastyle:ignore — unreachable, fixes the encoder
+      }
+      .toDF("time_tai", "name", "eng_value", "seq_count")
+
+  test("wide() with explicit names builds its plan without launching a job") {
+    // would throw if the pivot scanned the frame for distinct names
+    val planned = Telemetry.wide(poisonedSamples, Seq("p_qty", "p_part"))
+    assert(planned.columns.toSeq == Seq("time_tai", "p_qty", "p_part"))
+  }
+
+  test("wide() default (no names) runs the documented eager distinct scan") {
+    val e = intercept[Exception](Telemetry.wide(poisonedSamples))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("plan-time scan")))
+  }
+
+  private def vecs(n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      array(lit(1.0f), col("id").cast("float")).as("embedding"))
+
+  test("bruteForceTopK / quantizedTopK fail at plan time when the query side exceeds the broadcast limit") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try {
+      val corpus = vecs(10)
+      val big = vecs(100000) // range stats >> 1KB, no job needed to know
+      val e1 = intercept[IllegalArgumentException](
+        Similarity.bruteForceTopK(corpus, big, k = 3))
+      assert(e1.getMessage.contains("lshTopK"))
+      val e2 = intercept[IllegalArgumentException](
+        Similarity.quantizedTopK(corpus, big, k = 3))
+      assert(e2.getMessage.contains("quantizedTopK"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bruteForceTopK still plans and runs under the limit") {
+    val out = Similarity.bruteForceTopK(vecs(20), vecs(2), k = 3)
+    assert(out.count() == 6)
+  }
+
+  test("registry stages fail fast when scratch columns collide with user data") {
+    val df = Seq((1L, "text here", "web", 7)).toDF("doc_id", "text", "source", "_rk")
+    val stage = graft.Registry.transformers("weighted_sample")(
+      graft.Registry.parseConfig("""{"max_per_stratum": 5}"""))
+    val e = intercept[IllegalArgumentException](stage(df))
+    assert(e.getMessage.contains("_rk"))
+  }
+
+  test("soft_dedup_weights overwrites a pre-existing weight column instead of duplicating it") {
+    val df = Seq(
+      (1L, "alpha beta gamma", 0.5),
+      (2L, "alpha beta gamma", 0.5),
+      (3L, "something else entirely", 0.5)).toDF("doc_id", "text", "weight")
+    val out = graft.Registry.transformers("soft_dedup_weights")(
+      graft.Registry.parseConfig("{}"))(df)
+    assert(out.columns.count(_ == "weight") == 1)
+    val w = out.select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w(3L) == 1.0) // unique doc: weight reset to 1/1, not the stale 0.5
+  }
+}
