@@ -105,6 +105,61 @@ case class ReadBinaryString(children: Seq[Expression]) extends BinaryFieldExpres
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
 
+/** pack_uint_be(value) -> BINARY: big-endian fixed-width pack, wrapping
+  * mod 2^(8*nBytes). Direct byte write — replaces the
+  * unhex(lpad(hex(...))) chain, which allocated three strings per field
+  * per row on the packet-synthesis hot path.
+  */
+case class PackUintBE(child: Expression, nBytes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBytes >= 1 && nBytes <= 8, s"nBytes must be 1..8, got $nBytes")
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    BinaryFieldOps.packUintBE(input.asInstanceOf[Long], nBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.telemetry.BinaryFieldOps.packUintBE($c, $nBytes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** read_uint_be(data) -> BIGINT: big-endian unsigned read of `nBytes`
+  * at fixed `byteOffset`; a partially-out-of-bounds slice reads the
+  * available bytes, an empty slice is null (the substring/hex/conv
+  * semantics this replaces).
+  */
+case class ReadUintBE(child: Expression, byteOffset: Int, nBytes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBytes >= 1 && nBytes <= 8, s"nBytes must be 1..8, got $nBytes")
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def eval(input: InternalRow): Any = {
+    val d = child.eval(input)
+    if (d == null) null
+    else BinaryFieldOps.readUintBEBoxed(d.asInstanceOf[Array[Byte]], byteOffset, nBytes)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gen = child.genCode(ctx)
+    val tmp = ctx.freshName("boxedUint")
+    val code =
+      code"""
+        ${gen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = -1L;
+        if (!${gen.isNull}) {
+          java.lang.Long $tmp = graft.telemetry.BinaryFieldOps.readUintBEBoxed(
+            ${gen.value}, $byteOffset, $nBytes);
+          if ($tmp != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $tmp.longValue();
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BinaryExpressions {
   // Static shim with the uniform 5-arg shape for generated code.
   def readStringKernel(
@@ -128,4 +183,10 @@ object BinaryExpressions {
     column(ReadBinaryString(Seq(
       expression(data), expression(byteOffset), expression(bitLength),
       expression(paramType), expression(littleEndian))))
+
+  def packUintBE(value: Column, nBytes: Int): Column =
+    column(PackUintBE(expression(value), nBytes))
+
+  def readUintBE(data: Column, byteOffset: Int, nBytes: Int): Column =
+    column(ReadUintBE(expression(data), byteOffset, nBytes))
 }

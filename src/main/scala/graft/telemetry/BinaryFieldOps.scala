@@ -82,6 +82,40 @@ object BinaryFieldOps {
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.substring(0, end))
   }
 
+  /** Big-endian fixed-width pack of a long: direct byte write, wrapping
+    * mod 2^(8*nBytes) like the hex/lpad/unhex form it replaces (oversized
+    * values keep the LEAST significant bytes). Codegen kernel for
+    * [[BinaryExpressions.packUintBE]].
+    */
+  def packUintBE(value: Long, nBytes: Int): Array[Byte] = {
+    val out = new Array[Byte](nBytes)
+    var i = 0
+    while (i < nBytes) {
+      out(nBytes - 1 - i) = ((value >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Big-endian unsigned read of up to 8 bytes at a fixed offset; null
+    * when the slice is empty (mirrors the substring/hex/conv chain this
+    * replaces: a partially-out-of-bounds slice reads the available
+    * bytes). Codegen kernel for [[BinaryExpressions.readUintBE]].
+    */
+  def readUintBEBoxed(data: Array[Byte], byteOffset: Int, nBytes: Int): java.lang.Long = {
+    if (data == null) return null
+    val start = math.max(byteOffset, 0)
+    val end = math.min(byteOffset + nBytes, data.length)
+    if (start >= end) return null
+    var acc = 0L
+    var i = start
+    while (i < end) {
+      acc = (acc << 8) | (data(i) & 0xffL)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Big-endian encode of a numeric value — fixture/packing side
     * (inverse of readNumberBoxed; used to synthesize CCSDS streams from
     * testdata ints so DuckDB can oracle-check the decode arithmetically).

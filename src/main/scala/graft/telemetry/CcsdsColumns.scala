@@ -4,8 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Column-expression CCSDS helpers: pack integer columns into big-endian
-  * binary and parse 6-byte headers back — all built-in functions
-  * (hex/unhex/substring/conv + bit ops), fully codegen'd, no UDFs.
+  * binary and parse 6-byte headers back — codegen'd Catalyst kernels
+  * ([[BinaryExpressions.PackUintBE]]/[[BinaryExpressions.ReadUintBE]]:
+  * direct byte writes/reads, replacing an earlier hex/lpad/unhex string
+  * round-trip that allocated three strings per field per row) plus
+  * built-in bit ops. No UDFs.
   *
   * Packing exists so the driver-facade queries can synthesize packet
   * streams from testdata ints (FIXTURES.md §5): DuckDB then oracle-checks
@@ -16,23 +19,18 @@ import org.apache.spark.sql.functions._
 object CcsdsColumns {
 
   /** Big-endian fixed-width pack of a non-negative integral column.
-    * Oversized values wrap mod 2^(8*nBytes) — without the mask, lpad
-    * would PREFIX-truncate the hex (keeping the most-significant
-    * digits), silently corrupting the stream.
+    * Oversized values wrap mod 2^(8*nBytes) (the kernel keeps the least
+    * significant bytes — same rule the masked-hex form applied).
     */
-  def packUintBE(x: Column, nBytes: Int): Column = {
-    val masked =
-      if (nBytes >= 8) x.cast("bigint")
-      else x.cast("bigint").bitwiseAND(lit((1L << (8 * nBytes)) - 1))
-    unhex(lpad(hex(masked), nBytes * 2, "0"))
-  }
+  def packUintBE(x: Column, nBytes: Int): Column =
+    BinaryExpressions.packUintBE(x.cast("bigint"), nBytes)
 
   def packUint16(x: Column): Column = packUintBE(x, 2)
   def packUint32(x: Column): Column = packUintBE(x, 4)
 
   /** Read an unsigned big-endian integer at 0-based byte offset. */
   def uintBE(data: Column, byteOffset: Int, nBytes: Int): Column =
-    conv(hex(substring(data, byteOffset + 1, nBytes)), 16, 10).cast("bigint")
+    BinaryExpressions.readUintBE(data, byteOffset, nBytes)
 
   /** Pack the 6-byte primary header from field columns. */
   def packHeader(

@@ -69,6 +69,34 @@ object PropertySpec extends Properties("telemetry-kernels") {
         java.lang.Double.valueOf(d)
     }
 
+  property("packUintBE wraps mod 2^(8n) and round-trips through readUintBE") = {
+    val gen = for {
+      n <- Gen.choose(1, 8)
+      v <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (n, v)
+    Prop.forAll(gen) { case (n, v) =>
+      val packed = BinaryFieldOps.packUintBE(v, n)
+      val back = BinaryFieldOps.readUintBEBoxed(packed, 0, n)
+      val expected = if (n >= 8) v else v & ((1L << (8 * n)) - 1)
+      packed.length == n && back != null && back.longValue() == expected
+    }
+  }
+
+  property("readUintBE reads the available bytes on partial overrun, null on empty") = {
+    val gen = for {
+      len <- Gen.choose(0, 8)
+      data <- Gen.listOfN(len, Gen.choose(-128, 127).map(_.toByte))
+      off <- Gen.choose(0, 10)
+      n <- Gen.choose(1, 8)
+    } yield (data.toArray, off, n)
+    Prop.forAll(gen) { case (data, off, n) =>
+      val r = BinaryFieldOps.readUintBEBoxed(data, off, n)
+      val slice = data.slice(off, math.min(off + n, data.length))
+      if (slice.isEmpty) r == null
+      else r.longValue() == slice.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+  }
+
   property("out-of-bounds reads decode to null, never throw") = {
     val gen = for {
       n <- Gen.choose(0, 8)
