@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 128 GiB box: 8g left ~150 MB execution memory per
+  // task slot and made vector-heavy joins (d13 at sf1) GC-bound and
+  // bimodal (14.2 s vs 4.6 s for identical runs); 20g keeps task
+  // memory ~nominal. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

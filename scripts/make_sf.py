@@ -17,6 +17,14 @@ point honest instead of pathological:
 - blocking columns become replica-disjoint (documents.source and
   embeddings.label get per-replica values), matching how a larger
   corpus has proportionally more blocks, not denser ones.
+- timestamp columns (o_orderdate, l_shipdate) shift forward by one
+  full span per replica: a real 10x corpus stretches over more time,
+  it does not pack 10x the rows into the same date range. Without the
+  shift, fixed-width range joins (q20's 7-day windows) grow
+  quadratically in candidate pairs. Both columns share one "time"
+  span so within-replica date relationships are preserved; date
+  filters in queries are lower bounds, which forward shifts keep
+  satisfied.
 
 Output is for Bench/ProfQuery only - the DuckDB oracle gate keeps
 running on the driver-generated sf directories.
@@ -30,6 +38,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 COPY_TABLES = ["region", "nation"]
+# timestamp columns sharing one span: replica i adds i * (span + 1 day)
+TIME_COLUMNS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
 KEY_FAMILIES = {
     # table -> {column: key family}
     "customer": {"c_custkey": "cust"},
@@ -71,6 +84,17 @@ def main():
             m = pc.max(tables[name].column(col)).as_py()
             offsets[fam] = max(offsets.get(fam, 0), m + 1)
 
+    # one shared time span (microseconds) across all timestamp columns
+    day_us = 86400 * 1_000_000
+    t_min, t_max = None, None
+    for name, cols in TIME_COLUMNS.items():
+        for col in cols:
+            c64 = pc.cast(tables[name].column(col), pa.int64())
+            lo, hi = pc.min(c64).as_py(), pc.max(c64).as_py()
+            t_min = lo if t_min is None else min(t_min, lo)
+            t_max = hi if t_max is None else max(t_max, hi)
+    time_shift = (t_max - t_min) + day_us if t_min is not None else 0
+
     for name in COPY_TABLES:
         pq.write_table(tables[name], f"{dst}/{name}.parquet")
         print(f"{name}: copied {tables[name].num_rows} rows")
@@ -85,6 +109,12 @@ def main():
                 typ = t.schema.field(idx).type
                 shifted = pc.cast(
                     pc.add(pc.cast(t.column(col), pa.int64()), i * offsets[fam]), typ)
+                t = t.set_column(idx, t.schema.field(idx), shifted)
+            for col in TIME_COLUMNS.get(name, []):
+                idx = t.schema.get_field_index(col)
+                typ = t.schema.field(idx).type
+                shifted = pc.cast(
+                    pc.add(pc.cast(t.column(col), pa.int64()), i * time_shift), typ)
                 t = t.set_column(idx, t.schema.field(idx), shifted)
             if name == "documents" and i > 0:
                 perm = letter_perm(i)

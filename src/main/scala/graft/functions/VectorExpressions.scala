@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -204,6 +204,44 @@ object VectorOps {
       p += 1
     }
     new GenericArrayData(buckets)
+  }
+
+  /** Argmin over k centroids held as one flat row-major matrix:
+    * returns (dist, cid) with the exact semantics of
+    * `array_min(array(struct(sqDist(v, c_k), cid_k)...))` — ascending
+    * (dist, cid) order, left-to-right accumulation per distance. One
+    * compiled loop instead of k literal expression subtrees: at
+    * k=625×64 dims the literal form was a plan-size/codegen pathology
+    * (40k expression nodes), this is O(k·d) flops per row flat.
+    * Null when the vector is null, has a null element, or its length
+    * differs from the centroid dims (the literal form's per-struct
+    * null edge is unreachable for a homogeneous corpus; spec-pinned
+    * equivalence).
+    */
+  def nearestCentroid(
+      v: ArrayData, isFloat: Boolean,
+      flat: Array[Double], cids: Array[Int], dims: Int): InternalRow = {
+    if (v == null || v.numElements() != dims || hasNullElement(v)) return null
+    var bestD = 0.0
+    var bestC = -1
+    var k = 0
+    while (k < cids.length) {
+      var acc = 0.0
+      var i = 0
+      val base = k * dims
+      while (i < dims) {
+        val d = elem(v, i, isFloat) - flat(base + i)
+        acc += d * d
+        i += 1
+      }
+      if (bestC == -1 || acc < bestD || (acc == bestD && cids(k) < bestC)) {
+        bestD = acc
+        bestC = cids(k)
+      }
+      k += 1
+    }
+    if (bestC == -1) null
+    else new GenericInternalRow(Array[Any](bestD, bestC))
   }
 }
 
@@ -483,6 +521,51 @@ case class SortedContains(left: Expression, right: Expression)
     copy(newLeft, newRight)
 }
 
+/** vector_nearest_centroid(v) -> struct(dist, cid): compiled argmin
+  * over a driver-side centroid matrix (k × dims, flat row-major),
+  * value-identical to `array_min(array(struct(sqDist(v,c),cid)...))`.
+  * The matrix rides the expression as data (codegen reference object),
+  * not as k literal subtrees — plan size and codegen stay O(1) in k,
+  * which is what lets n_cells scale with the corpus (SemDeDup/IVF at
+  * 100 TB wants thousands of cells; 625 literal structs of 64-double
+  * literals each already broke whole-stage codegen).
+  */
+case class VectorNearestCentroid(
+    child: Expression, cids: Seq[Int], flat: Seq[Double], dims: Int)
+    extends UnaryExpression with VectorExpr {
+  require(dims > 0 && cids.nonEmpty && flat.size == cids.size * dims,
+    "centroid matrix must be k x dims")
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", DoubleType), StructField("cid", IntegerType)))
+
+  // materialized once per executor/expression instance, shared by codegen
+  @transient lazy val flatArr: Array[Double] = flat.toArray
+  @transient lazy val cidArr: Array[Int] = cids.toArray
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else VectorOps.nearestCentroid(
+      v.asInstanceOf[ArrayData], isFloatArray(child), flatArr, cidArr, dims)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val self = ctx.addReferenceObj("nearestCentroidExpr", this,
+      "graft.functions.VectorNearestCentroid")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.VectorOps.nearestCentroid(
+          ${c.value}, ${isFloatArray(child)}, $self.flatArr(), $self.cidArr(), $dims);
+      }
+      boolean ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
@@ -509,4 +592,17 @@ object VectorExpressions {
 
   def sortedContains(sortedArr: Column, x: Column): Column =
     column(SortedContains(expression(sortedArr), expression(x)))
+
+  /** struct(dist, cid) of the nearest centroid; see
+    * [[VectorNearestCentroid]].
+    */
+  def nearestCentroidStruct(
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val dims = centroids.head._2.length
+    column(VectorNearestCentroid(
+      expression(vec),
+      centroids.map(_._1),
+      centroids.flatMap(_._2.toSeq),
+      dims))
+  }
 }

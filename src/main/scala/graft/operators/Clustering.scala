@@ -40,26 +40,22 @@ object Clustering {
       .toSeq
 
   /** Nearest-centroid id for a vector column (ties -> lowest centroid
-    * id): array_min over (dist, cid) structs, struct ordering.
+    * id; value-identical to array_min over (dist, cid) structs). One
+    * compiled argmin kernel — NOT k literal subtrees, so plan size and
+    * codegen stay O(1) as n_cells grows with the corpus
+    * ([[graft.functions.VectorNearestCentroid]]).
     */
   def nearestCentroid(
-      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
-    val scored = centroids.map { case (cid, c) =>
-      struct(sqDist(vec, typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
-    }
-    array_min(array(scored: _*)).getField("cid")
-  }
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    VectorExpressions.nearestCentroidStruct(vec, centroids).getField("cid")
 
   /** One assignment pass: adds `centroid_id` and `dist` (squared L2 to
-    * the assigned centroid).
+    * the assigned centroid). Single kernel call per row.
     */
   def assign(
       corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
       vecCol: String = "embedding"): DataFrame = {
-    val scored = centroids.map { case (cid, c) =>
-      struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
-    }
-    val best = array_min(array(scored: _*))
+    val best = VectorExpressions.nearestCentroidStruct(col(vecCol), centroids)
     corpus
       .withColumn("_best", best)
       .withColumn("centroid_id", col("_best.cid"))
