@@ -34,24 +34,48 @@ object TextAnalysis {
     "the", "a", "an", "of", "and", "or", "in", "on", "to", "is", "it",
     "for", "with", "as", "at", "by", "be", "this", "that", "from")
 
-  /** Stopword ratio over whitespace tokens (0 when no tokens). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = wsTokens(lower(text))
-    val stops = filter(toks, t => t.isInCollection(stopwords))
-    when(size(toks) > 0, size(stops).cast("double") / size(toks)).otherwise(0.0)
-  }
+  /** Stopword ratio over whitespace tokens (0 when no tokens) — ONE
+    * tokenization and ONE array pass per row. Token and stopword counts
+    * accumulate together inside a single `aggregate` and the ratio is
+    * formed in its finish lambda, so when the optimizer pushes a
+    * quality predicate through a projection and alias-inlines this
+    * expression, the row still pays one regex split (the staged
+    * three-reference form re-tokenized 3× per row after inlining —
+    * same hazard langId had, same kernel-shape fix). Split's empty-
+    * string artifacts are counted out in the fold; values are
+    * bit-identical to the filtered form.
+    */
+  def stopwordRatio(text: Column): Column =
+    aggregate(
+      split(lower(text), "\\s+"),
+      typedlit(Seq(0L, 0L)),
+      (acc, t) => array(
+        element_at(acc, 1) + when(t =!= "", 1L).otherwise(0L),
+        element_at(acc, 2) + when(t.isInCollection(stopwords), 1L).otherwise(0L)),
+      acc => when(element_at(acc, 1) > 0,
+        element_at(acc, 2).cast("double") / element_at(acc, 1).cast("double"))
+        .otherwise(0.0))
 
   def punctRatio(text: Column): Column =
     when(length(text) > 0,
       size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("double") / length(text))
       .otherwise(0.0)
 
-  def meanWordLength(text: Column): Column = {
-    val toks = wsTokens(text)
-    when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-      .otherwise(0.0)
-  }
+  /** Mean token length — single-pass kernel (see [[stopwordRatio]]):
+    * one split, counts and length-sum in one fold. length("") = 0, so
+    * skipping split's empty artifacts in the count leaves the sum
+    * untouched and values identical to the two-reference form.
+    */
+  def meanWordLength(text: Column): Column =
+    aggregate(
+      split(text, "\\s+"),
+      typedlit(Seq(0L, 0L)),
+      (acc, t) => array(
+        element_at(acc, 1) + when(t =!= "", 1L).otherwise(0L),
+        element_at(acc, 2) + length(t)),
+      acc => when(element_at(acc, 1) > 0,
+        element_at(acc, 2).cast("double") / element_at(acc, 1).cast("double"))
+        .otherwise(0.0))
 
   /** Composite quality score in [0,1]: favors mid-length documents with
     * normal punctuation density and some (but not all) stopwords — the

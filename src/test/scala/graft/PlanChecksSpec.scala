@@ -216,6 +216,32 @@ class PlanChecksSpec extends SparkSpec {
       s"${hashShuffles.size} hash shuffles — frequency join regressed?\n$finalPlan")
   }
 
+  test("lang_filter tokenizes once per row even after predicate pushdown") {
+    // the optimizer pushes the language predicate through projections by
+    // alias-inlining; langId being a single aggregate-kernel expression
+    // means inlining still yields exactly ONE split() per row (r10
+    // ADVICE flagged the pre-kernel form, where each of ~15 marker
+    // probes re-tokenized)
+    val d = Tables(spark, dir, "documents")
+      .withColumn("extra", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+    val stage = Registry.transformers("lang_filter")(
+      Registry.parseConfig("""{"languages": ["en"]}"""))
+    val plan = stage(d).queryExecution.optimizedPlan.toString
+    val n = "split\\(".r.findAllIn(plan).size
+    assert(n == 1, s"tokenization appears $n times in the optimized plan:\n$plan")
+  }
+
+  test("p1's pushed predicates tokenize twice total (quality + langId kernels)") {
+    // quality and language are separate single-pass kernels, so the
+    // fully-inlined Filter condition carries exactly two split() calls
+    // per row; the pre-kernel stopwordRatio put FOUR in this plan
+    val plan = SparkEntry.queries("p1_doc_pipeline")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val n = "split\\(".r.findAllIn(plan).size
+    assert(n == 2, s"tokenization appears $n times in the optimized plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->agg path of q1") {
     val plan = planOf("q1_agg")
     // '*(n)' prefixes mark codegen stages in Spark 4 plan strings
