@@ -391,16 +391,29 @@ object Dedup {
     val index = maxDfFraction match {
       case None => ex
       case Some(f) =>
-        // df is corpus-global (one row per doc per distinct shingle),
-        // computed as an unbounded window count over the shingle hash —
-        // ONE exchange on s, no aggregate+join-back round trip. The doc
-        // count rides along as a one-row broadcast (x6 corpus-stats
-        // pattern, no driver-side job).
-        import org.apache.spark.sql.expressions.Window
+        // stop-gram removal via a broadcast sorted set, NOT a window
+        // count over s: the window form shuffled EVERY posting of a
+        // hot shingle to one reducer before the cap could drop it (the
+        // skew harness measured 15x max/mean task reads on that df
+        // exchange even on the unskewed gate corpus — at crawl scale a
+        // boilerplate shingle owns a partition). Here df is a groupBy
+        // with map-side partial aggregation (a hot shingle costs one
+        // (hash, count) row per map task), the over-cap set is
+        // |postings| / cap entries at MOST — broadcastable by
+        // construction — and postings filter IN PLACE with the d12
+        // binary-search kernel, so no posting row is ever exchanged on
+        // the shingle key before the cap applies. The doc count rides
+        // as a one-row broadcast (x6 corpus-stats pattern, no
+        // driver-side job). df semantics (corpus-global, per distinct
+        // (doc, shingle)) are unchanged.
+        import graft.functions.VectorExpressions.sortedContains
         val nDocs = docs.select(count(lit(1)).as("n_docs"))
-        ex.crossJoin(broadcast(nDocs))
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-          .where(col("df") <= ceil(col("n_docs") * lit(f)))
+        val stopGrams = ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .where(col("df") > ceil(col("n_docs") * lit(f)))
+          .agg(sort_array(collect_list(col("s"))).as("stop"))
+        ex.crossJoin(broadcast(stopGrams))
+          .where(!sortedContains(col("stop"), col("s")))
           .select("block", "id", "s")
     }
     val inter = index.select(col("block"), col("id").as("a_id"), col("s"))
