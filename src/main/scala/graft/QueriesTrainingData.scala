@@ -521,6 +521,53 @@ object QueriesTrainingData {
       .orderBy("doc_id")
   }
 
+  /** The FULL continuous-increment dedup shape (st6 + st7 combined,
+    * r10 verdict Next-7): landed files stream one micro-batch at a
+    * time; each batch is deduplicated WITHIN the stream under BOUNDED
+    * state first (`dropDuplicatesWithinWatermark` on (lang,
+    * content_md5): a key's state expires once the event-time watermark
+    * passes its timestamp + delay, so dedup memory is the watermark
+    * horizon, not stream history — st6 alone would re-admit an
+    * intra-stream duplicate landing in a later file), and each
+    * surviving document is then flagged against the static corpus's
+    * content hashes via the st6 broadcast stream-static join (no state
+    * at all). Event time is synthesized deterministically from doc_id;
+    * within the gate's drain nothing expires, so survivors = distinct
+    * (lang, content_md5) and the DuckDB oracle replays the aggregate
+    * exactly. The output groups by (lang, is_corpus_dup), which is
+    * independent of WHICH duplicate row each micro-batch kept — the
+    * st2 determinism rule. TTL re-admission itself is spec-tested on
+    * the shared mechanism (StreamingSpec, st7).
+    */
+  private def st8IncrementDedup(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 7
+    val path = TempDirs.cached(s"jsonl_new:$dir") { d =>
+      graft.sources.JsonlSource.write(
+        docs(s, dir).where(isNew).select("doc_id", "text", "lang", "source"), d)
+    }
+    def contentMd5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      md5(TextAnalysis.normalize(c).cast("binary"))
+    val corpusMd5 = docs(s, dir).where(!isNew)
+      .select(contentMd5(col("text")).as("content_md5"))
+      .distinct()
+    val deduped = s.readStream
+      .schema(graft.sources.JsonlSource.documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(path)
+      .select(col("doc_id"), col("lang"), contentMd5(col("text")).as("content_md5"))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("lang", "content_md5")
+    val flagged = deduped
+      .join(broadcast(corpusMd5.withColumn("_dup", lit(true))), Seq("content_md5"), "left")
+      .select(col("lang"), col("_dup").isNotNull.as("is_corpus_dup"))
+    graft.streaming.EventStreaming.drainToMemorySink(s, "st8_mem",
+        outputMode = "append")(flagged)
+      .groupBy("lang", "is_corpus_dup")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "is_corpus_dup")
+  }
+
   // --- url canonicalization / web-corpus dedup -------------------------
 
   /** URL table synthesized from documents (the raw corpus has no url
@@ -913,6 +960,7 @@ object QueriesTrainingData {
     "c1_corpus_card" -> (c1CorpusCard(_, _)),
     "st5_jsonl_stream" -> (st5JsonlStream(_, _)),
     "st6_stream_static_dedup" -> (st6StreamStaticDedup(_, _)),
+    "st8_increment_dedup" -> (st8IncrementDedup(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -1775,6 +1823,22 @@ object QueriesTrainingData {
          |  (ch.content_md5 IN (SELECT content_md5 FROM corpus_md5)) AS is_exact_dup
          |FROM tagged t JOIN ch USING (doc_id)
          |WHERE t.is_new ORDER BY t.doc_id""".stripMargin,
+    "st8_increment_dedup" ->
+      s"""WITH tagged AS (SELECT doc_id, (doc_id % 10 = 7) AS is_new FROM documents),
+         |ch AS (SELECT doc_id, lang, md5($normSql) AS content_md5 FROM documents),
+         |corpus_md5 AS (
+         |  SELECT DISTINCT content_md5 FROM ch JOIN tagged USING (doc_id) WHERE NOT is_new
+         |),
+         |survivors AS (
+         |  SELECT DISTINCT lang, content_md5
+         |  FROM ch JOIN tagged USING (doc_id) WHERE is_new
+         |)
+         |SELECT lang,
+         |  (content_md5 IN (SELECT content_md5 FROM corpus_md5)) AS is_corpus_dup,
+         |  count(*) AS n_docs
+         |FROM survivors
+         |GROUP BY lang, is_corpus_dup
+         |ORDER BY lang, is_corpus_dup""".stripMargin,
     "u1_url_dedup" ->
       s"""WITH $urlCanonCte
          |SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS n_docs
