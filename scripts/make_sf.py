@@ -95,8 +95,18 @@ def main():
             t_max = hi if t_max is None else max(t_max, hi)
     time_shift = (t_max - t_min) + day_us if t_min is not None else 0
 
+    def write(table, path):
+        # small row groups: Spark's byte-range splits only parallelize
+        # across row-group midpoints, so one file with default 1M-row
+        # groups caps scan parallelism at ~rows/1M tasks (q1 ran 17x at
+        # sf1 from a 6-group lineitem). Real corpora arrive as many
+        # files; ~64+ groups per table keeps the fixture's scan width
+        # comparable.
+        rg = max(65536, table.num_rows // 64)
+        pq.write_table(table, path, row_group_size=rg)
+
     for name in COPY_TABLES:
-        pq.write_table(tables[name], f"{dst}/{name}.parquet")
+        write(tables[name], f"{dst}/{name}.parquet")
         print(f"{name}: copied {tables[name].num_rows} rows")
 
     for name, fams in KEY_FAMILIES.items():
@@ -132,7 +142,7 @@ def main():
                 t = t.set_column(sidx, t.schema.field(sidx), source)
             replicas.append(t)
         out = pa.concat_tables(replicas)
-        pq.write_table(out, f"{dst}/{name}.parquet")
+        write(out, f"{dst}/{name}.parquet")
         print(f"{name}: {base.num_rows} -> {out.num_rows} rows")
 
 

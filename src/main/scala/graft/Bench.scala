@@ -140,8 +140,18 @@ object Bench {
     // localCheckpoints) polluted the heap, and the per-FAMILY clear
     // never fired inside the 13-query d family. The clear runs outside
     // the timed region, so it costs wall-clock only, never metric time.
+    // SPARK_GRAFT_ONLY=q20,d13,... restricts the run to those queries
+    // (prefix-or-full-name match) — for targeted scale points (sf3) where
+    // the full registry would take hours; the artifact still records
+    // n_queries so a subset run can never be mistaken for a full one
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(s =>
+      s.contains(name) || s.contains(name.takeWhile(_ != '_')))
     var first = true
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
       if (!first) {
         try {
           spark.catalog.clearCache()

@@ -576,18 +576,24 @@ object QueriesExtended {
     * deterministic training as s3's index), greedy leader election at
     * cosine >= 0.3 within each cell.
     *
-    * n_cells scales with the corpus (ceil(n/32), floored at 16) so the
-    * expected cell occupancy — and with it the Σ|cell|² pair cost —
-    * stays FLAT as the corpus grows; a fixed cell count would make this
-    * pass quadratic at scale (the sf1 bench showed 13.5× for 10× data
-    * before this). At the 500-row oracle gate the formula yields
-    * exactly 16, matching the frozen DuckDB oracle's seed CTE. The one
-    * count() job is the price of sizing the quantizer to the corpus —
-    * the same job any production SemDeDup pays to pick k.
+    * n_cells scales as ~sqrt(n/2), floored at 16. Total cost is
+    * assignment n·k (every vector scores every centroid) plus pair
+    * verification Σ|cell|² ≈ n²/k — so k ∝ n (the round-10 formula,
+    * ceil(n/32)) re-created a QUADRATIC pass in the assignment term
+    * (27× wall for 10× data at sf1), a fixed k is quadratic in the
+    * pair term (13.5× at sf1 before round 10), and k ∝ √n is the
+    * argmin of the sum: both terms scale n^1.5, the honest complexity
+    * of flat (non-hierarchical) SemDeDup. At the oracle gate the
+    * formula still yields exactly 16, matching the frozen DuckDB seed
+    * CTE. The one count() job is the price of sizing the quantizer to
+    * the corpus — the same job any production SemDeDup pays to pick k.
+    * (Beyond ~10⁷ vectors the literal centroid matrix itself is the
+    * limit — the production path is the persisted IVF index + cell-
+    * partitioned pruning of s3, not a bigger literal.)
     */
   private def d13SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = math.max(16, math.ceil(e.count() / 32.0).toInt)
+    val nCells = math.max(16, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
     Clustering.semanticDedup(e, nCells = nCells, tau = 0.3)
       .orderBy("vec_id")
   }
