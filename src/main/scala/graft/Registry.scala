@@ -166,6 +166,7 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val minDf = int(c, "min_doc_freq").getOrElse(5)
       val delim = str(c, "delimiter").getOrElse("\n")
+      requireFree(df, "line_dedup", "clean_text")
       val lines = df.select(col(id),
         split(col(text), java.util.regex.Pattern.quote(delim)).as("lines"))
       val cleaned = operators.Dedup.lineDedup(lines, minDf, id)
@@ -187,6 +188,7 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val win = int(c, "window_len").getOrElse(40)
       val minOcc = int(c, "min_occurrences").getOrElse(2)
+      requireFree(df, "dup_span_strip", "_spans")
       val spans = operators.Dedup.dupSpans(df, win, minOcc.toLong, id, text)
         .groupBy(col(id))
         .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
@@ -236,6 +238,7 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val qMin = (c \ "target_quality_min").extractOpt[Double].getOrElse(0.5)
       val k = int(c, "k").getOrElse(1000)
+      requireFree(df, "dsir_sample", "log_weight")
       val lw = operators.TextAnalysis.dsirLogWeights(
         df, operators.TextAnalysis.qualityScore(col(text)) >= qMin, id, text)
       val h = operators.Dedup.hash60(concat(lit("dsir:"), col(id).cast("string")))
@@ -450,6 +453,7 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val chunk = int(c, "chunk_tokens").getOrElse(2048)
       val overlap = int(c, "overlap_tokens").getOrElse(0)
+      requireFree(df, "chunk_documents", "chunk_id", "chunk_len")
       val chunks = operators.Mixture.chunkDocuments(df, chunk, overlap, id, text)
         .withColumnRenamed("chunk_text", text)
       // chunks inherit their parent doc's metadata (lang, source, ...)
@@ -464,6 +468,7 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val block = str(c, "block_column").getOrElse("source")
       val budget = (c \ "token_budget").extractOpt[Long].getOrElse(2048L)
+      requireFree(df, "pack_sequences", "pack_id", "pack_offset")
       val packs = operators.Mixture.packSequences(df, budget, block, id, text)
         .select(col(id), col("pack_id"), col("pack_offset"))
       df.join(packs, Seq(id))

@@ -67,6 +67,27 @@ class GuardsSpec extends SparkSpec {
     assert(e.getMessage.contains("_rk"))
   }
 
+  test("every join-in stage rejects inputs that already carry its output columns") {
+    // each of these stages joins named columns onto the user frame; a
+    // pre-existing column of the same name would otherwise surface as
+    // an ambiguous-reference error rows later (or silent data loss)
+    val cases = Seq(
+      ("line_dedup", "{}", "clean_text"),
+      ("dup_span_strip", "{}", "_spans"),
+      ("dsir_sample", "{}", "log_weight"),
+      ("chunk_documents", "{}", "chunk_id"),
+      ("pack_sequences", "{}", "pack_offset"))
+    for ((stageName, cfg, clash) <- cases) {
+      val df = Seq((1L, "some text", "web", 1.0))
+        .toDF("doc_id", "text", "source", clash)
+      val stage = graft.Registry.transformers(stageName)(
+        graft.Registry.parseConfig(cfg))
+      val e = intercept[IllegalArgumentException](stage(df))
+      assert(e.getMessage.contains(clash), s"$stageName: ${e.getMessage}")
+      assert(e.getMessage.contains(stageName), s"$stageName: ${e.getMessage}")
+    }
+  }
+
   test("soft_dedup_weights overwrites a pre-existing weight column instead of duplicating it") {
     val df = Seq(
       (1L, "alpha beta gamma", 0.5),
