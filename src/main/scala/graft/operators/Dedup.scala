@@ -253,9 +253,19 @@ object Dedup {
   def softDedupWeights(
       docs: DataFrame, n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.1,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val clusters = jaccardClusters(docs, n, numHashes, rowsPerBand,
-      threshold, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    softDedupWeightsFromClusters(docs,
+      jaccardClusters(docs, n, numHashes, rowsPerBand, threshold, idCol, textCol),
+      idCol)
+
+  /** The weighting half of [[softDedupWeights]] over an already-computed
+    * cluster table (`(idCol, cluster_id)`, the [[jaccardClusters]]
+    * shape) — a pipeline that has materialized its clustering pass
+    * reuses it here instead of re-running the LSH + closure.
+    */
+  def softDedupWeightsFromClusters(
+      docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
     val sized = clusters.join(
       clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
       "cluster_id")
