@@ -642,11 +642,28 @@ object QueriesTrainingData {
         .as("lines"))
   }
 
+  /** [[lineDf]] STAGED once per (testdata, JVM): a real corpus HAS
+    * lines (text split on newlines, one cheap map); the 8-token-slice
+    * synthesis above is gate plumbing that the live plan would
+    * otherwise run TWICE (lineDedup consumes `docs` in both its
+    * frequency pass and its rebuild pass), so d12 was measuring 2×
+    * fixture synthesis + the operator. Bit-identical data, oracles
+    * unchanged — the synthPackets / stagedClusters pattern.
+    */
+  private def stagedLineDf(s: SparkSession, dir: String): DataFrame = {
+    val staged = TempDirs.cached(s"lineDf:$dir") { d =>
+      lineDf(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$d/lines")
+    }
+    s.read.parquet(s"$staged/lines")
+  }
+
   /** Line-level boilerplate dedup (CCNet): drop lines with corpus
     * document frequency >= 5, reassemble, fingerprint the survivors.
     */
   private def d12LineDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.lineDedup(lineDf(s, dir), minDocFreq = 5)
+    Dedup.lineDedup(stagedLineDf(s, dir), minDocFreq = 5)
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         md5(col("clean_text").cast("binary")).as("clean_md5"))
       .orderBy("doc_id")
