@@ -935,9 +935,26 @@ object QueriesTrainingData {
   private def x34ClassifierScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")
 
+  /** Code-vs-prose routing (TextAnalysis.codeSignals) over
+    * deterministically synthesized code-bearing text: every 5th doc
+    * gets a snippet woven from its own doc_id (the raw corpus contains
+    * no braces/keywords — the x12 PII synthesis pattern), so the
+    * detector must separate exactly the doc_id % 5 == 0 rows.
+    */
+  private def x35CodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val snippet = concat(col("text"),
+      lit(" def fn"), col("doc_id").cast("string"),
+      lit("(x) { return x + "), (col("doc_id") % 7).cast("string"),
+      lit("; } import lib"), (col("doc_id") % 3).cast("string"), lit(";"))
+    val withCode = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 5 === 0, snippet).otherwise(col("text")))
+    TextAnalysis.codeSignals(withCode).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x33_char_entropy" -> (x33CharEntropy(_, _)),
     "x34_classifier_score" -> (x34ClassifierScore(_, _)),
+    "x35_code_detect" -> (x35CodeDetect(_, _)),
     "x1_token_stats" -> (x1TokenStats(_, _)),
     "x2_quality" -> (x2Quality(_, _)),
     "x3_langid" -> (x3LangId(_, _)),
@@ -1161,6 +1178,33 @@ object QueriesTrainingData {
          |SELECT doc_id, n_tokens, clf_score,
          |  (n_tokens > 0 AND clf_score > 0.0) AS kept
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "x35_code_detect" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' def fn' || doc_id
+         |      || '(x) { return x + ' || (doc_id % 7) || '; } import lib'
+         |      || (doc_id % 3) || ';' ELSE text END AS t
+         |  FROM documents
+         |), sig AS (
+         |  SELECT doc_id, length(t)::BIGINT AS n_chars,
+         |    len(regexp_extract_all(t, '${TextAnalysis.braceRe}'))::BIGINT AS n_braces,
+         |    len(regexp_extract_all(t, ';'))::BIGINT AS n_semis,
+         |    len(regexp_extract_all(t, '${TextAnalysis.codeKeywordRe}'))::BIGINT
+         |      AS n_keywords,
+         |    len(regexp_extract_all(t, '${TextAnalysis.codeSymbolRe}'))::BIGINT
+         |      AS n_syms
+         |  FROM p
+         |)
+         |SELECT doc_id, n_chars, n_braces, n_semis, n_keywords,
+         |  CASE WHEN n_chars <= 0 THEN 0.0
+         |       ELSE round(n_syms * 100.0 / n_chars, 6) END AS symbol_per_100_chars,
+         |  CASE WHEN n_chars <= 0 THEN 0.0
+         |       ELSE round((n_keywords * 2 + n_braces + n_semis) * 100.0 / n_chars, 6)
+         |  END AS code_score,
+         |  (CASE WHEN n_chars <= 0 THEN 0.0
+         |        ELSE round((n_keywords * 2 + n_braces + n_semis) * 100.0 / n_chars, 6)
+         |   END >= 1.0) AS is_code
+         |FROM sig ORDER BY doc_id""".stripMargin,
     "x14_seq_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source,

@@ -407,6 +407,21 @@ object Registry {
         .select(col(id))
       df.join(keep, Seq(id), "left_semi")
     },
+    "code_filter" -> { c => df =>
+      // route code-like docs (x35 signal as a stage): mode "drop"
+      // removes them from a prose corpus, mode "keep" selects them for
+      // a code corpus. codeScore is a single map-only expression, so
+      // this filters in the scan pass — no join, no shuffle.
+      import org.apache.spark.sql.functions._
+      val text = str(c, "text_column").getOrElse("text")
+      val thr = (c \ "threshold").extractOpt[Double].getOrElse(1.0)
+      val isCode = operators.TextAnalysis.codeScore(col(text)) >= thr
+      str(c, "mode").getOrElse("drop") match {
+        case "keep" => df.where(isCode)
+        case "drop" => df.where(!isCode)
+        case other  => sys.error(s"code_filter: unknown mode '$other'")
+      }
+    },
     "classifier_filter" -> { c => df =>
       // hashed-feature linear quality model (x34): keep docs the model
       // scores above the threshold — the FineWeb-Edu filter shape

@@ -683,6 +683,62 @@ object TextAnalysis {
         .otherwise(twoLabel))
   }
 
+  // --- code-vs-prose detection ----------------------------------------
+
+  /** Word-bounded code keywords. Deliberately excludes words common in
+    * English prose ("if", "for", "while") so a keyword hit is a strong
+    * code signal; valid under both Java regex and RE2 (no lookaround),
+    * so the oracle replays the exact pattern.
+    */
+  val codeKeywordRe: String =
+    "\\b(def|return|import|const|function|class|void|lambda|elif|struct)\\b"
+
+  /** Punctuation that is dense in source code and sparse in prose. */
+  val codeSymbolRe: String = "[{}();=<>\\[\\]]"
+  val braceRe: String = "[{}]"
+
+  /** Scalar code-likeness score: weighted symbol/keyword density per
+    * 100 characters (keywords ×2, braces and semicolons ×1). Prose
+    * scores ~0; real source code scores well above 1.0. A single
+    * map-only expression (three codegen'd regexp_count kernels), so a
+    * filter stage can apply it with no join and no shuffle — the
+    * mixture-routing shape: split a 100 TB crawl into code-like and
+    * prose-like streams in one scan.
+    */
+  def codeScore(text: Column): Column = {
+    val len = length(text).cast("bigint")
+    when(len <= 0, lit(0.0)).otherwise(round(
+      (regexp_count(text, lit(codeKeywordRe)) * 2
+        + regexp_count(text, lit(braceRe))
+        + regexp_count(text, lit(";"))).cast("double") * 100.0 / len, 6))
+  }
+
+  /** Per-doc code-detection signal table: raw counts, symbol density,
+    * [[codeScore]], and the `is_code` routing flag at `threshold`.
+    * Counts are staged through one Project so each regexp kernel runs
+    * once per row even after predicate pushdown.
+    */
+  def codeSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 1.0): DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(col(idCol), length(t).cast("bigint").as("n_chars"),
+        regexp_count(t, lit(braceRe)).cast("bigint").as("n_braces"),
+        regexp_count(t, lit(";")).cast("bigint").as("n_semis"),
+        regexp_count(t, lit(codeKeywordRe)).cast("bigint").as("n_keywords"),
+        regexp_count(t, lit(codeSymbolRe)).cast("bigint").as("_syms"))
+      .select(col(idCol), col("n_chars"), col("n_braces"), col("n_semis"),
+        col("n_keywords"),
+        when(col("n_chars") <= 0, lit(0.0))
+          .otherwise(round(col("_syms").cast("double") * 100.0
+            / col("n_chars"), 6)).as("symbol_per_100_chars"),
+        when(col("n_chars") <= 0, lit(0.0))
+          .otherwise(round((col("n_keywords") * 2 + col("n_braces")
+            + col("n_semis")).cast("double") * 100.0 / col("n_chars"), 6))
+          .as("code_score"))
+      .withColumn("is_code", col("code_score") >= threshold)
+  }
+
   /** Default page-rejecting phrase list for [[c4Clean]] — a stand-in
     * for C4's "List of Dirty, Naughty ..." blocklist (the real list is
     * an external resource; the rule machinery is what matters here).

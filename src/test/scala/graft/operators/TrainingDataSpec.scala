@@ -1183,4 +1183,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(w(4L) == (2L, 0.5) && w(5L) == (2L, 0.5), s"$w")
     assert(w(3L) == (1L, 1.0), s"$w")
   }
+
+  test("code detection separates source code from prose; stage routes both ways") {
+    import org.json4s.jackson.JsonMethods.parse
+    val df = Seq(
+      (0L, "def add(x, y) { return x + y; } import math; const z = add(1, 2);"),
+      (1L, "the quick brown fox jumps over the lazy dog and naps in the sun"),
+      (2L, "")).toDF("doc_id", "text")
+    val sig = TextAnalysis.codeSignals(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(sig(0L).getAs[Boolean]("is_code"), s"code doc flagged: ${sig(0L)}")
+    assert(!sig(1L).getAs[Boolean]("is_code"), s"prose doc not flagged: ${sig(1L)}")
+    assert(sig(2L).getAs[Double]("code_score") == 0.0 &&
+      !sig(2L).getAs[Boolean]("is_code"), s"empty doc scores 0: ${sig(2L)}")
+    // doc 0: keywords def/return/import/const = 4 hits, 2 braces, 3 semis
+    assert(sig(0L).getAs[Long]("n_keywords") == 4L, s"${sig(0L)}")
+    assert(sig(0L).getAs[Long]("n_braces") == 2L && sig(0L).getAs[Long]("n_semis") == 3L)
+    // the scalar codeScore agrees with the signal table's code_score
+    val scalar = df.select(col("doc_id"), TextAnalysis.codeScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sig.foreach { case (id, r) =>
+      assert(scalar(id) == r.getAs[Double]("code_score"), s"doc $id: $scalar vs $sig") }
+    // registry stage: drop removes the code doc, keep selects only it
+    val drop = graft.Registry.transformers("code_filter")(parse("{}"))(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(drop == Set(1L, 2L), s"drop kept $drop")
+    val keep = graft.Registry.transformers("code_filter")(
+      parse("""{"mode": "keep"}"""))(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keep == Set(0L), s"keep kept $keep")
+  }
 }
