@@ -951,10 +951,17 @@ object QueriesTrainingData {
     TextAnalysis.codeSignals(withCode).orderBy("doc_id")
   }
 
+  /** Per-doc corpus novelty (Dedup.ngramNovelty): fraction of each
+    * doc's distinct 3-grams that no other doc contains.
+    */
+  private def x36NgramNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramNovelty(docs(s, dir), n = 3).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x33_char_entropy" -> (x33CharEntropy(_, _)),
     "x34_classifier_score" -> (x34ClassifierScore(_, _)),
     "x35_code_detect" -> (x35CodeDetect(_, _)),
+    "x36_ngram_novelty" -> (x36NgramNovelty(_, _)),
     "x1_token_stats" -> (x1TokenStats(_, _)),
     "x2_quality" -> (x2Quality(_, _)),
     "x3_langid" -> (x3LangId(_, _)),
@@ -1205,6 +1212,21 @@ object QueriesTrainingData {
          |        ELSE round((n_keywords * 2 + n_braces + n_semis) * 100.0 / n_chars, 6)
          |   END >= 1.0) AS is_code
          |FROM sig ORDER BY doc_id""".stripMargin,
+    "x36_ngram_novelty" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(${OracleFragments.shinglesSql(3)}) AS s
+         |  FROM documents
+         |), gh AS (
+         |  SELECT doc_id, ${OracleFragments.hash60("s")} AS h FROM g
+         |), dfreq AS (
+         |  SELECT h, count(*) AS df FROM gh GROUP BY h
+         |)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+         |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS novelty
+         |FROM gh JOIN dfreq USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x14_seq_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source,

@@ -407,6 +407,19 @@ object Registry {
         .select(col(id))
       df.join(keep, Seq(id), "left_semi")
     },
+    "novelty_filter" -> { c => df =>
+      // drop docs whose distinct n-grams are mostly seen elsewhere in
+      // the corpus (x36): the boilerplate-saturation cut. Corpus-wide
+      // index pass (hash-only exchanges), then a semi-join keep.
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val n = int(c, "n").getOrElse(3)
+      val minNov = (c \ "min_novelty").extractOpt[Double].getOrElse(0.1)
+      val keep = operators.Dedup.ngramNovelty(df, n, id, text)
+        .where(col("novelty") >= minNov).select(col(id))
+      df.join(keep, Seq(id), "left_semi")
+    },
     "code_filter" -> { c => df =>
       // route code-like docs (x35 signal as a stage): mode "drop"
       // removes them from a prose corpus, mode "keep" selects them for

@@ -110,6 +110,31 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     gramRows(docs, n, idCol, textCol, Nil)
 
+  /** Per-doc n-gram novelty: the fraction of a doc's DISTINCT n-grams
+    * that appear in no other document — the memorization-risk /
+    * boilerplate-saturation signal (a crawl snapshot full of df>1
+    * grams adds little new content; an all-unique doc is fresh). A
+    * corpus-wide inverted-index pass like the d2 jaccard index, but
+    * aggregate-only: grams travel as 60-bit hashes, document frequency
+    * is one map-side-combined groupBy, and no candidate pair is ever
+    * materialized — at 100 TB the exchanges carry (hash, count) rows,
+    * never text. Every doc emits at least one gram (the small-doc
+    * fallback normalizes to the whole text), so the fraction is always
+    * well-defined and the join drops no docs.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = shingleTable(docs, n, idCol, textCol)
+      .select(col(idCol), hash60(col("s")).as("h"))
+    val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col(idCol), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct
     * content, with group size and the surviving (minimum) doc id.
     */

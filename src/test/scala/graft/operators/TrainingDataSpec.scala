@@ -1184,6 +1184,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(w(3L) == (1L, 1.0), s"$w")
   }
 
+  test("ngram novelty: unique docs score 1.0, duplicated docs 0.0, partial in between") {
+    val nov = Dedup.ngramNovelty(corpus, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(nov.size == 6, "one row per doc")
+    def novelty(id: Long) = nov(id).getAs[Double]("novelty")
+    // docs 0,1 normalize-identical and 4,5 exact dups: every gram df>=2
+    assert(novelty(0L) == 0.0 && novelty(1L) == 0.0)
+    assert(novelty(4L) == 0.0 && novelty(5L) == 0.0)
+    // doc 3 shares no grams with anything
+    assert(novelty(3L) == 1.0)
+    // doc 2 shares 6 of its 7 grams with docs 0/1; only "the lazy cat"
+    // is corpus-unique
+    assert(nov(2L).getAs[Long]("n_grams") == 7L && nov(2L).getAs[Long]("n_unique") == 1L)
+    assert(novelty(2L) == 0.142857, s"${nov(2L)}")
+    // stage: min_novelty 0.5 keeps only the fully-novel doc
+    import org.json4s.jackson.JsonMethods.parse
+    val kept = graft.Registry.transformers("novelty_filter")(
+      parse("""{"min_novelty": 0.5}"""))(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"kept $kept")
+  }
+
   test("code detection separates source code from prose; stage routes both ways") {
     import org.json4s.jackson.JsonMethods.parse
     val df = Seq(
