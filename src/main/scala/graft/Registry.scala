@@ -428,7 +428,12 @@ object Registry {
       import org.apache.spark.sql.functions._
       val text = str(c, "text_column").getOrElse("text")
       val thr = (c \ "threshold").extractOpt[Double].getOrElse(1.0)
-      val isCode = operators.TextAnalysis.codeScore(col(text)) >= thr
+      // coalesce: a NULL text scores NULL, and a NULL predicate drops
+      // the row under BOTH modes — keep ∪ drop would lose it from the
+      // corpus. Routing NULL to the prose side makes the two modes an
+      // exact partition of the input.
+      val isCode = coalesce(
+        operators.TextAnalysis.codeScore(col(text)) >= thr, lit(false))
       str(c, "mode").getOrElse("drop") match {
         case "keep" => df.where(isCode)
         case "drop" => df.where(!isCode)

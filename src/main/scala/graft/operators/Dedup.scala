@@ -123,16 +123,32 @@ object Dedup {
     * well-defined and the join drops no docs.
     */
   def ngramNovelty(docs: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = shingleTable(docs, n, idCol, textCol)
-      .select(col(idCol), hash60(col("s")).as("h"))
-    val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
-    grams.join(dfreq, "h")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col(idCol), col("n_grams"), col("n_unique"),
-        round(col("n_unique").cast("double") / col("n_grams"), 6).as("novelty"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ngramNoveltyFromHashes(
+      shingleTable(docs, n, idCol, textCol)
+        .select(col(idCol), hash60(col("s")).as("h")),
+      idCol)
+
+  /** Novelty from an already-hashed `(id, h)` DISTINCT gram table. A
+    * df=1 hash uniquely identifies its owning doc, so the document
+    * frequency aggregate carries `first(id)` and the unique-gram count
+    * becomes a DOC-scale groupBy — no gram-scale join back onto the
+    * posting table (the r11 shape shuffled the full gram table a second
+    * time to look up each gram's df; at crawl scale that second
+    * exchange is the dominant cost of the whole query).
+    */
+  def ngramNoveltyFromHashes(
+      grams: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val uniq = grams.groupBy("h")
+      .agg(count(lit(1)).as("df"), first(col(idCol)).as(idCol))
+      .where(col("df") === 1)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniq, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("novelty"))
   }
 
   /** Exact duplicate groups by content hash: one row per distinct
@@ -181,9 +197,19 @@ object Dedup {
     * that also need the shingles (e.g. LSH verify) tokenize once.
     */
   def minhashFromShingles(
-      shingleTbl: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
+      shingleTbl: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame =
+    minhashFromBaseHashes(
+      shingleTbl.select(col(idCol), baseHash(col("s")).as("h")),
+      numHashes, idCol)
+
+  /** Signatures from an already base-hashed `(id, h)` table (h =
+    * [[baseHash]] of the shingle) — the entry point for a session-staged
+    * shingle index, where the tokenize+hash pass ran once and was
+    * materialized for every dedup-family consumer.
+    */
+  def minhashFromBaseHashes(
+      hashed: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
     require(numHashes <= 64, "at most 64 hash permutations are wired")
-    val hashed = shingleTbl.select(col(idCol), baseHash(col("s")).as("h"))
     val aggs = (0 until numHashes).map { k =>
       min((lit(minhashA(k)) * col("h") + lit(minhashB(k))) % minhashP).as(s"mh$k")
     }
@@ -318,6 +344,25 @@ object Dedup {
       docs: DataFrame, isNew: Column, n: Int = 3, numHashes: Int = 8,
       rowsPerBand: Int = 2, threshold: Double = 0.1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = shingleTable(docs, n, idCol, textCol)
+    incrementalDedupFlagsFromHashes(docs, isNew,
+      st.select(col(idCol), hash60(col("s")).as("h"),
+        baseHash(col("s")).as("hb")),
+      numHashes, rowsPerBand, threshold, idCol, textCol)
+  }
+
+  /** [[incrementalDedupFlags]] over a prebuilt DISTINCT gram table
+    * `(id, h, hb)` (h = [[hash60]] for exact-overlap verify, hb =
+    * [[baseHash]] for the minhash signatures) — the session-staged-index
+    * entry point. The r11 shape re-derived the full shingle window pass
+    * in EVERY branch of the plan (signatures, both sides of the verify
+    * join, sizes), making d11 the most expensive query on the board;
+    * reading the staged table makes each branch a parquet scan.
+    */
+  def incrementalDedupFlagsFromHashes(
+      docs: DataFrame, isNew: Column, hashedGrams: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2, threshold: Double = 0.1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tagged = docs.withColumn("_is_new", isNew)
     val hashes = tagged.select(col(idCol), col("_is_new"),
       md5(normalize(col(textCol)).cast("binary")).as("content_md5"))
@@ -328,8 +373,8 @@ object Dedup {
       .join(corpusMd5, Seq("content_md5"), "left")
       .select(col(idCol),
         coalesce(col("_in_corpus"), lit(false)).as("is_exact_dup"))
-    val st = shingleTable(docs, n, idCol, textCol)
-    val sigs = minhashFromShingles(st, numHashes, idCol)
+    val sigs = minhashFromBaseHashes(
+      hashedGrams.select(col(idCol), col("hb").as("h")), numHashes, idCol)
     val bk = bandKeys(sigs, rowsPerBand, idCol)
     val newIds = tagged.where(col("_is_new")).select(col(idCol))
     val oldIds = tagged.where(!col("_is_new")).select(col(idCol))
@@ -339,7 +384,7 @@ object Dedup {
         Seq("band", "band_key"))
       .select("new_id", "old_id")
       .distinct()
-    val ex = st.select(col(idCol), hash60(col("s")).as("h"))
+    val ex = hashedGrams.select(col(idCol), col("h"))
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val near = cands
       .join(ex.select(col(idCol).as("new_id"), col("h")), "new_id")
@@ -415,13 +460,26 @@ object Dedup {
       docs: DataFrame, n: Int, threshold: Double, blockCol: String,
       idCol: String = "doc_id", textCol: String = "text",
       maxDfFraction: Option[Double] = None): DataFrame = {
-    require(threshold > 0.0, "inverted-index jaccard requires threshold > 0")
     // join/shuffle on a 60-bit hash of the shingle, not the string:
     // same result (both sides of the oracle hash identically), far
     // cheaper exchange keys
     val ex = shingleTable(docs, n, idCol, textCol, carryCols = Seq(blockCol))
       .select(col(blockCol).as("block"), col(idCol).as("id"),
         hash60(col("s")).as("s"))
+    ngramJaccardPairsFromIndex(
+      ex, docs.select(count(lit(1)).as("n_docs")), threshold, maxDfFraction)
+  }
+
+  /** [[ngramJaccardPairs]] over a prebuilt hashed posting table
+    * `(block, id, s)` (s = [[hash60]] of the DISTINCT shingle) — the
+    * entry point for a session-staged shingle index. `nDocs` is a
+    * one-row `(n_docs)` frame (the df-cap denominator; corpus count,
+    * not posting count).
+    */
+  def ngramJaccardPairsFromIndex(
+      ex: DataFrame, nDocs: DataFrame, threshold: Double,
+      maxDfFraction: Option[Double] = None): DataFrame = {
+    require(threshold > 0.0, "inverted-index jaccard requires threshold > 0")
     val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val index = maxDfFraction match {
       case None => ex
@@ -442,7 +500,6 @@ object Dedup {
         // driver-side job). df semantics (corpus-global, per distinct
         // (doc, shingle)) are unchanged.
         import graft.functions.VectorExpressions.sortedContains
-        val nDocs = docs.select(count(lit(1)).as("n_docs"))
         val stopGrams = ex.groupBy("s").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(nDocs))
           .where(col("df") > ceil(col("n_docs") * lit(f)))
@@ -480,9 +537,19 @@ object Dedup {
   def contaminationPairs(
       docs: DataFrame, n: Int, minShared: Long,
       evalPred: Column,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val st = shingleTable(docs, n, idCol, textCol)
-      .select(col(idCol), hash60(col("s")).as("h"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    contaminationPairsFromHashes(
+      shingleTable(docs, n, idCol, textCol)
+        .select(col(idCol), hash60(col("s")).as("h")),
+      docs, minShared, evalPred, idCol)
+
+  /** [[contaminationPairs]] over a prebuilt hashed `(id, h)` DISTINCT
+    * gram table — the session-staged-index entry point. `docs` supplies
+    * only the eval-split predicate columns.
+    */
+  def contaminationPairsFromHashes(
+      st: DataFrame, docs: DataFrame, minShared: Long,
+      evalPred: Column, idCol: String = "doc_id"): DataFrame = {
     val tagged = st.join(docs.select(col(idCol), evalPred.as("is_eval")), idCol)
     val train = tagged.where(!col("is_eval"))
       .select(col(idCol).as("train_id"), col("h"))
