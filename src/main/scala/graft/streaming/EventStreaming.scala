@@ -159,6 +159,30 @@ object EventStreaming {
           col("n_events"), col("session_value"))
     }
 
+  /** PRODUCTION-shape sessionization — the default entry point for an
+    * unbounded stream: the same session_window aggregate behind an
+    * event-time watermark in APPEND output mode, so each session row
+    * is emitted exactly ONCE (when the watermark passes its close =
+    * last event + gap) and its state-store entry is evicted. st4's
+    * complete-mode form re-emits EVERY session each micro-batch —
+    * linear-in-total-sessions per batch, honest only because the gate
+    * delivers one micro-batch; at production volume the re-emission
+    * alone would dwarf the input. Per-batch output here is bounded by
+    * sessions CLOSED in that batch (spec-verified across three
+    * micro-batches); the gate query keeps the complete form because a
+    * single micro-batch never advances the watermark past any session.
+    */
+  def sessionizedStream(
+      stream: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        (col("w.end") - expr(s"INTERVAL $gap")).as("session_last"),
+        col("n_events"), col("session_value"))
+
   /** Stream-stream inner join: each click matched to the same user's
     * purchases within ±30 minutes. Append output mode (the only mode
     * stream-stream joins support). BOTH sides carry a 2-hour watermark:

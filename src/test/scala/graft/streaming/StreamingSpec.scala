@@ -221,4 +221,64 @@ class StreamingSpec extends SparkSpec {
       spark.catalog.dropTempView("ttl_sink")
     }
   }
+
+  test("append-mode sessionization emits each closed session once, bounded per batch") {
+    // the production posture vs st4's complete-mode gate form: a
+    // session row appears exactly when the watermark passes its close,
+    // never again — per-batch output is bounded by sessions CLOSED in
+    // that batch, not by total sessions so far
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("stream_sess")
+    def writeBatch(
+        name: String,
+        rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sess_batch")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name))
+    }
+    val t0 = Timestamp.valueOf("2025-06-01 00:00:00")
+    def ts(hours: Double) =
+      new Timestamp(t0.getTime + (hours * 3600 * 1000).toLong)
+    // batch 1: two sessions (user 1: two events 10 min apart; user 2:
+    // one event) — both still OPEN (nothing beats the watermark yet)
+    writeBatch("b1.parquet", Seq(
+      (1L, ts(0.0), 1L, "click", 1.0, "{}"),
+      (2L, ts(1.0 / 6), 1L, "click", 2.0, "{}"),
+      (3L, ts(0.0), 2L, "view", 5.0, "{}")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = graft.streaming.EventStreaming.sessionizedStream(
+      spark.readStream.schema(schema).parquet(dir.toString))
+    val q = stream.writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_sink").count() == 0,
+        "no session may be emitted before the watermark passes its close")
+      // batch 2: an event at t0+10h moves the watermark to t0+8h —
+      // both batch-1 sessions close and emit; the new session stays open
+      writeBatch("b2.parquet", Seq((4L, ts(10.0), 1L, "click", 3.0, "{}")))
+      q.processAllAvailable()
+      val after2 = spark.table("sess_sink").collect()
+      assert(after2.length == 2,
+        s"exactly the two closed sessions emit, got ${after2.toSeq}")
+      // batch 3: watermark to t0+18h — the t0+10h session closes; the
+      // two already-emitted sessions must NOT re-emit
+      writeBatch("b3.parquet", Seq((5L, ts(20.0), 2L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val after3 = spark.table("sess_sink").collect()
+      assert(after3.length == 3,
+        s"one newly closed session per batch, no re-emission: ${after3.toSeq}")
+      val u1 = after3.filter(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Long]("n_events") == 2L)
+      assert(u1.length == 1 &&
+        u1.head.getAs[Double]("session_value") == 3.0,
+        s"user 1's first session aggregates both events once: ${after3.toSeq}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("sess_sink")
+    }
+  }
 }
