@@ -194,7 +194,11 @@ object QueriesExtended {
     */
   private def stagedClusters(s: SparkSession, dir: String): DataFrame = {
     val staged = TempDirs.cached(s"jaccardClusters:$dir") { d =>
-      Dedup.jaccardClusters(t(s, dir, "documents"))
+      // build from the session-staged shingle index: the one
+      // tokenize+hash pass is shared with d2/d3/d4/d9/d11/x36 instead
+      // of re-derived in every branch of the cluster plan
+      Dedup.jaccardClustersFromHashes(
+          QueriesTrainingData.stagedShingles(s, dir))
         .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$d/clusters")
     }

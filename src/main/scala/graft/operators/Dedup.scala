@@ -269,9 +269,24 @@ object Dedup {
       threshold: Double = 0.1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val st = shingleTable(docs, n, idCol, textCol)
-    val sigs = minhashFromShingles(st, numHashes, idCol)
+    jaccardClustersFromHashes(
+      st.select(col(idCol), hash60(col("s")).as("h"),
+        baseHash(col("s")).as("hb")),
+      numHashes, rowsPerBand, threshold, idCol)
+  }
+
+  /** [[jaccardClusters]] over a prebuilt DISTINCT gram table
+    * `(id, h, hb)` — the session-staged-index entry point (lets the
+    * cluster staging reuse the one materialized tokenize+hash pass
+    * instead of re-deriving the gram window in every plan branch).
+    */
+  def jaccardClustersFromHashes(
+      hashedGrams: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.1, idCol: String = "doc_id"): DataFrame = {
+    val sigs = minhashFromBaseHashes(
+      hashedGrams.select(col(idCol), col("hb").as("h")), numHashes, idCol)
     val cands = lshCandidates(sigs, rowsPerBand, idCol)
-    val ex = st.select(col(idCol), hash60(col("s")).as("h"))
+    val ex = hashedGrams.select(col(idCol), col("h"))
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(ex.select(col(idCol).as("a_id"), col("h")), "a_id")
