@@ -193,12 +193,13 @@ object QueriesExtended {
     * is deterministic), so the oracles are unchanged.
     */
   private def stagedClusters(s: SparkSession, dir: String): DataFrame = {
+    // build from the session-staged shingle index: the one tokenize+hash
+    // pass is shared with d2/d3/d4/d9/d11/x36 instead of re-derived in
+    // every branch of the cluster plan. Resolved BEFORE entering the
+    // cluster build so the dependency's own staging completes first.
+    val shingles = QueriesTrainingData.stagedShingles(s, dir)
     val staged = TempDirs.cached(s"jaccardClusters:$dir") { d =>
-      // build from the session-staged shingle index: the one
-      // tokenize+hash pass is shared with d2/d3/d4/d9/d11/x36 instead
-      // of re-derived in every branch of the cluster plan
-      Dedup.jaccardClustersFromHashes(
-          QueriesTrainingData.stagedShingles(s, dir))
+      Dedup.jaccardClustersFromHashes(shingles)
         .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$d/clusters")
     }
@@ -247,6 +248,62 @@ object QueriesExtended {
     * ingesting corpus runs per increment, with cost bounded by the
     * increment's band collisions, never corpus x corpus.
     */
+  /** End-to-end pretraining-corpus construction funnel — the composite
+    * a training-data pipeline publishes per snapshot, chaining the
+    * already-oracled stages over each other's survivor sets: exact
+    * dedup (d1 min-id per content md5) → near-dup canonicalization
+    * (d8 clusters, d10 quality-argmax survivor; a cluster whose
+    * globally elected canonical doc was itself dropped by exact dedup
+    * drops entirely — the canonical doc must survive earlier stages)
+    * → Gopher rules (x28 `kept`) → per-source 800-token budget (x23).
+    * Emits one row per stage: (stage, stage_name, n_docs, n_tokens).
+    *
+    * Scale shape: every stage is a semi-join of the survivor id set
+    * against per-doc flags already computed map-side or from the
+    * session-staged cluster table; the only window is the x23 budget
+    * running sum, partitioned per source. No stage widens a row beyond
+    * (id, n_toks).
+    */
+  private def p4PretrainFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val nToks = coalesce(
+      TextAnalysis.wsTokenCount(col("text")).cast("long"), lit(0L))
+    val base = d.select(col("doc_id"), col("source"), col("text"),
+      nToks.as("n_toks"))
+    val s1 = base.join(
+      Dedup.exactGroups(d).select(col("survivor_id").as("doc_id")), "doc_id")
+    val clusters = stagedClusters(s, dir)
+    val scored = d.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val survivors = clusters.join(scored, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("negid"),
+        col("doc_id").as("id"))).as("b"))
+      .select(col("b.id").as("doc_id"), lit(true).as("_surv"))
+    val s2 = s1
+      .join(clusters.select(col("doc_id"), lit(true).as("_clustered")),
+        Seq("doc_id"), "left")
+      .join(survivors, Seq("doc_id"), "left")
+      .where(col("_clustered").isNull || coalesce(col("_surv"), lit(false)))
+      .select(col("doc_id"), col("source"), col("text"), col("n_toks"))
+    val s3 = s2.join(
+      TextAnalysis.gopherFlags(d).where(col("kept")).select("doc_id"),
+      "doc_id")
+    val s4 = operators.Mixture.tokenBudgetSample(
+      s3.select("doc_id", "source", "text"), budgetTokens = 800L)
+    def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
+        .select(lit(idx).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    stage(0, "input", base)
+      .unionByName(stage(1, "exact_dedup", s1))
+      .unionByName(stage(2, "near_dedup", s2))
+      .unionByName(stage(3, "gopher", s3))
+      .unionByName(stage(4, "token_budget", s4))
+      .orderBy("stage")
+  }
+
   private def d11IncrementalDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedupFlagsFromHashes(t(s, dir, "documents"),
         isNew = col("doc_id") % 10 === 7,
@@ -643,6 +700,7 @@ object QueriesExtended {
     "d10_cluster_survivors" -> (d10ClusterSurvivors(_, _)),
     "d16_soft_dedup" -> (d16SoftDedup(_, _)),
     "d11_incremental_dedup" -> (d11IncrementalDedup(_, _)),
+    "p4_pretrain_funnel" -> (p4PretrainFunnel(_, _)),
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
     "st7_stream_dedup_ttl" -> (st7StreamDedupTtl(_, _)),
@@ -769,6 +827,71 @@ object QueriesExtended {
          |  round(1.0::DOUBLE / coalesce(cs.cluster_size, 1), 6) AS weight
          |FROM documents d LEFT JOIN cs USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "p4_pretrain_funnel" ->
+      s"""WITH RECURSIVE
+         |${OracleFragments.minhashSigsCte},
+         |${OracleFragments.dedupClustersCte(0.1)},
+         |nt AS (
+         |  SELECT doc_id, source,
+         |    CAST(coalesce(len(${OracleFragments.rawToksSqlNoNorm}), 0) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents
+         |), ex1 AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(${OracleFragments.normSql})
+         |), scored AS (
+         |  SELECT doc_id, ${OracleFragments.qualitySql} AS q FROM documents
+         |), surv AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |      row_number() OVER (PARTITION BY c.cluster_id
+         |        ORDER BY s.q DESC, c.doc_id) AS rn
+         |    FROM clusters c JOIN scored s USING (doc_id)) WHERE rn = 1
+         |), s2 AS (
+         |  SELECT e.doc_id FROM ex1 e
+         |  LEFT JOIN clusters c ON c.doc_id = e.doc_id
+         |  WHERE c.doc_id IS NULL OR e.doc_id IN (SELECT doc_id FROM surv)
+         |), gtoks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |gs AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |    round(sum(length(w))::DOUBLE / count(*), 6) AS mean_word_len,
+         |    round(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)::DOUBLE
+         |          / count(*), 6) AS frac_alpha_words,
+         |    count(DISTINCT CASE WHEN list_contains(${OracleFragments.stopListSql}, w)
+         |                        THEN w END) AS n_stop_distinct,
+         |    round(sum(CASE WHEN regexp_matches(w, '#|\\.\\.\\.') THEN 1 ELSE 0 END)::DOUBLE
+         |          / count(*), 6) AS symbol_word_ratio
+         |  FROM gtoks GROUP BY doc_id
+         |), gk AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN gs s USING (doc_id)
+         |  WHERE coalesce(s.n_words, 0) BETWEEN 50 AND 100000
+         |    AND coalesce(s.mean_word_len, 0.0) BETWEEN 3.0 AND 10.0
+         |    AND coalesce(s.frac_alpha_words, 0.0) >= 0.8
+         |    AND coalesce(s.n_stop_distinct, 0) >= 2
+         |    AND coalesce(s.symbol_word_ratio, 0.0) < 0.1
+         |), s3 AS (
+         |  SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM gk)
+         |), bt AS (
+         |  SELECT t.doc_id, t.n_toks,
+         |    sum(t.n_toks) OVER (PARTITION BY t.source
+         |      ORDER BY ('0x' || substr(md5('budget:' || t.doc_id::VARCHAR), 1, 15))::BIGINT,
+         |        t.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM nt t JOIN s3 USING (doc_id)
+         |), s4 AS (SELECT doc_id, n_toks FROM bt WHERE cum <= 800)
+         |SELECT 0 AS stage, 'input' AS stage_name, count(*) AS n_docs,
+         |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM nt
+         |UNION ALL SELECT 1, 'exact_dedup', count(*),
+         |  CAST(coalesce(sum(n.n_toks), 0) AS BIGINT)
+         |  FROM ex1 JOIN nt n USING (doc_id)
+         |UNION ALL SELECT 2, 'near_dedup', count(*),
+         |  CAST(coalesce(sum(n.n_toks), 0) AS BIGINT)
+         |  FROM s2 JOIN nt n USING (doc_id)
+         |UNION ALL SELECT 3, 'gopher', count(*),
+         |  CAST(coalesce(sum(n.n_toks), 0) AS BIGINT)
+         |  FROM s3 JOIN nt n USING (doc_id)
+         |UNION ALL SELECT 4, 'token_budget', count(*),
+         |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
+         |ORDER BY stage""".stripMargin,
     "d11_incremental_dedup" ->
       s"""WITH
          |${OracleFragments.minhashSigsCte},

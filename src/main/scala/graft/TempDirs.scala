@@ -23,17 +23,37 @@ import java.util.concurrent.ConcurrentHashMap
 object TempDirs {
 
   private val cache = new ConcurrentHashMap[String, String]()
+  private val locks = new ConcurrentHashMap[String, Object]()
   private val buildSecs = new ConcurrentHashMap[String, java.lang.Double]()
 
-  /** Directory holding the artifact for `key`, building it on first use. */
-  def cached(key: String)(build: String => Unit): String =
-    cache.computeIfAbsent(key, { _ =>
-      val dir = fresh("graft_scratch")
-      val t0 = System.nanoTime()
-      build(dir)
-      buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
-      dir
-    })
+  /** Directory holding the artifact for `key`, building it on first use.
+    *
+    * NOT computeIfAbsent on the artifact map: a build that itself calls
+    * `cached` for a DEPENDENCY (the cluster table builds from the staged
+    * shingle index) would nest computeIfAbsent on one ConcurrentHashMap —
+    * an IllegalStateException("Recursive update") whenever the two keys
+    * land in the same bin (bin-count-dependent, so it escaped the large
+    * bench JVM and surfaced in the test JVM). A per-key lock object
+    * (whose computeIfAbsent lambda calls nothing) serializes builders of
+    * the same key while letting dependent builds of other keys proceed.
+    */
+  def cached(key: String)(build: String => Unit): String = {
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = cache.get(key)
+      if (again != null) again
+      else {
+        val dir = fresh("graft_scratch")
+        val t0 = System.nanoTime()
+        build(dir)
+        buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+        cache.put(key, dir)
+        dir
+      }
+    }
+  }
 
   /** Seconds spent building each cached artifact this JVM, keyed by the
     * cache key's prefix (the part before the first ':'). Under min-of-N
