@@ -815,6 +815,41 @@ object QueriesTrainingData {
       .orderBy("bucket")
   }
 
+  /** Unigram distribution drift between two corpus snapshots (here the
+    * deterministic doc_id-parity halves — the c4 versioning pattern):
+    * per-token add-1-smoothed log-likelihood ratio, top 20 by
+    * magnitude — the distribution-shift report a pipeline runs before
+    * swapping in a new crawl snapshot (which tokens exploded, which
+    * vanished). Log terms are quantized to integer micro-nats (the
+    * x13 A-ES discipline) so both engines agree bit-for-bit despite
+    * libm ULP drift; top-k ties break on the token itself.
+    *
+    * Scale shape: one exchange on the token for the two-sided
+    * frequency table, a one-row broadcast of the totals, then a
+    * TakeOrdered top-20 — no global sort, nothing doc-scale past the
+    * first aggregate.
+    */
+  private def c7TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select((col("doc_id") % 2 === 0).as("in_a"),
+      explode(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))).as("w"))
+    val freq = toks.groupBy("w").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = freq.agg(sum("n_a").as("na"), sum("n_b").as("nb"),
+      count(lit(1)).as("v"))
+    freq.crossJoin(broadcast(tot))
+      .withColumn("llr_micro",
+        round((log((col("n_a") + 1).cast("double") /
+            (col("na") + col("v")).cast("double"))
+          - log((col("n_b") + 1).cast("double") /
+            (col("nb") + col("v")).cast("double"))) * 1e6)
+          .cast("long"))
+      .select(col("w").as("token"), col("n_a"), col("n_b"), col("llr_micro"))
+      .orderBy(abs(col("llr_micro")).desc, col("token"))
+      .limit(20)
+      .orderBy("token")
+  }
+
   /** Per-source lexical diversity: token count, distinct-token count,
     * and type-token ratio — the data-card signal for template-heavy
     * vs organic sources. One exchange on (source, token) for the
@@ -987,6 +1022,23 @@ object QueriesTrainingData {
   /** Per-doc corpus novelty (Dedup.ngramNovelty): fraction of each
     * doc's distinct 3-grams that no other doc contains.
     */
+  /** Length-bucketed dynamic batching (Mixture.lengthBatching): padding
+    * economics per batch — the layout that bounds padding waste by the
+    * bucket width instead of the corpus length spread.
+    */
+  private def x37LengthBatching(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.lengthBatching(docs(s, dir))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_toks").as("max_len"),
+        sum("n_toks").as("sum_len"))
+      .withColumn("waste_frac",
+        when(col("max_len") > 0,
+          round(lit(1.0) - col("sum_len").cast("double") /
+            (col("n_docs") * col("max_len")).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("bucket", "batch_id")
+
   private def x36NgramNovelty(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramNoveltyFromHashes(
         stagedShingles(s, dir).select(col("doc_id"), col("h")))
@@ -997,6 +1049,7 @@ object QueriesTrainingData {
     "x34_classifier_score" -> (x34ClassifierScore(_, _)),
     "x35_code_detect" -> (x35CodeDetect(_, _)),
     "x36_ngram_novelty" -> (x36NgramNovelty(_, _)),
+    "x37_length_batching" -> (x37LengthBatching(_, _)),
     "x1_token_stats" -> (x1TokenStats(_, _)),
     "x2_quality" -> (x2Quality(_, _)),
     "x3_langid" -> (x3LangId(_, _)),
@@ -1014,6 +1067,7 @@ object QueriesTrainingData {
     "x28_gopher_rules" -> (x28GopherRules(_, _)),
     "x29_lexical_diversity" -> (x29LexicalDiversity(_, _)),
     "c6_freq_spectrum" -> (c6FreqSpectrum(_, _)),
+    "c7_token_drift" -> (c7TokenDrift(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
@@ -1262,6 +1316,29 @@ object QueriesTrainingData {
          |    AS novelty
          |FROM gh JOIN dfreq USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x37_length_batching" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(${OracleFragments.rawToksSqlNoNorm}), 0) AS BIGINT)
+         |      AS n_toks,
+         |    ('0x' || substr(md5('lenbatch:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, n_toks, CAST(n_toks // 32 AS INT) AS bucket, h FROM t
+         |), r AS (
+         |  SELECT doc_id, n_toks, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS rn
+         |  FROM b
+         |), a AS (
+         |  SELECT bucket, CAST(rn // 8 AS BIGINT) AS batch_id, n_toks FROM r
+         |)
+         |SELECT bucket, batch_id, count(*) AS n_docs, max(n_toks) AS max_len,
+         |  CAST(sum(n_toks) AS BIGINT) AS sum_len,
+         |  CASE WHEN max(n_toks) > 0
+         |    THEN round(1.0 - sum(n_toks)::DOUBLE / (count(*) * max(n_toks)), 6)
+         |    ELSE 0.0 END AS waste_frac
+         |FROM a GROUP BY bucket, batch_id
+         |ORDER BY bucket, batch_id""".stripMargin,
     "x14_seq_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source,
@@ -1409,6 +1486,27 @@ object QueriesTrainingData {
          |  (1::BIGINT << (length(bin(cf)) - 1)) AS count_lo,
          |  count(*) AS n_tokens, sum(cf)::BIGINT AS token_mass
          |FROM freq GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "c7_token_drift" ->
+      s"""WITH toks AS (
+         |  SELECT (doc_id % 2 = 0) AS in_a, unnest($toksSql) AS w FROM documents
+         |), freq AS (
+         |  SELECT w, sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS n_b
+         |  FROM toks GROUP BY w
+         |), tot AS (
+         |  SELECT sum(n_a)::BIGINT AS na, sum(n_b)::BIGINT AS nb,
+         |    count(*)::BIGINT AS v
+         |  FROM freq
+         |), sc AS (
+         |  SELECT w AS token, n_a, n_b,
+         |    CAST(round((ln((n_a + 1)::DOUBLE / (na + v))
+         |      - ln((n_b + 1)::DOUBLE / (nb + v))) * 1e6) AS BIGINT) AS llr_micro
+         |  FROM freq, tot
+         |), topk AS (
+         |  SELECT token, n_a, n_b, llr_micro FROM sc
+         |  ORDER BY abs(llr_micro) DESC, token LIMIT 20
+         |)
+         |SELECT token, n_a, n_b, llr_micro FROM topk ORDER BY token""".stripMargin,
     "x29_lexical_diversity" ->
       s"""WITH toks AS (SELECT source, unnest($toksSql) AS w FROM documents)
          |SELECT source, count(*) AS n_tokens, count(DISTINCT w) AS n_types,

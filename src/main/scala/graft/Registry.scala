@@ -466,6 +466,22 @@ object Registry {
             org.apache.spark.sql.functions.col("cluster_size"),
             org.apache.spark.sql.functions.col("weight")), Seq(id))
     },
+    "length_batching" -> { c => df =>
+      // length-bucketed dynamic batching (x37): annotate each doc with
+      // (n_toks, bucket, batch_id, slot) so a downstream loader writes
+      // padding-efficient batches. Annotate-don't-drop, the
+      // soft_dedup_weights contract: pre-existing columns of the same
+      // names are overwritten, never duplicated.
+      import org.apache.spark.sql.functions.col
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val batch = int(c, "batch_size").getOrElse(8)
+      val bucket = int(c, "bucket_tokens").getOrElse(32)
+      df.drop("n_toks", "bucket", "batch_id", "slot")
+        .join(operators.Mixture.lengthBatching(df, batch, bucket, id, text)
+          .select(col(id), col("n_toks"), col("bucket"),
+            col("batch_id"), col("slot")), Seq(id))
+    },
     "lang_filter" -> { c => df =>
       import org.apache.spark.sql.functions._
       val text = str(c, "text_column").getOrElse("text")

@@ -101,6 +101,51 @@ object Mixture {
       .drop("h")
   }
 
+  /** Length-bucketed batch assignment — the dynamic-batching layout
+    * that minimizes padding waste: documents are bucketed by token
+    * count (linear 32-token buckets), deterministically shuffled
+    * within each bucket (60-bit hash order, the [[shuffleShards]]
+    * discipline), and grouped into fixed-size batches. Since batch
+    * members share a bucket, max_len - each_len < bucket width, so
+    * padding waste per batch is bounded by width/max_len regardless of
+    * the corpus's length distribution — vs unsorted batching where one
+    * long doc pads the whole batch to its length.
+    *
+    * Emits one row per doc: (id, n_toks, bucket, batch_id, slot).
+    * Scale shape: one shuffle (the per-bucket window) keyed on the
+    * bucket id; everything else is per-row column math. Bucket count
+    * grows with max document length, not corpus size; within-bucket
+    * skew is bounded because a batch is a CONSECUTIVE run of the
+    * hash order — at 1000-executor scale the window can be replaced
+    * by the bucketed two-pass rank (the t14 pattern) if one bucket
+    * dominates.
+    */
+  def lengthBatching(
+      docs: DataFrame, batchSize: Int = 8, bucketTokens: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(bucketTokens > 0, "bucketTokens must be positive")
+    val nToks = coalesce(
+      size(TextAnalysis.wsTokens(col(textCol))).cast("long"), lit(0L))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("_h"), col(idCol))
+    docs
+      .select(col(idCol), nToks.as("n_toks"),
+        Dedup.hash60(concat(lit("lenbatch:"), col(idCol).cast("string")))
+          .as("_h"))
+      // both engines compute the same IEEE quotient and floor it (the
+      // cast truncates toward zero; counts are non-negative), so the
+      // bucket id is engine-independent; log2-style bucketing was
+      // rejected exactly because ln-ratio ULP drift can flip a ceil
+      // across engines at power-of-two boundaries
+      .withColumn("bucket",
+        (col("n_toks").cast("double") / lit(bucketTokens.toDouble))
+          .cast("long").cast("int"))
+      .withColumn("_rn", row_number().over(w) - 1)
+      .withColumn("batch_id", (col("_rn") / lit(batchSize)).cast("long"))
+      .withColumn("slot", (col("_rn") % lit(batchSize)).cast("int"))
+      .drop("_h", "_rn")
+  }
+
   /** Deterministic train/valid/test assignment: bucket = 60-bit
     * hash("split:" || id) mod 1e6, and each named split owns the
     * cumulative-fraction range its order implies — (["train", .9],

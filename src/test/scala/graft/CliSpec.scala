@@ -11,7 +11,8 @@ class CliSpec extends SparkSpec {
       "classifier_filter", "code_filter", "decom",
       "decontaminate", "domain_cap", "dsir_sample",
       "dup_span_strip", "entropy_filter", "exact_dedup", "gopher_filter",
-      "hash_split", "lang_filter", "line_dedup", "near_dedup", "novelty_filter",
+      "hash_split", "lang_filter", "length_batching", "line_dedup",
+      "near_dedup", "novelty_filter",
       "pack_sequences",
       "perplexity_filter", "pii_redact", "quality_filter", "quality_quantile_filter",
       "repetition_filter", "semantic_dedup", "simhash_dedup",

@@ -40,7 +40,8 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "x15_source_mix" -> "rate table broadcast: one row per source",
     "t9_string_decom" -> "parameter-definition fan-out: config-sized broadcast",
     "x31_ccnet_buckets" -> "corpus token-total scalar broadcast: 1 row (the x13 LM)",
-    "x32_unimax_mix" -> "water-level scalar broadcast: 1 row"
+    "x32_unimax_mix" -> "water-level scalar broadcast: 1 row",
+    "c7_token_drift" -> "two-sided token-total scalar broadcast: 1 row"
   )
 
   test("no registry query plans a CartesianProduct, a ScalaUDF, " +
