@@ -979,6 +979,53 @@ object QueriesTrainingData {
       md5(col("text").cast("binary")).cast("binary").as("payload"),
       col("source"))
 
+  /** Interleaved multimodal sequence assembly — the VLM training
+    * layout: each document's text is cut into non-overlapping 64-token
+    * chunks and its media item is spliced in at a deterministic
+    * position (doc_id mod (n_chunks+1)), with per-modality token costs
+    * (image 64 / audio 128 / video 256 "vision tokens"). One row per
+    * sequence element: (doc_id, seq_pos, modality, n_tokens, fp) —
+    * exactly the manifest a sequence packer consumes downstream.
+    *
+    * Scale shape: chunking is an explode (map-side), the splice is
+    * per-row arithmetic off a per-doc chunk count, and the union
+    * shuffles once on doc_id for the ordered write; media payloads are
+    * reduced to a fingerprint BEFORE the union, so bytes never ride
+    * the exchange (the m3 discipline).
+    */
+  private def m5Interleaved(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"),
+        size(TextAnalysis.wsTokens(TextAnalysis.normalize(col("text"))))
+          .as("n_toks"))
+      .withColumn("n_chunks",
+        when(col("n_toks") > 0,
+          ((col("n_toks") - 1) / lit(64)).cast("long") + 1).otherwise(lit(0L)))
+      .withColumn("insert_pos",
+        (col("doc_id") % (col("n_chunks") + 1)).cast("int"))
+      .select("doc_id", "insert_pos")
+    val textEl = operators.Mixture.chunkDocuments(d, chunkTokens = 64)
+      .join(base, "doc_id")
+      .select(col("doc_id"),
+        (col("chunk_id") +
+          when(col("chunk_id") >= col("insert_pos"), 1).otherwise(0))
+          .cast("int").as("seq_pos"),
+        lit("text").as("modality"),
+        col("chunk_len").cast("long").as("n_tokens"),
+        md5(col("chunk_text").cast("binary")).as("fp"))
+    val mediaEl = mediaDf(s, dir)
+      .join(base, col("media_id") === col("doc_id"))
+      .select(col("doc_id"), col("insert_pos").as("seq_pos"),
+        col("media_type").as("modality"),
+        when(col("media_type") === "image", 64L)
+          .when(col("media_type") === "audio", 128L)
+          .otherwise(256L).as("n_tokens"),
+        // payload is the md5 hex string's ascii bytes (m1 contract);
+        // casting back to string recovers the hex fingerprint
+        col("payload").cast("string").as("fp"))
+    textEl.unionByName(mediaEl).orderBy("doc_id", "seq_pos")
+  }
+
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMeta(mediaDf(s, dir))
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
@@ -1097,6 +1144,7 @@ object QueriesTrainingData {
     "p2_web_pipeline" -> (p2WebPipeline(_, _)),
     "m1_media_meta" -> (m1MediaMeta(_, _)),
     "m2_media_features" -> (m2MediaFeatures(_, _)),
+    "m5_interleaved" -> (m5Interleaved(_, _)),
     "c4_corpus_diff" -> (c4CorpusDiff(_, _)),
     "c5_mix_entropy" -> (c5MixEntropy(_, _)),
     "p3_update_pipeline" -> (p3UpdatePipeline(_, _)),
@@ -2233,6 +2281,41 @@ object QueriesTrainingData {
     "m2_media_features" ->
       """SELECT doc_id AS media_id, 16 AS feature_dim
         |FROM documents ORDER BY media_id""".stripMargin,
+    "m5_interleaved" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), ins AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id % ((CASE WHEN len(t) > 0
+         |      THEN (len(t) - 1) // 64 + 1 ELSE 0 END) + 1) AS INT) AS insert_pos
+         |  FROM toks
+         |), starts AS (
+         |  SELECT doc_id, t, unnest(range(0, len(t), 64)) AS st
+         |  FROM toks WHERE len(t) > 0
+         |), chunks AS (
+         |  SELECT doc_id, CAST(st // 64 AS INT) AS chunk_id,
+         |    CAST(least(64, len(t) - st) AS BIGINT) AS chunk_len,
+         |    array_to_string(t[st + 1 : st + 64], ' ') AS chunk_text
+         |  FROM starts
+         |), textel AS (
+         |  SELECT c.doc_id,
+         |    CAST(c.chunk_id + CASE WHEN c.chunk_id >= i.insert_pos
+         |      THEN 1 ELSE 0 END AS INT) AS seq_pos,
+         |    'text' AS modality, c.chunk_len AS n_tokens,
+         |    md5(c.chunk_text) AS fp
+         |  FROM chunks c JOIN ins i USING (doc_id)
+         |), mediael AS (
+         |  SELECT d.doc_id, i.insert_pos AS seq_pos,
+         |    CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |      ELSE 'video' END AS modality,
+         |    (CASE d.doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 128
+         |      ELSE 256 END)::BIGINT AS n_tokens,
+         |    md5(d.text) AS fp
+         |  FROM documents d JOIN ins i USING (doc_id)
+         |)
+         |SELECT doc_id, seq_pos, modality, n_tokens, fp FROM (
+         |  SELECT * FROM textel UNION ALL SELECT * FROM mediael)
+         |ORDER BY doc_id, seq_pos""".stripMargin,
     "x30_c4_rules" ->
       s"""WITH tl AS (
          |  SELECT doc_id, $rawToksLowerSql AS toks FROM documents
