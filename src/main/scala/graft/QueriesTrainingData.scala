@@ -258,6 +258,37 @@ object QueriesTrainingData {
       .orderBy("a_id", "b_id")
   }
 
+  /** Asymmetric containment pairs: for each LSH candidate pair, the
+    * fraction of EACH side's distinct shingles that is shared — the
+    * quote/subset detector. A short doc embedded in a long one has
+    * containment ~1.0 on the short side while its Jaccard (union-
+    * normalized) stays far below any dedup threshold, so d4 never
+    * flags it. Candidates come from the same banded minhash collisions
+    * as d4 (symmetric LSH under-recalls EXTREME size asymmetry — the
+    * standard trade, worth stating); the verify join on the staged
+    * 60-bit hashes is exact, and the emit threshold is
+    * either-direction containment >= 0.5.
+    */
+  private def d17Containment(s: SparkSession, dir: String): DataFrame = {
+    val st = stagedShingles(s, dir)
+    val sigs = Dedup.minhashFromBaseHashes(
+      st.select(col("doc_id"), col("hb").as("h")), numHashes = 8)
+    val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
+    val ex = st.select(col("doc_id"), col("h"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cands
+      .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"), col("inter"),
+        round(col("inter").cast("double") / col("a_sz"), 6).as("cont_a"),
+        round(col("inter").cast("double") / col("b_sz"), 6).as("cont_b"))
+      .where(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
   private def d5Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashTable(docs(s, dir)).orderBy("doc_id")
 
@@ -1121,6 +1152,7 @@ object QueriesTrainingData {
     "d15_dup_spans" -> (d15DupSpans(_, _)),
     "d3_minhash_sig" -> (d3MinhashSig(_, _)),
     "d4_lsh_pairs" -> (d4LshPairs(_, _)),
+    "d17_containment" -> (d17Containment(_, _)),
     "d5_simhash" -> (d5Simhash(_, _)),
     "d6_simhash_pairs" -> (d6SimhashPairs(_, _)),
     "d7_embed_dup" -> (d7EmbedDup(_, _)),
@@ -1959,6 +1991,33 @@ object QueriesTrainingData {
          |LEFT JOIN inter ON inter.a_id = c.a_id AND inter.b_id = c.b_id
          |JOIN sz sa ON sa.doc_id = c.a_id JOIN sz sb ON sb.doc_id = c.b_id
          |ORDER BY c.a_id, c.b_id""".stripMargin,
+    "d17_containment" ->
+      s"""WITH $minhashSigsCte,
+         |bands AS (
+         |  SELECT doc_id, k // 2 AS band,
+         |    string_agg(k || ':' || minhash, ',' ORDER BY k) AS band_key
+         |  FROM sigs GROUP BY doc_id, k // 2
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), exh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM exh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS i
+         |  FROM cands c JOIN exh ea ON ea.doc_id = c.a_id
+         |               JOIN exh eb ON eb.doc_id = c.b_id AND eb.h = ea.h
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a_id, i.b_id, sa.sz AS a_sz, sb.sz AS b_sz, i.i AS inter,
+         |  round(i.i::DOUBLE / sa.sz, 6) AS cont_a,
+         |  round(i.i::DOUBLE / sb.sz, 6) AS cont_b
+         |FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+         |             JOIN sz sb ON sb.doc_id = i.b_id
+         |WHERE round(i.i::DOUBLE / sa.sz, 6) >= 0.5
+         |   OR round(i.i::DOUBLE / sb.sz, 6) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
     "d5_simhash" ->
       s"""WITH $simhashSigsCte
          |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin,
