@@ -1235,4 +1235,82 @@ class TrainingDataSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keep == Set(0L), s"keep kept $keep")
   }
+
+  test("code_filter routes NULL text to the prose side: keep ∪ drop = input") {
+    import org.json4s.jackson.JsonMethods.parse
+    val df = Seq(
+      (0L, "def f(x): { return x; }; import os; const y = 1;"),
+      (1L, "plain prose with no symbols at all"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(2L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    def ids(mode: String) =
+      graft.Registry.transformers("code_filter")(parse(mode))(df)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val drop = ids("{}")
+    val keep = ids("""{"mode": "keep"}""")
+    assert((drop ++ keep) == Set(0L, 1L, 2L) && (drop & keep).isEmpty,
+      s"modes must partition the input: drop=$drop keep=$keep")
+    assert(drop.contains(2L), "NULL text routes to the prose (drop-survivor) side")
+  }
+
+  test("lengthBatching: every doc assigned once, batches bounded, spread ≤ bucket width") {
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill((i % 37).toInt + 1)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Mixture.lengthBatching(docs, batchSize = 8, bucketTokens = 16)
+      .collect()
+    assert(out.length == 200 &&
+      out.map(_.getAs[Long]("doc_id")).distinct.length == 200,
+      "exactly one assignment per doc")
+    val byBatch = out.groupBy(r =>
+      (r.getAs[Int]("bucket"), r.getAs[Long]("batch_id")))
+    assert(byBatch.values.forall(_.length <= 8), "batch size bound")
+    byBatch.foreach { case ((bucket, _), rows) =>
+      val lens = rows.map(_.getAs[Long]("n_toks"))
+      assert(lens.max - lens.min < 16,
+        s"bucket $bucket batch spread ${lens.max - lens.min} >= width")
+      assert(lens.forall(l => l / 16 == bucket.toLong), "bucket id consistent")
+      // slots are a permutation of 0..n-1 within the batch
+      assert(rows.map(_.getAs[Int]("slot")).sorted.toSeq ==
+        (0 until rows.length), "slot numbering")
+    }
+    // batches within a bucket fill densely: only the LAST batch is short
+    byBatch.keys.groupBy(_._1).foreach { case (bucket, keys) =>
+      val sizes = keys.toSeq.sortBy(_._2).map(byBatch(_).length)
+      assert(sizes.init.forall(_ == 8),
+        s"bucket $bucket has a short non-final batch: $sizes")
+    }
+  }
+
+  test("containment flags a quoted subset that jaccard keeps below threshold") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val df = Seq((0L, short, "a"), (1L, long, "a"),
+      (2L, "entirely different words everywhere here now", "a"))
+      .toDF("doc_id", "text", "source")
+    val st = Dedup.shingleTable(df, 3)
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"),
+        Dedup.baseHash(col("s")).as("hb"))
+    val inter = st.where(col("doc_id") === 0L).select("h")
+      .intersect(st.where(col("doc_id") === 1L).select("h")).count()
+    val szA = st.where(col("doc_id") === 0L).count()
+    val szB = st.where(col("doc_id") === 1L).count()
+    val contA = inter.toDouble / szA
+    val jac = inter.toDouble / (szA + szB - inter)
+    assert(contA == 1.0, s"short doc fully contained: $contA")
+    assert(jac < 0.2, s"jaccard stays under a dedup threshold: $jac")
+    // and the documented d17 caveat, pinned: at THIS extreme asymmetry
+    // the minhash agreement rate ≈ jaccard (~0.15), so the symmetric
+    // banded LSH deterministically does NOT surface the pair — the
+    // reason d17's scaladoc states containment recall is bounded by
+    // the candidate generator, and extreme subsets need the d15
+    // dup-span machinery instead
+    val sigs = Dedup.minhashFromBaseHashes(
+      st.select(col("doc_id"), col("hb").as("h")), numHashes = 8)
+    val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((0L, 1L)),
+      s"extreme-asymmetry pair banding is the documented recall gap: $cands")
+  }
 }
