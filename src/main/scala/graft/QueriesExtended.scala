@@ -218,9 +218,14 @@ object QueriesExtended {
     * argmax(quality, then min id) via one struct-max aggregate over the
     * d8 closure.
     */
-  private def d10ClusterSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val scored = d.select(col("doc_id"),
+  /** The d10 survivor election — argmax(quality, then min id) per
+    * near-dup cluster — as ONE shared definition, so p4's near-dedup
+    * stage provably keeps exactly the docs d10 elects (both are
+    * documented as "the already-oracled stage"; a one-sided edit to
+    * the tie-break would otherwise silently desynchronize them).
+    */
+  private def survivorElection(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("q"))
     stagedClusters(s, dir)
       .join(scored, "doc_id")
@@ -230,8 +235,10 @@ object QueriesExtended {
           col("doc_id").as("id"))).as("b"))
       .select(col("cluster_id"), col("b.id").as("survivor_id"),
         col("b.q").as("best_quality"), col("n_members"))
-      .orderBy("cluster_id")
   }
+
+  private def d10ClusterSurvivors(s: SparkSession, dir: String): DataFrame =
+    survivorElection(s, dir).orderBy("cluster_id")
 
   /** Soft dedup (Dedup.softDedupWeights): every doc down-weighted to
     * 1/|near-dup cluster| instead of dropped — the SlimPajama-style
@@ -273,13 +280,8 @@ object QueriesExtended {
     val s1 = base.join(
       Dedup.exactGroups(d).select(col("survivor_id").as("doc_id")), "doc_id")
     val clusters = stagedClusters(s, dir)
-    val scored = d.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("q"))
-    val survivors = clusters.join(scored, "doc_id")
-      .groupBy("cluster_id")
-      .agg(max(struct(col("q"), (-col("doc_id")).as("negid"),
-        col("doc_id").as("id"))).as("b"))
-      .select(col("b.id").as("doc_id"), lit(true).as("_surv"))
+    val survivors = survivorElection(s, dir)
+      .select(col("survivor_id").as("doc_id"), lit(true).as("_surv"))
     val s2 = s1
       .join(clusters.select(col("doc_id"), lit(true).as("_clustered")),
         Seq("doc_id"), "left")

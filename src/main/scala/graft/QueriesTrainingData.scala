@@ -234,13 +234,18 @@ object QueriesTrainingData {
         numHashes = 8)
       .orderBy("doc_id", "k")
 
-  private def d4LshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared LSH-verify scaffold for d4/d17: banded minhash candidate
+    * pairs from the staged index, exact-verified on the 60-bit hashes —
+    * one row per candidate pair with (a_id, b_id, inter, a_sz, b_sz),
+    * inter = 0 for band collisions with no shared shingle. Extracting
+    * this keeps the two queries' candidate sets provably identical
+    * (and their oracles mirror the same CTE chain).
+    */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val st = stagedShingles(s, dir) // staged index: every branch scans parquet
     val sigs = Dedup.minhashFromBaseHashes(
       st.select(col("doc_id"), col("hb").as("h")), numHashes = 8)
     val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
-    // exact Jaccard verify on the surviving candidates only, via the
-    // hashed inverted index (same 60-bit hash as the oracle)
     val ex = st.select(col("doc_id"), col("h"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
@@ -252,11 +257,17 @@ object QueriesTrainingData {
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("a_sz") + col("b_sz") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        col("a_sz"), col("b_sz"))
+  }
+
+  private def d4LshPairs(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(s, dir)
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter")).cast("double"), 6)
           .as("jaccard_sim"))
       .orderBy("a_id", "b_id")
-  }
 
   /** Asymmetric containment pairs: for each LSH candidate pair, the
     * fraction of EACH side's distinct shingles that is shared — the
@@ -269,25 +280,13 @@ object QueriesTrainingData {
     * 60-bit hashes is exact, and the emit threshold is
     * either-direction containment >= 0.5.
     */
-  private def d17Containment(s: SparkSession, dir: String): DataFrame = {
-    val st = stagedShingles(s, dir)
-    val sigs = Dedup.minhashFromBaseHashes(
-      st.select(col("doc_id"), col("hb").as("h")), numHashes = 8)
-    val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
-    val ex = st.select(col("doc_id"), col("h"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    cands
-      .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
-      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+  private def d17Containment(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(s, dir)
       .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"), col("inter"),
         round(col("inter").cast("double") / col("a_sz"), 6).as("cont_a"),
         round(col("inter").cast("double") / col("b_sz"), 6).as("cont_b"))
       .where(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
       .orderBy("a_id", "b_id")
-  }
 
   private def d5Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashTable(docs(s, dir)).orderBy("doc_id")
