@@ -241,25 +241,9 @@ object QueriesTrainingData {
     * this keeps the two queries' candidate sets provably identical
     * (and their oracles mirror the same CTE chain).
     */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val st = stagedShingles(s, dir) // staged index: every branch scans parquet
-    val sigs = Dedup.minhashFromBaseHashes(
-      st.select(col("doc_id"), col("hb").as("h")), numHashes = 8)
-    val cands = Dedup.lshCandidates(sigs, rowsPerBand = 2)
-    val ex = st.select(col("doc_id"), col("h"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
-      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    cands
-      .join(inter, Seq("a_id", "b_id"), "left")
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        coalesce(col("inter"), lit(0L)).as("inter"),
-        col("a_sz"), col("b_sz"))
-  }
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshVerifiedPairsFromHashes(
+      stagedShingles(s, dir)) // staged index: every branch scans parquet
 
   private def d4LshPairs(s: SparkSession, dir: String): DataFrame =
     lshVerifiedPairs(s, dir)

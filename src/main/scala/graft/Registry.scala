@@ -466,6 +466,16 @@ object Registry {
             org.apache.spark.sql.functions.col("cluster_size"),
             org.apache.spark.sql.functions.col("weight")), Seq(id))
     },
+    "containment_dedup" -> { c => df =>
+      // quote/subset removal (the d17 signal as a stage): drop docs
+      // whose distinct shingles are >= threshold contained in a larger
+      // doc — what union-normalized near_dedup cannot express.
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val n = int(c, "ngram").getOrElse(3)
+      val thr = (c \ "threshold").extractOpt[Double].getOrElse(0.8)
+      operators.Dedup.containmentDedup(df, n, thr, idCol = id, textCol = text)
+    },
     "length_batching" -> { c => df =>
       // length-bucketed dynamic batching (x37): annotate each doc with
       // (n_toks, bucket, batch_id, slot) so a downstream loader writes

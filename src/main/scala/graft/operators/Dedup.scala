@@ -251,6 +251,65 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded-minhash candidate pairs with exact shared-shingle
+    * verification, from a prebuilt DISTINCT gram table `(id, h, hb)` —
+    * the shared scaffold under LSH jaccard pairs (d4), containment
+    * pairs (d17), and the `containment_dedup` stage. One row per
+    * band-collision pair: (a_id, b_id, inter, a_sz, b_sz), inter = 0
+    * for collisions with no shared shingle. Cost is bounded by band
+    * collisions; the verify join runs on 60-bit hashes only.
+    */
+  def lshVerifiedPairsFromHashes(
+      hashedGrams: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    val sigs = minhashFromBaseHashes(
+      hashedGrams.select(col(idCol), col("hb").as("h")), numHashes, idCol)
+    val cands = lshCandidates(sigs, rowsPerBand, idCol)
+    val ex = hashedGrams.select(col(idCol), col("h"))
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(ex.select(col(idCol).as("a_id"), col("h")), "a_id")
+      .join(ex.select(col(idCol).as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    cands
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        col("a_sz"), col("b_sz"))
+  }
+
+  /** Containment-based duplicate REMOVAL: drop every doc whose distinct
+    * shingles are >= `threshold` contained in a LARGER doc (ties on
+    * size drop the larger id) — the quote/subset cleanup union-
+    * normalized Jaccard dedup cannot express. Candidates come from the
+    * banded minhash collisions, so recall at extreme size asymmetry is
+    * bounded by the candidate generator (see d17's caveat; extreme
+    * subsets are d15 dup-span territory). Returns the surviving docs.
+    */
+  def containmentDedup(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = shingleTable(docs, n, idCol, textCol)
+      .select(col(idCol), hash60(col("s")).as("h"), baseHash(col("s")).as("hb"))
+    val pairs = lshVerifiedPairsFromHashes(st, numHashes, rowsPerBand, idCol)
+      .withColumn("cont_a", col("inter").cast("double") / col("a_sz"))
+      .withColumn("cont_b", col("inter").cast("double") / col("b_sz"))
+    // a_id < b_id by construction, so the equal-size tie drops b
+    val dropA = col("cont_a") >= threshold &&
+      (col("a_sz") < col("b_sz"))
+    val dropB = col("cont_b") >= threshold &&
+      (col("b_sz") <= col("a_sz"))
+    val losers = pairs
+      .select(explode(array(when(dropA, col("a_id")),
+        when(dropB, col("b_id")))).as(idCol))
+      .where(col(idCol).isNotNull)
+      .distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity between two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

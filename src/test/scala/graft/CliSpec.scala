@@ -8,7 +8,7 @@ class CliSpec extends SparkSpec {
     assert(Registry.allStages("extractors") == Seq("binary", "csv", "jsonl", "orc", "parquet"))
     assert(Registry.allStages("transformers") == Seq("apid_filter", "c4_clean",
       "calibration", "ccnet_bucket_filter", "chunk_documents",
-      "classifier_filter", "code_filter", "decom",
+      "classifier_filter", "code_filter", "containment_dedup", "decom",
       "decontaminate", "domain_cap", "dsir_sample",
       "dup_span_strip", "entropy_filter", "exact_dedup", "gopher_filter",
       "hash_split", "lang_filter", "length_batching", "line_dedup",

@@ -1313,4 +1313,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(!cands.contains((0L, 1L)),
       s"extreme-asymmetry pair banding is the documented recall gap: $cands")
   }
+
+  test("containmentDedup drops the contained doc and keeps the superset + unrelated") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val long = short + " lambda mu nu" // moderate asymmetry: bands collide
+    val df = Seq((0L, short), (1L, long),
+      (2L, "entirely different words everywhere around here today"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.containmentDedup(df, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"short quoted doc must drop: kept $kept")
+    // identical docs: the larger id drops (deterministic tie-break)
+    val dup = Seq((10L, short), (11L, short)).toDF("doc_id", "text")
+    val keptDup = Dedup.containmentDedup(dup, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDup == Set(10L), s"equal-size tie drops the larger id: $keptDup")
+    // registry stage wires the same semantics
+    import org.json4s.jackson.JsonMethods.parse
+    val viaStage = graft.Registry.transformers("containment_dedup")(
+      parse("{}"))(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaStage == Set(1L, 2L), s"stage: $viaStage")
+  }
 }
