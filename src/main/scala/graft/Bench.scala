@@ -34,7 +34,17 @@ import org.apache.spark.sql.SparkSession
   *     unchanged in round 6 — cached/broadcast state accumulated across
   *     85 queries is the suspected channel, so each family starts from
   *     a clean cache and a GC'd heap (GC also lets the ContextCleaner
-  *     reclaim stale broadcasts).
+  *     reclaim stale broadcasts);
+  *   - all TempDirs.cached artifacts are built in a dedicated PRE-STAGE
+  *     pass before the timed loop (full runs), so build side-effects
+  *     (GC wake, heap churn, build shuffle files) never land inside a
+  *     query's reps or its neighbors'; build cost is recorded in the
+  *     "staging" map exactly as before;
+  *   - a POLLUTION GUARD re-measures any query reading >1.5x its
+  *     frozen-baseline entry in a fresh region and records the min of
+  *     both regions (adjudication in the "repolled" map) — sustained
+  *     same-region pollution defeats the rep-disagreement rule because
+  *     every rep in the region reads high.
   */
 object Bench {
 
@@ -103,6 +113,46 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(s =>
+      s.contains(name) || s.contains(name.takeWhile(_ != '_')))
+
+    // Pre-stage EVERY TempDirs.cached artifact in a dedicated pass
+    // BEFORE the per-query loop (r12 verdict item 1). The builds were
+    // already excluded from the recorded minima (they ran inside a
+    // discarded first rep) and their cost recorded in the staging map —
+    // but their SIDE-EFFECTS (executor heap churn, GC wake, build
+    // shuffle files) bled into the first touching query's own reps and
+    // its neighbors: d6's official 5.99 s vs 2.05 s in judge isolation,
+    // r11's c3/t14. Building everything up front, then clearing cache
+    // and GC'ing once, gives the timed loop a clean heap. The staging
+    // map is populated exactly as before (TempDirs times each build).
+    // Subset runs (SPARK_GRAFT_ONLY, e.g. targeted sf3 brackets) skip
+    // the artifacts their queries don't touch by default — the lazy
+    // in-rep path still works and still records — unless
+    // SPARK_GRAFT_PRESTAGE=1 forces the full pass.
+    if (only.isEmpty || sys.env.get("SPARK_GRAFT_PRESTAGE").contains("1")) {
+      val stagers: Seq[(String, () => Any)] = Seq(
+        // shingles first: the cluster build reads the staged index
+        "shingles3" -> (() => QueriesTrainingData.stagedShingles(spark, sfDir)),
+        "jaccardClusters" -> (() => QueriesExtended.stagedClusters(spark, sfDir)),
+        "synthPackets" -> (() => QueriesTelemetry.synthPackets(spark, sfDir)),
+        "t15" -> (() => QueriesTelemetry.stagedCcsdsFiles(spark, sfDir)),
+        "jsonl" -> (() => QueriesTrainingData.stagedJsonl(spark, sfDir)),
+        "jsonl_new" -> (() => QueriesTrainingData.stagedJsonlNew(spark, sfDir)),
+        "lineDf" -> (() => QueriesTrainingData.stagedLineDf(spark, sfDir)))
+      stagers.foreach { case (what, run) =>
+        // best-effort: a failed build is recorded by TempDirs under a
+        // FAILED staging key and retried lazily by the touching query
+        try { run(); () }
+        catch { case e: Throwable =>
+          System.err.println(s"Bench: prestage '$what' failed: $e") }
+      }
+      try { spark.catalog.clearCache(); System.gc() }
+      catch { case _: Throwable => () }
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // one measured run: (seconds, shuffleRead, shuffleWrite, spill)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -144,10 +194,6 @@ object Bench {
     // (prefix-or-full-name match) — for targeted scale points (sf3) where
     // the full registry would take hours; the artifact still records
     // n_queries so a subset run can never be mistaken for a full one
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def selected(name: String): Boolean = only.forall(s =>
-      s.contains(name) || s.contains(name.takeWhile(_ != '_')))
     var first = true
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
@@ -181,12 +227,53 @@ object Bench {
         name -> (best._1, best._2, best._3, best._4)
       }
     }
-    val ok = results.filter(_._2._1 >= 0.0)
+    // Pollution guard (r12 verdict item 2): the 2+1-on-disagreement
+    // rule misses SUSTAINED pollution — all of d6's r12 reps read ~6 s
+    // in one session region while its fresh-region floor is ~2.1 s.
+    // Any query whose official min exceeds its frozen-baseline entry
+    // (BASELINE_QUERIES.json, best-effort read; flat "name": value
+    // pairs, filtered to registry names) by >1.5x is re-measured in a
+    // fresh region — cache cleared + GC'd immediately before — and the
+    // recorded value is the min across both regions: strictly-not-
+    // higher minima. The adjudication is visible in the artifact as
+    // "repolled":{name:{"official":x,"fresh":y}}, so a flagged entry
+    // either carries its fresh-region number or documents that the
+    // fresh region CONFIRMED the official one (a real regression).
+    val frozen: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8")
+      val names = results.map(_._1).toSet
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => names.contains(k) }.toMap
+    } catch { case _: Throwable => Map.empty }
+    val repolled = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val finalResults = results.map { case (name, best @ (v, _, _, _)) =>
+      frozen.get(name).filter(f => v > f * 1.5) match {
+        case Some(_) =>
+          try { spark.catalog.clearCache(); System.gc() }
+          catch { case _: Throwable => () }
+          val fn = SparkEntry.queries(name)
+          val freshRuns = Seq(once(name, fn), once(name, fn)).flatten
+          errors.remove(name) // the official region already succeeded
+          if (freshRuns.isEmpty) { repolled(name) = (v, -1.0); name -> best }
+          else {
+            val fb = freshRuns.minBy(_._1)
+            repolled(name) = (v, fb._1)
+            name -> (if (fb._1 < v) fb else best)
+          }
+        case None => name -> best
+      }
+    }
+    val ok = finalResults.filter(_._2._1 >= 0.0)
     val total = ok.map(_._2._1).sum
-    val qs = results.map { case (k, (v, _, _, _)) => s""""$k":$v""" }
+    val qs = finalResults.map { case (k, (v, _, _, _)) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, r, w, s)) =>
+    val sh = finalResults.map { case (k, (_, r, w, s)) =>
       s""""$k":{"read":$r,"write":$w,"spill":$s}"""
+    }.mkString("{", ",", "}")
+    val repolledJson = repolled.map { case (k, (o, f)) =>
+      s""""$k":{"official":${trim(o, 3)},"fresh":${trim(f, 3)}}"""
     }.mkString("{", ",", "}")
     // full JSON string escaping: exception messages carry newlines and
     // other control characters (plan fragments), which would otherwise
@@ -215,10 +302,11 @@ object Bench {
     // understates a partial-failure regression (r9 ADVICE)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""n_queries":${results.size},"n_success":${ok.size},""" +
-        s""""n_errors":${results.size - ok.size},"queries":$qs,""" +
+        s""""n_queries":${finalResults.size},"n_success":${ok.size},""" +
+        s""""n_errors":${finalResults.size - ok.size},"queries":$qs,""" +
         s""""sf":"$sfDir","runs_per_query":"2+1-on-disagreement",""" +
         s""""staging":$stagingJson,"staging_total":${trim(stagingTotal, 3)},""" +
+        s""""repolled":$repolledJson,""" +
         s""""errors":$errJson,"shuffle":$sh}"""
     try {
       java.nio.file.Files.write(
@@ -232,7 +320,7 @@ object Bench {
     // basename is enough — the harness records the sf point itself
     val sfShort = new java.io.File(sfDir).getName
     println(compactJson(
-      results.map { case (k, (v, _, _, _)) => k -> v }, total, sfShort,
+      finalResults.map { case (k, (v, _, _, _)) => k -> v }, total, sfShort,
       errJson, staging = stagingJson))
     System.out.flush()
   }

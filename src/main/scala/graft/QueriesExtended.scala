@@ -192,7 +192,7 @@ object QueriesExtended {
     * Data is bit-identical to the live plan ([[Dedup.jaccardClusters]]
     * is deterministic), so the oracles are unchanged.
     */
-  private def stagedClusters(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def stagedClusters(s: SparkSession, dir: String): DataFrame = {
     // build from the session-staged shingle index: the one tokenize+hash
     // pass is shared with d2/d3/d4/d9/d11/x36 instead of re-derived in
     // every branch of the cluster plan. Resolved BEFORE entering the

@@ -268,13 +268,18 @@ object QueriesTelemetry {
     * SupportsPushDownFilters (plan-asserted in PlanChecksSpec); here the
     * RESULT of the pushed scan is oracle-checked too.
     */
-  private def t15V2Pushdown(s: SparkSession, dir: String): DataFrame = {
-    // written once per (testdata, JVM) and removed at JVM exit: repeat
-    // invocations (Verify + both bench runs) time the READ path, and
-    // /tmp no longer accumulates one packet dump per invocation
-    val tmp = TempDirs.cached(s"t15:$dir") { d =>
+  /** The synthetic packets as raw CCSDS files, staged once per
+    * (testdata, JVM) and removed at JVM exit: repeat invocations
+    * (Verify + both bench runs) time the READ path, and /tmp no longer
+    * accumulates one packet dump per invocation.
+    */
+  private[graft] def stagedCcsdsFiles(s: SparkSession, dir: String): String =
+    TempDirs.cached(s"t15:$dir") { d =>
       graft.sinks.Sinks.writeCcsdsFiles(synthPackets(s, dir), d)
     }
+
+  private def t15V2Pushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = stagedCcsdsFiles(s, dir)
     s.read.format("ccsds").option("path", tmp).load()
       .where(col("apid") === 0x100)
       .select(col("apid"), col("seq_count"),

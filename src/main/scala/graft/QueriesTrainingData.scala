@@ -496,11 +496,27 @@ object QueriesTrainingData {
     * documents directly, so any text mangling in the JSON escape /
     * unescape round-trip (or a corrupt-row leak) breaks the hash match.
     */
-  private def j1JsonlIngest(s: SparkSession, dir: String): DataFrame = {
-    val path = TempDirs.cached(s"jsonl:$dir") { d =>
+  /** The documents table as a JSONL dump, staged once per (testdata,
+    * JVM) — shared by j1 (batch read-back) and st5 (streaming ingest).
+    */
+  private[graft] def stagedJsonl(s: SparkSession, dir: String): String =
+    TempDirs.cached(s"jsonl:$dir") { d =>
       graft.sources.JsonlSource.write(
         docs(s, dir).select("doc_id", "text", "lang", "source"), d)
     }
+
+  /** The "new batch" slice (doc_id % 10 == 7) as a JSONL dump, staged
+    * once per (testdata, JVM) — shared by st6 and st8.
+    */
+  private[graft] def stagedJsonlNew(s: SparkSession, dir: String): String =
+    TempDirs.cached(s"jsonl_new:$dir") { d =>
+      graft.sources.JsonlSource.write(
+        docs(s, dir).where(col("doc_id") % 10 === 7)
+          .select("doc_id", "text", "lang", "source"), d)
+    }
+
+  private def j1JsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedJsonl(s, dir)
     val read = graft.sources.JsonlSource.read(s, path)
     read
       .where(col("_corrupt").isNull)
@@ -521,10 +537,7 @@ object QueriesTrainingData {
     * oracle also oracles the stream.
     */
   private def st5JsonlStream(s: SparkSession, dir: String): DataFrame = {
-    val path = TempDirs.cached(s"jsonl:$dir") { d =>
-      graft.sources.JsonlSource.write(
-        docs(s, dir).select("doc_id", "text", "lang", "source"), d)
-    }
+    val path = stagedJsonl(s, dir)
     val stream = s.readStream
       .schema(graft.sources.JsonlSource.documentsSchema)
       .option("maxFilesPerTrigger", "1")
@@ -546,10 +559,7 @@ object QueriesTrainingData {
     */
   private def st6StreamStaticDedup(s: SparkSession, dir: String): DataFrame = {
     val isNew = col("doc_id") % 10 === 7
-    val path = TempDirs.cached(s"jsonl_new:$dir") { d =>
-      graft.sources.JsonlSource.write(
-        docs(s, dir).where(isNew).select("doc_id", "text", "lang", "source"), d)
-    }
+    val path = stagedJsonlNew(s, dir)
     def contentMd5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       md5(TextAnalysis.normalize(c).cast("binary"))
     val corpusMd5 = docs(s, dir).where(!isNew)
@@ -588,10 +598,7 @@ object QueriesTrainingData {
     */
   private def st8IncrementDedup(s: SparkSession, dir: String): DataFrame = {
     val isNew = col("doc_id") % 10 === 7
-    val path = TempDirs.cached(s"jsonl_new:$dir") { d =>
-      graft.sources.JsonlSource.write(
-        docs(s, dir).where(isNew).select("doc_id", "text", "lang", "source"), d)
-    }
+    val path = stagedJsonlNew(s, dir)
     def contentMd5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       md5(TextAnalysis.normalize(c).cast("binary"))
     val corpusMd5 = docs(s, dir).where(!isNew)
@@ -697,7 +704,7 @@ object QueriesTrainingData {
     * fixture synthesis + the operator. Bit-identical data, oracles
     * unchanged — the synthPackets / stagedClusters pattern.
     */
-  private def stagedLineDf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def stagedLineDf(s: SparkSession, dir: String): DataFrame = {
     val staged = TempDirs.cached(s"lineDf:$dir") { d =>
       lineDf(s, dir)
         .repartition(s.sparkContext.defaultParallelism)

@@ -354,9 +354,27 @@ object Registry {
       val keep = str(c, "keep").getOrElse("min_id")
       require(keep == "min_id" || keep == "best_quality",
         s"near_dedup: unknown keep policy '$keep'")
-      val pairs = operators.Dedup.ngramJaccardPairs(
-        df, n, threshold, block, id, text, maxDf)
-      val cc = operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+      // `method` picks the pair generator: "ngram_jaccard" (default —
+      // inverted-index exact Jaccard within `block_column`) or
+      // "minhash_lsh" (banded MinHash candidates + exact shared-shingle
+      // verify, no blocking — the d8/d10 generator, Dedup
+      // .jaccardClusters). With minhash_lsh + keep=best_quality the
+      // exact_dedup -> near_dedup chain reproduces the p4 funnel's
+      // near-dup canonicalization exactly (CliSpec pins this).
+      val method = str(c, "method").getOrElse("ngram_jaccard")
+      val cc = method match {
+        case "minhash_lsh" =>
+          val numHashes = int(c, "num_hashes").getOrElse(8)
+          val rowsPerBand = int(c, "rows_per_band").getOrElse(2)
+          operators.Dedup
+            .jaccardClusters(df, n, numHashes, rowsPerBand, threshold, id, text)
+            .select(col(id).as("node"), col("cluster_id").as("component"))
+        case "ngram_jaccard" =>
+          val pairs = operators.Dedup.ngramJaccardPairs(
+            df, n, threshold, block, id, text, maxDf)
+          operators.Graph.connectedComponents(pairs, "a_id", "b_id")
+        case other => sys.error(s"near_dedup: unknown method '$other'")
+      }
       val losers =
         if (keep == "best_quality") {
           val scored = df.select(col(id).as("node"),

@@ -47,7 +47,23 @@ object TempDirs {
       else {
         val dir = fresh("graft_scratch")
         val t0 = System.nanoTime()
-        build(dir)
+        try build(dir)
+        catch {
+          case e: Throwable =>
+            // a failed build must leave a trace: without this the lock
+            // releases with neither cache nor buildSecs populated, a
+            // later caller silently rebuilds into a fresh dir, and the
+            // failed attempt's cost appears in NO artifact (it inflates
+            // the first rep of whichever query retried). The "FAILED"
+            // prefix keeps it a distinct staging entry; the scratch dir
+            // itself dies with the JVM (deleteOnExit).
+            buildSecs.merge(s"FAILED:$key", (System.nanoTime() - t0) / 1e9,
+              (a, b) => Double.box(a + b))
+            System.err.println(
+              s"TempDirs: staged build for '$key' FAILED after " +
+                f"${(System.nanoTime() - t0) / 1e9}%.1f s: $e")
+            throw e
+        }
         buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
         cache.put(key, dir)
         dir

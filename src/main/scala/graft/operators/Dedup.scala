@@ -342,20 +342,14 @@ object Dedup {
   def jaccardClustersFromHashes(
       hashedGrams: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.1, idCol: String = "doc_id"): DataFrame = {
-    val sigs = minhashFromBaseHashes(
-      hashedGrams.select(col(idCol), col("hb").as("h")), numHashes, idCol)
-    val cands = lshCandidates(sigs, rowsPerBand, idCol)
-    val ex = hashedGrams.select(col(idCol), col("h"))
-    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(ex.select(col(idCol).as("a_id"), col("h")), "a_id")
-      .join(ex.select(col(idCol).as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    val edges = inter
-      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
-      .where(col("inter").cast("double") /
-        (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= threshold)
+    // inter > 0 keeps the pre-refactor semantics at threshold == 0:
+    // lshVerifiedPairsFromHashes emits zero-intersection band
+    // collisions (coalesced inter = 0), which were never edges here
+    val edges = lshVerifiedPairsFromHashes(
+        hashedGrams, numHashes, rowsPerBand, idCol)
+      .where(col("inter") > 0 &&
+        col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= threshold)
       .select("a_id", "b_id")
     Graph.connectedComponents(edges, "a_id", "b_id")
       .select(col("node").as(idCol), col("component").as("cluster_id"))

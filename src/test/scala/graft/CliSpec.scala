@@ -126,6 +126,49 @@ class CliSpec extends SparkSpec {
     assert(back.select("unit").distinct().head().getString(0) == "degC")
   }
 
+  test("pretraining funnel composes through Registry stages (== p4 stage counts)") {
+    // The p4 query proves the COMPOSITE; this proves the STAGES compose
+    // identically: exact_dedup -> near_dedup (the d8/d10 minhash-LSH
+    // generator + quality-argmax survivor) -> gopher_filter ->
+    // token_budget chained through Pipeline.run must land on exactly
+    // the per-stage survivor counts p4's oracle pins. Equivalence is
+    // not an accident of this dataset: p4 elects survivors over the
+    // FULL corpus while the chain clusters post-exact-dedup, but an
+    // exact twin has identical text, hence identical quality, shingles
+    // and signatures — so the globally elected survivor is always the
+    // min id of its content group (it ties on quality and wins on id),
+    // always survives exact_dedup, and band collisions among the
+    // remaining docs are unchanged (signatures are per-doc).
+    val sfDir = "/root/testdata/sf0.001"
+    val p4 = SparkEntry.queries("p4_pretrain_funnel")(spark, sfDir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val extract = Registry.getExtractor("parquet")
+    val exact = Registry.getTransformer("exact_dedup")(Registry.parseConfig("{}"))
+    val near = Registry.getTransformer("near_dedup")(Registry.parseConfig(
+      """{"method": "minhash_lsh", "threshold": 0.1, "ngram": 3,
+        | "num_hashes": 8, "rows_per_band": 2, "keep": "best_quality"}""".stripMargin))
+    val gopher = Registry.getTransformer("gopher_filter")(Registry.parseConfig("{}"))
+    val quota = Registry.getTransformer("token_budget")(Registry.parseConfig(
+      """{"budget_tokens": 800}"""))
+    val result = Pipeline.run(
+      spark,
+      extract = s => extract(s, Registry.parseConfig(
+        s"""{"path": "$sfDir/documents.parquet"}""")),
+      transforms = Seq("exact_dedup" -> exact, "near_dedup" -> near,
+        "gopher_filter" -> gopher, "token_budget" -> quota),
+      load = df => df.count())
+    assert(result.ok, s"pipeline failed: ${result.errors}")
+    val stageRows = result.stages.map(st => st.name -> st.rowsOut).toMap
+    assert(stageRows("extract") == p4("input"), s"p4=$p4 stages=$stageRows")
+    assert(stageRows("exact_dedup") == p4("exact_dedup"), s"p4=$p4 stages=$stageRows")
+    assert(stageRows("near_dedup") == p4("near_dedup"), s"p4=$p4 stages=$stageRows")
+    assert(stageRows("gopher_filter") == p4("gopher"), s"p4=$p4 stages=$stageRows")
+    assert(stageRows("token_budget") == p4("token_budget"), s"p4=$p4 stages=$stageRows")
+    // the funnel genuinely funnels at this SF: each gate is active
+    assert(p4("token_budget") < p4("gopher") && p4("gopher") < p4("near_dedup") &&
+      p4("near_dedup") < p4("input"), s"p4=$p4")
+  }
+
   test("global log flags are stripped before the command and applied on demand") {
     val (g, rest) = Cli.parseGlobalArgs(List(
       "--log-level", "DEBUG", "--log-format", "json", "run", "--dry-run"))

@@ -1314,6 +1314,42 @@ class TrainingDataSpec extends SparkSpec {
       s"extreme-asymmetry pair banding is the documented recall gap: $cands")
   }
 
+  test("extreme asymmetry (50x): containmentDedup misses, dupSpans catches (d17 contract)") {
+    // The adversarial regime d17's scaladoc documents: a doc FULLY
+    // contained in a ~50x larger doc. Its containment is 1.0 but its
+    // Jaccard ~ 1/50, so the banded-minhash candidate generator cannot
+    // surface the pair — containmentDedup keeps both docs (the stated
+    // recall bound, asserted here as the CONTRACT, not a comment), and
+    // the correct routing for this regime is d15's exact substring
+    // machinery: dupSpans flags the shared run in BOTH docs.
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 250).map(i => s"filler$i token$i").mkString(" ")
+    val long = filler + " " + short // |long| ~ 50x |short| in shingles
+    val df = Seq((0L, short), (1L, long),
+      (2L, "entirely different words everywhere around here today"))
+      .toDF("doc_id", "text")
+    // sanity: the fixture IS the extreme regime (containment 1, J << t)
+    val st = Dedup.shingleTable(df, 3)
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
+    val inter = st.where(col("doc_id") === 0L).select("h")
+      .intersect(st.where(col("doc_id") === 1L).select("h")).count()
+    val szA = st.where(col("doc_id") === 0L).count()
+    val szB = st.where(col("doc_id") === 1L).count()
+    assert(inter == szA, "short doc fully contained")
+    assert(szB >= 40 * szA, s"asymmetry is extreme: $szB vs $szA")
+    // the documented MISS: every doc survives containment dedup
+    val kept = Dedup.containmentDedup(df, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L),
+      s"banded LSH cannot see a J~1/50 pair — documented recall bound: $kept")
+    // the documented ROUTING: exact substring spans catch it in both
+    // docs (the short text is a contiguous >=20-char duplicated run)
+    val spans = Dedup.dupSpans(df, winLen = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spans.contains(0L) && spans.contains(1L) && !spans.contains(2L),
+      s"dupSpans must flag the contained run in both docs: $spans")
+  }
+
   test("containmentDedup drops the contained doc and keeps the superset + unrelated") {
     val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val long = short + " lambda mu nu" // moderate asymmetry: bands collide
