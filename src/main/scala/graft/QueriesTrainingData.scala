@@ -124,6 +124,16 @@ object QueriesTrainingData {
         evalPred = Dedup.hash60(col("doc_id").cast("string")) % 20 === 0)
       .orderBy("train_id", "eval_id")
 
+  /** Per-eval-doc contamination fraction off the staged shingle index
+    * (same eval split as d9 — the pair view; this is the per-doc view
+    * a decontamination threshold is applied to).
+    */
+  private def x38EvalOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.evalOverlapFromHashes(
+        stagedShingles(s, dir).select(col("doc_id"), col("h")),
+        evalPred = Dedup.hash60(col("doc_id").cast("string")) % 20 === 0)
+      .orderBy("doc_id")
+
   // --- dedup -----------------------------------------------------------
 
   private def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -283,6 +293,15 @@ object QueriesTrainingData {
     Similarity.cosineDupPairsLsh(embs(s, dir), threshold = 0.3, blockCol = "label",
         planesPerTable = 2, numTables = 8)
       .orderBy("a_id", "b_id")
+
+  /** Per-vector neighborhood-density report over the d7 pair graph
+    * (same LSH tables, same verify threshold): neighbor count + best
+    * neighbor, the range-search complement to s1/s2's top-k.
+    */
+  private def s6RangeSearch(s: SparkSession, dir: String): DataFrame =
+    Similarity.rangeSearchReport(embs(s, dir), threshold = 0.3, blockCol = "label",
+        planesPerTable = 2, numTables = 8)
+      .orderBy("vec_id")
 
   // --- similarity search ----------------------------------------------
 
@@ -1137,6 +1156,7 @@ object QueriesTrainingData {
     "c6_freq_spectrum" -> (c6FreqSpectrum(_, _)),
     "c7_token_drift" -> (c7TokenDrift(_, _)),
     "d9_contamination" -> (d9Contamination(_, _)),
+    "x38_eval_overlap" -> (x38EvalOverlap(_, _)),
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
     "d15_dup_spans" -> (d15DupSpans(_, _)),
@@ -1146,6 +1166,7 @@ object QueriesTrainingData {
     "d5_simhash" -> (d5Simhash(_, _)),
     "d6_simhash_pairs" -> (d6SimhashPairs(_, _)),
     "d7_embed_dup" -> (d7EmbedDup(_, _)),
+    "s6_range_search" -> (s6RangeSearch(_, _)),
     "s1_cosine_topk" -> (s1CosineTopK(_, _)),
     "s2_ann_lsh" -> (s2AnnLsh(_, _)),
     "s4_ann_lsh_multiprobe" -> (s4AnnLshMultiprobe(_, _)),
@@ -1901,6 +1922,27 @@ object QueriesTrainingData {
          |FROM shared s JOIN sz USING (train_id)
          |WHERE s.n_shared >= 3
          |ORDER BY s.train_id, s.eval_id""".stripMargin,
+    "x38_eval_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents
+         |), ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s_raw), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s_raw FROM sh)
+         |), tag AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 20 = 0) AS is_eval
+         |  FROM documents
+         |), gf AS (
+         |  SELECT h, max(CASE WHEN NOT t.is_eval THEN 1 ELSE 0 END) AS in_train
+         |  FROM ex e JOIN tag t USING (doc_id) GROUP BY h
+         |), ev AS (
+         |  SELECT e.doc_id, e.h FROM ex e JOIN tag t USING (doc_id) WHERE t.is_eval
+         |)
+         |SELECT ev.doc_id, count(*) AS n_grams,
+         |  sum(gf.in_train)::BIGINT AS n_overlap,
+         |  round(sum(gf.in_train)::DOUBLE / count(*), 6) AS overlap_frac
+         |FROM ev JOIN gf USING (h)
+         |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       s"""SELECT md5($normSql) AS content_md5,
          |  min(doc_id) AS survivor_id, count(*) AS n_docs
@@ -2035,6 +2077,33 @@ object QueriesTrainingData {
          |  FROM cands c JOIN vn a ON a.vec_id = c.a_id JOIN vn b ON b.vec_id = c.b_id
          |) WHERE cos_sim >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
+    "s6_range_search" ->
+      s"""WITH $normVecCte,
+         |${OracleFragments.lshBucketsCte(planesPerTable = 2, numTables = 8, dims = 64)},
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM lshbuckets a JOIN lshbuckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  JOIN vn va ON va.vec_id = a.vec_id
+         |  JOIN vn vb ON vb.vec_id = b.vec_id AND vb.label = va.label
+         |  WHERE a.vec_id < b.vec_id
+         |), pairs AS (
+         |  SELECT a_id, b_id, cos_sim FROM (
+         |    SELECT c.a_id, c.b_id,
+         |      round(list_sum(list_transform(range(1, 65), i -> a.en[i] * b.en[i])), 6) AS cos_sim
+         |    FROM cands c JOIN vn a ON a.vec_id = c.a_id JOIN vn b ON b.vec_id = c.b_id
+         |  ) WHERE cos_sim >= 0.3
+         |), sym AS (
+         |  SELECT a_id AS vec_id, b_id AS nbr, cos_sim FROM pairs
+         |  UNION ALL SELECT b_id AS vec_id, a_id AS nbr, cos_sim FROM pairs
+         |), ranked AS (
+         |  SELECT vec_id, nbr, cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr ASC) AS rn,
+         |    count(*) OVER (PARTITION BY vec_id) AS n_neighbors
+         |  FROM sym
+         |)
+         |SELECT vec_id, n_neighbors, cos_sim AS best_sim, nbr AS best_id
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH $normVecCte,
          |${OracleFragments.lshBucketsCte(planesPerTable = 4, numTables = 8, dims = 64)},

@@ -740,6 +740,34 @@ object Registry {
         .contaminationPairs(df, n, minShared.toLong, evalPred, id, text)
         .select(col("train_id").as(id)).distinct()
       df.where(!evalPred).join(contaminated, Seq(id), "left_anti")
+    },
+    "eval_overlap" -> { c => df =>
+      // annotate each EVAL doc with its per-doc contamination fraction
+      // (share of its distinct n-grams occurring anywhere in the train
+      // split — Dedup.evalOverlapFromHashes); training docs pass
+      // through with NULL report columns. The annotate complement of
+      // `decontaminate`: downstream stages pick the drop threshold.
+      // Eval split: eval_modulus m selects hash60(id) % m == 0 (the
+      // d9/x38 convention), or eval_flag_column names a boolean column.
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val text = str(c, "text_column").getOrElse("text")
+      val n = int(c, "ngram").getOrElse(3)
+      requireFree(df, "eval_overlap", "n_grams", "n_overlap", "overlap_frac")
+      val grams = operators.Dedup.shingleTable(df, n, id, text)
+        .select(col(id), operators.Dedup.hash60(col("s")).as("h"))
+      val report = str(c, "eval_flag_column") match {
+        case Some(flagCol) =>
+          // flag lives on df, not the gram table: tag the grams first
+          val tagged = grams.join(
+            df.select(col(id), coalesce(col(flagCol), lit(false)).as("_ev")), id)
+          operators.Dedup.evalOverlapFromHashes(tagged, col("_ev"), id)
+        case None =>
+          val m = int(c, "eval_modulus").getOrElse(20)
+          operators.Dedup.evalOverlapFromHashes(grams,
+            operators.Dedup.hash60(col(id).cast("string")) % m === 0, id)
+      }
+      df.join(report, Seq(id), "left")
     })
 
   val loaders: Map[String, Loader] = Map(

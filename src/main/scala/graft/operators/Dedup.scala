@@ -634,6 +634,41 @@ object Dedup {
           .as("overlap_frac"))
   }
 
+  /** Per-eval-doc n-gram contamination FRACTION — the decontamination
+    * REPORT published alongside large-model evals (per-doc n-gram
+    * overlap against the training corpus, thresholded to decide
+    * drops). [[contaminationPairs]] answers "which (train, eval) pairs
+    * overlap and by how much"; this answers the per-DOC question the
+    * drop cutoff is applied to: for each eval doc, the fraction of its
+    * distinct n-grams that occur anywhere in the train split.
+    *
+    * Scale shape: one gram-scale aggregation keyed on the 60-bit gram
+    * hash (per-gram train flag via `max` — map-side combinable),
+    * then an inner join of the eval rows back on the same key (the
+    * hash partitioning is reused, no second exchange of the gram
+    * table) and a doc-scale count. Nothing ever materializes
+    * train x eval PAIRS, so cost is bounded by the gram table, not by
+    * contamination volume — the shape that survives a contaminated-
+    * corpus worst case where pair output explodes.
+    *
+    * `evalPred` is evaluated against the gram table's columns (id-
+    * derived predicates — the d9 convention `hash60(id) % 20 = 0`).
+    */
+  def evalOverlapFromHashes(
+      hashedGrams: DataFrame, evalPred: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val g = hashedGrams.select(col(idCol), col("h"), evalPred.as("is_eval"))
+    val gramFlag = g.groupBy("h")
+      .agg(max(when(!col("is_eval"), 1).otherwise(0)).as("in_train"))
+    g.where(col("is_eval"))
+      .join(gramFlag, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum("in_train").as("n_overlap"))
+      .select(col(idCol), col("n_grams"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_grams").cast("double"), 6)
+          .as("overlap_frac"))
+  }
+
   /** [[contaminationPairs]] with a Bloom prefilter on the train side —
     * the 100 TB shape. The exact inverted-index join must shuffle the
     * FULL train posting table (shingles x docs) even though only the

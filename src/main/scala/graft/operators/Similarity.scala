@@ -266,6 +266,40 @@ object Similarity {
     * Shuffles carry (id, table, bucket) keys only — vectors are
     * re-joined per surviving candidate, never exploded per table.
     */
+  /** Per-vector cosine RANGE-SEARCH report over the LSH pair graph:
+    * for each vector with at least one same-block neighbor at
+    * cos >= threshold, the neighbor count, the best similarity and the
+    * best neighbor id (ties at the 6-dp similarity break to the
+    * smallest id — deterministic). Pair generation is exactly
+    * [[cosineDupPairsLsh]]; pairs are symmetrized (each contributes a
+    * neighbor to BOTH endpoints) and reduced per vector — the
+    * "how crowded is this embedding's neighborhood" density signal
+    * that semantic-dedup and diversity-sampling policies threshold on,
+    * where top-k (s1/s2) answers a different question (k nearest
+    * regardless of how near).
+    *
+    * Scale shape: everything up to the report is the cosineDupPairsLsh
+    * plan (bucket-key shuffles, vectors joined back per candidate);
+    * the report adds one id-keyed aggregation over the verified pairs.
+    */
+  def rangeSearchReport(
+      corpus: DataFrame, threshold: Double, blockCol: String,
+      planesPerTable: Int = 2, numTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = cosineDupPairsLsh(corpus, threshold, blockCol,
+      planesPerTable, numTables, idCol, vecCol)
+    val sym = pairs
+      .select(col("a_id").as(idCol), col("b_id").as("nbr"), col("cos_sim"))
+      .unionByName(pairs
+        .select(col("b_id").as(idCol), col("a_id").as("nbr"), col("cos_sim")))
+    sym.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_neighbors"),
+        max(struct(col("cos_sim"), (-col("nbr")).as("negn"), col("nbr").as("n")))
+          .as("b"))
+      .select(col(idCol), col("n_neighbors"),
+        col("b.cos_sim").as("best_sim"), col("b.n").as("best_id"))
+  }
+
   def cosineDupPairsLsh(
       corpus: DataFrame, threshold: Double, blockCol: String,
       planesPerTable: Int = 2, numTables: Int = 8,

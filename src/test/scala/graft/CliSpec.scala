@@ -10,7 +10,7 @@ class CliSpec extends SparkSpec {
       "calibration", "ccnet_bucket_filter", "chunk_documents",
       "classifier_filter", "code_filter", "containment_dedup", "decom",
       "decontaminate", "domain_cap", "dsir_sample",
-      "dup_span_strip", "entropy_filter", "exact_dedup", "gopher_filter",
+      "dup_span_strip", "entropy_filter", "eval_overlap", "exact_dedup", "gopher_filter",
       "hash_split", "lang_filter", "length_batching", "line_dedup",
       "near_dedup", "novelty_filter",
       "pack_sequences",

@@ -1314,6 +1314,63 @@ class TrainingDataSpec extends SparkSpec {
       s"extreme-asymmetry pair banding is the documented recall gap: $cands")
   }
 
+  test("eval overlap: per-doc train-gram fraction; eval-eval sharing never counts") {
+    // doc 0 train "a b c d e"; doc 1 eval shares exactly one 3-gram
+    // with it ("a b c") out of its four; doc 2 eval is a full copy of
+    // the train doc (fraction 1.0); doc 3 eval shares "x y z" with
+    // doc 1 ONLY — both eval, so that gram must not count as train
+    val df = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c x y z"),
+      (2L, "a b c d e"),
+      (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val grams = Dedup.shingleTable(df, 3)
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
+    val rep = Dedup.evalOverlapFromHashes(grams, col("doc_id") =!= 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rep(1L) == ((4L, 1L, 0.25)), s"doc 1: ${rep(1L)}")
+    assert(rep(2L) == ((3L, 3L, 1.0)), s"doc 2: ${rep(2L)}")
+    assert(rep(3L) == ((2L, 0L, 0.0)), s"doc 3 (eval-eval share only): ${rep(3L)}")
+    assert(!rep.contains(0L), "train docs carry no report row")
+  }
+
+  test("registry eval_overlap stage annotates eval docs, passes train docs through") {
+    import org.json4s.jackson.JsonMethods.parse
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.Registry.transformers("eval_overlap")(
+      parse("""{"eval_modulus": 20}"""))(docs)
+    assert(out.count() == docs.count(), "annotator must not drop rows")
+    val evalPred = Dedup.hash60(col("doc_id").cast("string")) % 20 === 0
+    val nEval = docs.where(evalPred).count()
+    assert(nEval > 0, "fixture has eval docs")
+    // every eval doc is annotated; every train doc is NULL
+    assert(out.where(evalPred && col("overlap_frac").isNull).count() == 0)
+    assert(out.where(!evalPred && col("overlap_frac").isNotNull).count() == 0)
+    // fractions are fractions
+    assert(out.where(col("overlap_frac") < 0 || col("overlap_frac") > 1).count() == 0)
+  }
+
+  test("range-search report is exactly the per-vector reduction of the LSH pair graph") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Similarity.cosineDupPairsLsh(embs, threshold = 0.3,
+      blockCol = "label", planesPerTable = 2, numTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "fixture yields verified pairs")
+    val sym = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val expected = sym.groupBy(_._1).map { case (id, rows) =>
+      val best = rows.maxBy(r => (r._3, -r._2))
+      id -> ((rows.size.toLong, best._3, best._2))
+    }
+    val got = Similarity.rangeSearchReport(embs, threshold = 0.3,
+        blockCol = "label", planesPerTable = 2, numTables = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == expected,
+      s"report diverges: got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("extreme asymmetry (50x): containmentDedup misses, dupSpans catches (d17 contract)") {
     // The adversarial regime d17's scaladoc documents: a doc FULLY
     // contained in a ~50x larger doc. Its containment is 1.0 but its
