@@ -306,6 +306,54 @@ object QueriesExtended {
       .orderBy("stage")
   }
 
+  /** Per-source dedup IMPACT report — the corpus-card row a dedup run
+    * publishes: docs and tokens surviving exact dedup and near-dup
+    * canonicalization (the p4 funnel's first two gates), per source,
+    * with the end-to-end token reduction. Sources whose duplicates
+    * concentrate (crawl mirrors) surface immediately; the number a
+    * data-mixture owner actually reads off a dedup pass.
+    *
+    * Scale shape: the survivor sets are the same semi-join-of-id-sets
+    * as p4 (exact groups map-side, clusters from the session-staged
+    * table); the report adds three source-scale aggregations over
+    * (id, source, n_toks) rows — nothing wider than p4's s2 ever
+    * shuffles.
+    */
+  private def c8DedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val nToks = coalesce(
+      TextAnalysis.wsTokenCount(col("text")).cast("long"), lit(0L))
+    val base = d.select(col("doc_id"), col("source"), nToks.as("n_toks"))
+    val exact = base.join(
+      Dedup.exactGroups(d).select(col("survivor_id").as("doc_id")), "doc_id")
+    val clusters = stagedClusters(s, dir)
+    val survivors = survivorElection(s, dir)
+      .select(col("survivor_id").as("doc_id"), lit(true).as("_surv"))
+    val near = exact
+      .join(clusters.select(col("doc_id"), lit(true).as("_cl")), Seq("doc_id"), "left")
+      .join(survivors, Seq("doc_id"), "left")
+      .where(col("_cl").isNull || coalesce(col("_surv"), lit(false)))
+      .select("doc_id", "source", "n_toks")
+    def bySource(df: DataFrame, dn: String, tn: String): DataFrame =
+      df.groupBy("source").agg(count(lit(1)).as(dn),
+        coalesce(sum("n_toks"), lit(0L)).as(tn))
+    bySource(base, "docs_total", "tokens_total")
+      .join(bySource(exact, "docs_exact", "tokens_exact"), Seq("source"), "left")
+      .join(bySource(near, "docs_near", "tokens_near"), Seq("source"), "left")
+      .select(col("source"),
+        col("docs_total"),
+        coalesce(col("docs_exact"), lit(0L)).as("docs_exact"),
+        coalesce(col("docs_near"), lit(0L)).as("docs_near"),
+        col("tokens_total"),
+        coalesce(col("tokens_exact"), lit(0L)).as("tokens_exact"),
+        coalesce(col("tokens_near"), lit(0L)).as("tokens_near"),
+        when(col("tokens_total") > 0,
+          round(lit(1.0) - coalesce(col("tokens_near"), lit(0L)).cast("double")
+            / col("tokens_total").cast("double"), 6))
+          .otherwise(lit(0.0)).as("token_reduction"))
+      .orderBy("source")
+  }
+
   private def d11IncrementalDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedupFlagsFromHashes(t(s, dir, "documents"),
         isNew = col("doc_id") % 10 === 7,
@@ -703,6 +751,7 @@ object QueriesExtended {
     "d16_soft_dedup" -> (d16SoftDedup(_, _)),
     "d11_incremental_dedup" -> (d11IncrementalDedup(_, _)),
     "p4_pretrain_funnel" -> (p4PretrainFunnel(_, _)),
+    "c8_dedup_impact" -> (c8DedupImpact(_, _)),
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
     "st7_stream_dedup_ttl" -> (st7StreamDedupTtl(_, _)),
@@ -894,6 +943,55 @@ object QueriesExtended {
          |UNION ALL SELECT 4, 'token_budget', count(*),
          |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
          |ORDER BY stage""".stripMargin,
+    "c8_dedup_impact" ->
+      s"""WITH RECURSIVE
+         |${OracleFragments.minhashSigsCte},
+         |${OracleFragments.dedupClustersCte(0.1)},
+         |nt AS (
+         |  SELECT doc_id, source,
+         |    CAST(coalesce(len(${OracleFragments.rawToksSqlNoNorm}), 0) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents
+         |), ex1 AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(${OracleFragments.normSql})
+         |), scored AS (
+         |  SELECT doc_id, ${OracleFragments.qualitySql} AS q FROM documents
+         |), surv AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |      row_number() OVER (PARTITION BY c.cluster_id
+         |        ORDER BY s.q DESC, c.doc_id) AS rn
+         |    FROM clusters c JOIN scored s USING (doc_id)) WHERE rn = 1
+         |), s2 AS (
+         |  SELECT e.doc_id FROM ex1 e
+         |  LEFT JOIN clusters c ON c.doc_id = e.doc_id
+         |  WHERE c.doc_id IS NULL OR e.doc_id IN (SELECT doc_id FROM surv)
+         |), base AS (
+         |  SELECT source, count(*) AS docs_total,
+         |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS tokens_total
+         |  FROM nt GROUP BY source
+         |), exa AS (
+         |  SELECT n.source, count(*) AS docs_exact,
+         |    CAST(coalesce(sum(n.n_toks), 0) AS BIGINT) AS tokens_exact
+         |  FROM ex1 JOIN nt n USING (doc_id) GROUP BY n.source
+         |), nr AS (
+         |  SELECT n.source, count(*) AS docs_near,
+         |    CAST(coalesce(sum(n.n_toks), 0) AS BIGINT) AS tokens_near
+         |  FROM s2 JOIN nt n USING (doc_id) GROUP BY n.source
+         |)
+         |SELECT b.source, b.docs_total,
+         |  coalesce(e.docs_exact, 0) AS docs_exact,
+         |  coalesce(nr.docs_near, 0) AS docs_near,
+         |  b.tokens_total,
+         |  coalesce(e.tokens_exact, 0) AS tokens_exact,
+         |  coalesce(nr.tokens_near, 0) AS tokens_near,
+         |  CASE WHEN b.tokens_total > 0
+         |    THEN round(1.0 - coalesce(nr.tokens_near, 0)::DOUBLE
+         |      / b.tokens_total::DOUBLE, 6)
+         |    ELSE 0.0 END AS token_reduction
+         |FROM base b LEFT JOIN exa e USING (source) LEFT JOIN nr USING (source)
+         |ORDER BY source""".stripMargin,
     "d11_incremental_dedup" ->
       s"""WITH
          |${OracleFragments.minhashSigsCte},

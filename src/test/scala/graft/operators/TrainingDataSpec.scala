@@ -1371,6 +1371,22 @@ class TrainingDataSpec extends SparkSpec {
       s"report diverges: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("c8 per-source impact rows sum exactly to p4's global funnel counts") {
+    // c8 reports per-source what p4 reports globally for its first two
+    // gates — summing c8 across sources must land on p4's stage rows
+    // exactly (same survivor sets, same token counter), or the two
+    // "published" views of one dedup run have silently diverged
+    val sfDir = "/root/testdata/sf0.001"
+    val p4 = graft.SparkEntry.queries("p4_pretrain_funnel")(spark, sfDir)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val a = graft.SparkEntry.queries("c8_dedup_impact")(spark, sfDir)
+      .agg(sum("docs_total"), sum("docs_exact"), sum("docs_near"),
+        sum("tokens_total"), sum("tokens_exact"), sum("tokens_near")).head()
+    assert((a.getLong(0), a.getLong(3)) == p4("input"), s"input: $a vs $p4")
+    assert((a.getLong(1), a.getLong(4)) == p4("exact_dedup"), s"exact: $a vs $p4")
+    assert((a.getLong(2), a.getLong(5)) == p4("near_dedup"), s"near: $a vs $p4")
+  }
+
   test("extreme asymmetry (50x): containmentDedup misses, dupSpans catches (d17 contract)") {
     // The adversarial regime d17's scaladoc documents: a doc FULLY
     // contained in a ~50x larger doc. Its containment is 1.0 but its
