@@ -141,6 +141,7 @@ object Bench {
         "t15" -> (() => QueriesTelemetry.stagedCcsdsFiles(spark, sfDir)),
         "jsonl" -> (() => QueriesTrainingData.stagedJsonl(spark, sfDir)),
         "jsonl_new" -> (() => QueriesTrainingData.stagedJsonlNew(spark, sfDir)),
+        "st9grams" -> (() => QueriesTrainingData.stagedCorpusGrams(spark, sfDir)),
         "lineDf" -> (() => QueriesTrainingData.stagedLineDf(spark, sfDir)))
       stagers.foreach { case (what, run) =>
         // best-effort: a failed build is recorded by TempDirs under a

@@ -525,13 +525,18 @@ object QueriesTrainingData {
     }
 
   /** The "new batch" slice (doc_id % 10 == 7) as a JSONL dump, staged
-    * once per (testdata, JVM) — shared by st6 and st8.
+    * once per (testdata, JVM) — shared by st6, st8 and st9. Written as
+    * (at least) TWO files so the `maxFilesPerTrigger=1` consumers
+    * genuinely run multi-batch at every SF — with one file the
+    * "one micro-batch per landed file" shape those queries exist to
+    * exercise silently degenerated to a single batch (StreamingSpec
+    * pins the >= 2-file contract).
     */
   private[graft] def stagedJsonlNew(s: SparkSession, dir: String): String =
     TempDirs.cached(s"jsonl_new:$dir") { d =>
       graft.sources.JsonlSource.write(
         docs(s, dir).where(col("doc_id") % 10 === 7)
-          .select("doc_id", "text", "lang", "source"), d)
+          .select("doc_id", "text", "lang", "source").repartition(2), d)
     }
 
   private def j1JsonlIngest(s: SparkSession, dir: String): DataFrame = {
@@ -639,6 +644,70 @@ object QueriesTrainingData {
       .groupBy("lang", "is_corpus_dup")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "is_corpus_dup")
+  }
+
+  /** The static decontamination index for st9: DISTINCT gram hashes of
+    * the non-new corpus, derived from [[stagedShingles]] and staged
+    * once per (testdata, JVM).
+    */
+  private[graft] def stagedCorpusGrams(s: SparkSession, dir: String): String =
+    TempDirs.cached(s"st9grams:$dir") { d =>
+      stagedShingles(s, dir)
+        .where(!(col("doc_id") % 10 === 7))
+        .select("h").distinct()
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$d/grams")
+    }
+
+  /** STREAMING decontamination — the continuous form of x38: new
+    * documents land as a JSONL stream (one micro-batch per file) and
+    * each is scored for per-doc n-gram overlap against the STATIC
+    * corpus's gram-hash index via a stream-static left join. The
+    * static index is staged to parquet once ([[stagedCorpusGrams]],
+    * off the session-staged shingle index) so each micro-batch probes
+    * a materialized file instead of re-deriving the corpus-wide gram
+    * explode — exactly how a production stream holds its
+    * decontamination index. The stream side grams with a pure
+    * map-side expression (array transform over the token array,
+    * distinct per doc — bit-identical to the batch shingle semantics
+    * incl. the small-doc fallback; the window-function gram builder is
+    * not streamable). Complete-mode aggregation: per-doc state is one
+    * (count, count) pair, bounded by the increment's doc count, and
+    * the gate's drain processes every file — so the DuckDB oracle
+    * replays the batch semantics exactly.
+    */
+  private def st9StreamContamination(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedJsonlNew(s, dir)
+    val n = 3
+    // static index: distinct gram hashes of the non-new corpus,
+    // staged once per (testdata, JVM) — derived from the session-staged
+    // shingle index (the tokenize+hash pass is never re-run), so every
+    // invocation and every micro-batch probes one materialized parquet;
+    // build cost lands in the bench staging map like every other index
+    val stagedIdx = stagedCorpusGrams(s, dir)
+    val corpusGrams = s.read.parquet(s"$stagedIdx/grams")
+      .withColumn("_hit", lit(true))
+    val toks = TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))
+    val grams = when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array(TextAnalysis.normalize(col("text"))))
+    val streamGrams = s.readStream
+      .schema(graft.sources.JsonlSource.documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .json(path)
+      .select(col("doc_id"), explode(grams).as("s"))
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
+    val scored = streamGrams
+      .join(corpusGrams, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_overlap"))
+    graft.streaming.EventStreaming.drainToMemorySink(s, "st9_mem")(scored)
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_grams").cast("double"), 6)
+          .as("overlap_frac"))
+      .orderBy("doc_id")
   }
 
   // --- url canonicalization / web-corpus dedup -------------------------
@@ -1181,6 +1250,7 @@ object QueriesTrainingData {
     "st5_jsonl_stream" -> (st5JsonlStream(_, _)),
     "st6_stream_static_dedup" -> (st6StreamStaticDedup(_, _)),
     "st8_increment_dedup" -> (st8IncrementDedup(_, _)),
+    "st9_stream_contamination" -> (st9StreamContamination(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -2221,6 +2291,23 @@ object QueriesTrainingData {
          |FROM survivors
          |GROUP BY lang, is_corpus_dup
          |ORDER BY lang, is_corpus_dup""".stripMargin,
+    "st9_stream_contamination" ->
+      s"""WITH tag AS (SELECT doc_id, (doc_id % 10 = 7) AS is_new FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM documents),
+         |ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s_raw), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s_raw FROM sh)
+         |), corpus AS (
+         |  SELECT DISTINCT e.h FROM ex e JOIN tag USING (doc_id) WHERE NOT is_new
+         |), newg AS (
+         |  SELECT e.doc_id, e.h FROM ex e JOIN tag USING (doc_id) WHERE is_new
+         |)
+         |SELECT n.doc_id, count(*) AS n_grams,
+         |  sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+         |  round(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS overlap_frac
+         |FROM newg n LEFT JOIN corpus c USING (h)
+         |GROUP BY n.doc_id ORDER BY doc_id""".stripMargin,
     "u1_url_dedup" ->
       s"""WITH $urlCanonCte
          |SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS n_docs

@@ -222,6 +222,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming contamination matches the batch computation across micro-batches") {
+    // st9 streams the new-batch JSONL one file per micro-batch against
+    // the materialized static gram index; the drained result must equal
+    // the batch-side per-doc overlap computed directly — and the stream
+    // must actually have run multi-batch (>= 2 files), or the test
+    // silently degrades to a single-batch read
+    val sfDir = "/root/testdata/sf0.001"
+    val path = graft.QueriesTrainingData.stagedJsonlNew(spark, sfDir)
+    val nFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".jsonl") || f.getName.endsWith(".json"))
+    assert(nFiles >= 2, s"need >= 2 jsonl files for a multi-batch stream: $nFiles")
+    val got = graft.SparkEntry.queries("st9_stream_contamination")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch equivalent: distinct grams of each new doc vs the static set
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isNew = col("doc_id") % 10 === 7
+    val grams = graft.operators.Dedup.shingleTable(docs, 3)
+      .select(col("doc_id"), graft.operators.Dedup.hash60(col("s")).as("h"))
+    val expected = graft.operators.Dedup
+      .evalOverlapFromHashes(grams, col("doc_id") % 10 === 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"stream=${got.size} rows, batch=${expected.size}")
+    assert(got.nonEmpty && docs.where(isNew).count() == got.size)
+  }
+
   test("append-mode sessionization emits each closed session once, bounded per batch") {
     // the production posture vs st4's complete-mode gate form: a
     // session row appears exactly when the watermark passes its close,
