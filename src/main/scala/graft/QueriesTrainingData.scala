@@ -238,6 +238,16 @@ object QueriesTrainingData {
     Dedup.dupSpans(docs(s, dir), winLen = 40)
       .orderBy("doc_id", "span_start")
 
+  /** The Lee et al. (2022) keep-first-occurrence variant of d15: the
+    * corpus-wide first occurrence of each repeated run is NOT marked,
+    * so a strip built on these spans retains exactly one copy of every
+    * duplicated substring (the paper's suffix-array semantics; d15
+    * marks all occurrences — the boilerplate stance).
+    */
+  private def d18DupSpansFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(docs(s, dir), winLen = 40, keepFirst = true)
+      .orderBy("doc_id", "span_start")
+
   private def d3MinhashSig(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashFromBaseHashes(
         stagedShingles(s, dir).select(col("doc_id"), col("hb").as("h")),
@@ -1229,6 +1239,7 @@ object QueriesTrainingData {
     "d1_exact_dedup" -> (d1ExactDedup(_, _)),
     "d2_ngram_jaccard" -> (d2NgramJaccard(_, _)),
     "d15_dup_spans" -> (d15DupSpans(_, _)),
+    "d18_dup_spans_first" -> (d18DupSpansFirst(_, _)),
     "d3_minhash_sig" -> (d3MinhashSig(_, _)),
     "d4_lsh_pairs" -> (d4LshPairs(_, _)),
     "d17_containment" -> (d17Containment(_, _)),
@@ -2055,6 +2066,36 @@ object QueriesTrainingData {
          |           OR w.pos > lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) + 40
          |         THEN 1 ELSE 0 END AS brk
          |  FROM wins w JOIN rep USING (h)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM marked
+         |)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end,
+         |  max(pos) + 39 - min(pos) + 1 AS span_len
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "d18_dup_spans_first" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS pos
+         |  FROM documents WHERE length(text) >= 40
+         |), wins AS (
+         |  SELECT doc_id, pos,
+         |    ${OracleFragments.rollingHashSql(40)} AS h
+         |  FROM pos
+         |), ranked AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    count(*) OVER (PARTITION BY h) AS occ
+         |  FROM wins
+         |), dups AS (
+         |  SELECT doc_id, pos FROM ranked WHERE occ >= 2 AND rn > 1
+         |), marked AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM dups
          |), isl AS (
          |  SELECT doc_id, pos,
          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island

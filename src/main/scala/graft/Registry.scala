@@ -177,19 +177,24 @@ object Registry {
     },
     "dup_span_strip" -> { c => df =>
       // substring-level dedup (Lee et al. 2022 via Dedup.dupSpans):
-      // CUT every corpus-wide duplicated run of >= window_len chars
-      // from the text. Documented divergence from the paper: the
-      // suffix-array formulation keeps ONE occurrence of each
-      // duplicated substring; this stage cuts all of them (the
-      // boilerplate stance — a run that repeats across the corpus is
-      // chrome, not signal). Docs reduced to nothing are dropped.
+      // CUT corpus-wide duplicated runs of >= window_len chars from
+      // the text. `keep` picks the stance: "none" (default) cuts every
+      // occurrence (the boilerplate stance — a run that repeats across
+      // the corpus is chrome, not signal); "first" is the paper's
+      // suffix-array semantics — the corpus-wide FIRST occurrence
+      // survives, so exactly one copy of each duplicated substring
+      // remains. Docs reduced to nothing are dropped.
       import org.apache.spark.sql.functions._
       val id = str(c, "id_column").getOrElse("doc_id")
       val text = str(c, "text_column").getOrElse("text")
       val win = int(c, "window_len").getOrElse(40)
       val minOcc = int(c, "min_occurrences").getOrElse(2)
+      val keep = str(c, "keep").getOrElse("none")
+      require(keep == "none" || keep == "first",
+        s"dup_span_strip: unknown keep policy '$keep'")
       requireFree(df, "dup_span_strip", "_spans")
-      val spans = operators.Dedup.dupSpans(df, win, minOcc.toLong, id, text)
+      val spans = operators.Dedup.dupSpans(df, win, minOcc.toLong, id, text,
+        keepFirst = keep == "first")
         .groupBy(col(id))
         .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
           .as("_spans"))

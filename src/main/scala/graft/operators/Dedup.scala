@@ -901,9 +901,19 @@ object Dedup {
     * set back, trading a second scan for a 3x smaller shuffle, or run
     * the approximate winnowing pass (x10) first).
     */
+  /** `keepFirst = false` (default) marks EVERY occurrence of a
+    * corpus-duplicated run (the boilerplate stance the `dup_span_strip`
+    * stage documents); `keepFirst = true` is the Lee et al. (2022)
+    * suffix-array semantics — the FIRST occurrence corpus-wide (min
+    * (id, pos) per window hash) is not a duplicate, so exactly one
+    * copy of each repeated substring survives a strip built on these
+    * spans. A run repeated WITHIN one doc keeps its first position
+    * there too.
+    */
   def dupSpans(
       docs: DataFrame, winLen: Int, minOcc: Long = 2L,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      keepFirst: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(winLen >= 2, s"winLen must be >= 2, got $winLen")
     // one row per window position, hashed by the Rabin-Karp kernel —
@@ -918,10 +928,18 @@ object Dedup {
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    wins
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .where(col("occ") >= minOcc)
-      .drop("occ")
+    val byHash = Window.partitionBy(col("h"))
+    val marked = wins.withColumn("occ", count(lit(1)).over(byHash))
+    val dupWins =
+      if (!keepFirst) marked.where(col("occ") >= minOcc).drop("occ")
+      else marked
+        // both aggregates share the byHash spec — one window exchange
+        .withColumn("_first",
+          min(struct(col(idCol).as("i"), col("pos").as("p"))).over(byHash))
+        .where(col("occ") >= minOcc &&
+          !(col(idCol) === col("_first.i") && col("pos") === col("_first.p")))
+        .drop("occ", "_first")
+    dupWins
       // windows at p1 < p2 cover contiguously iff p2 <= p1 + winLen
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
       .withColumn("brk",

@@ -872,6 +872,44 @@ class TrainingDataSpec extends SparkSpec {
     assert(!spans.contains(4L) && !spans.contains(5L))
   }
 
+  test("dupSpans keepFirst: corpus-wide first occurrence survives (Lee et al. semantics)") {
+    // the same fixture as the keep-all test; with keepFirst the span
+    // set must shrink to exactly the NON-first occurrences
+    val az = ('a' to 'z').mkString
+    val copy = az + az.reverse + "01234567"
+    val rep = "0123456789ABCDEFGHJKLMNOP"
+    val pad1 = "alpha segment with strictly original wording."
+    val pad3 = "gamma portion written in another standalone voice;"
+    val pad4 = "delta tail that closes with still different text?"
+    val pad5 = " middle filler appearing exactly once here "
+    val df = Seq(
+      (1L, pad1 + copy),
+      (2L, pad3 + pad4 + copy),
+      (3L, rep + pad5 + rep)).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, winLen = 20, keepFirst = true)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
+    // doc 1 holds the corpus-wide first occurrence of COPY: no span
+    assert(!spans.contains(1L), s"first occurrence must survive: ${spans.get(1L)}")
+    // doc 2's copy is a non-first occurrence: exact 60-char span
+    val p34 = (pad3.length + pad4.length).toLong
+    assert(spans(2L) == List((p34 + 1, p34 + 60, 60L)), s"doc2: ${spans.get(2L)}")
+    // within-doc repeat: only the SECOND occurrence is marked
+    val d3start2 = (rep.length + pad5.length).toLong
+    assert(spans(3L) == List((d3start2 + 1, d3start2 + 25, 25L)),
+      s"doc3: ${spans.get(3L)}")
+    // and a strip built on keep-first spans retains one copy per run:
+    // the registry stage wires the policy through
+    import org.json4s.jackson.JsonMethods.parse
+    val stripped = graft.Registry.transformers("dup_span_strip")(
+      parse("""{"window_len": 20, "keep": "first"}"""))(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(1L) == pad1 + copy, "first-occurrence doc untouched")
+    assert(stripped(2L) == pad3 + pad4, s"doc2 keeps only unique text: ${stripped(2L)}")
+    assert(stripped(3L) == rep + pad5, s"doc3 keeps first rep: ${stripped(3L)}")
+  }
+
   test("gopher rules: each rule flips on its designed fixture") {
     import org.json4s.jackson.JsonMethods.parse
     val good = ("the quick brown fox jumps over a lazy dog and then " * 6).trim // 66 words, stopwords, alpha
