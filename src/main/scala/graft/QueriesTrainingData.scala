@@ -53,6 +53,37 @@ object QueriesTrainingData {
       length(col("text")).as("n_chars"))
       .orderBy("doc_id")
 
+  /** Per-language tokenizer fertility report — the table a tokenizer
+    * design review reads (fertility = subword tokens per whitespace
+    * word; chars per subword token = compression): languages whose
+    * fertility runs high are under-served by the vocab (the UniMax /
+    * tokenizer-parity concern), and the byte-budget per token drives
+    * context-window economics. Map-only counters + one lang-scale
+    * aggregation; exact integer sums, one rounded division per ratio.
+    */
+  private def x39TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("_chars"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("_ws"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_chars").as("n_chars"),
+        sum("_ws").as("n_ws_tokens"),
+        sum("_bpe").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("n_ws_tokens"), col("n_bpe_tokens"),
+        when(col("n_ws_tokens") > 0,
+          round(col("n_bpe_tokens").cast("double")
+            / col("n_ws_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("fertility"),
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double")
+            / col("n_bpe_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("chars_per_token"))
+      .orderBy("lang")
+
   private def x2Quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
@@ -1217,6 +1248,7 @@ object QueriesTrainingData {
     "x36_ngram_novelty" -> (x36NgramNovelty(_, _)),
     "x37_length_batching" -> (x37LengthBatching(_, _)),
     "x1_token_stats" -> (x1TokenStats(_, _)),
+    "x39_tokenizer_fertility" -> (x39TokenizerFertility(_, _)),
     "x2_quality" -> (x2Quality(_, _)),
     "x3_langid" -> (x3LangId(_, _)),
     "x4_fingerprint" -> (x4Fingerprint(_, _)),
@@ -1569,6 +1601,21 @@ object QueriesTrainingData {
          |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
          |  length(text) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x39_tokenizer_fertility" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  sum(length(text))::BIGINT AS n_chars,
+         |  sum(len($rawToksSql))::BIGINT AS n_ws_tokens,
+         |  sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')))::BIGINT
+         |    AS n_bpe_tokens,
+         |  CASE WHEN sum(len($rawToksSql)) > 0
+         |    THEN round(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')))::DOUBLE
+         |      / sum(len($rawToksSql)), 6)
+         |    ELSE 0.0 END AS fertility,
+         |  CASE WHEN sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) > 0
+         |    THEN round(sum(length(text))::DOUBLE
+         |      / sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))), 6)
+         |    ELSE 0.0 END AS chars_per_token
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x2_quality" ->
       s"""SELECT doc_id,
          |  round(stop_ratio, 6) AS stop_ratio,
