@@ -726,8 +726,14 @@ object QueriesTrainingData {
     // invocation and every micro-batch probes one materialized parquet;
     // build cost lands in the bench staging map like every other index
     val stagedIdx = stagedCorpusGrams(s, dir)
+    // cache: a stream-static join re-evaluates the static side EVERY
+    // micro-batch; pinning the index means one parquet scan serves all
+    // batches (at sf3 the re-scan dominated the query — 2 batches x a
+    // 30x index). Production holds its decontamination index hot the
+    // same way; Bench's between-query clearCache bounds the lifetime.
     val corpusGrams = s.read.parquet(s"$stagedIdx/grams")
       .withColumn("_hit", lit(true))
+      .cache()
     val toks = TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))
     val grams = when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
