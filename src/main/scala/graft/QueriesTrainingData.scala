@@ -358,6 +358,32 @@ object QueriesTrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@5 of the LSH index (s2's exact config) against brute-force
+    * ground truth (s1) — the eval harness an ANN index ships with: per
+    * query, how many of the true top-5 the banded index surfaced. The
+    * spec asserts a recall floor; this query pins the EXACT per-query
+    * values (both sides deterministic), so an LSH plane/bucket
+    * regression shows up as a hash mismatch, not a silent quality
+    * drift.
+    */
+  private def s7AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = Similarity.lshTopK(e, q, k = 5, planesPerTable = 4, numTables = 8)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("_hit"))
+    exact
+      .join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("query_id"), col("k"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k").cast("double"), 6)
+          .as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   /** s2 with query-side multi-probe: every bucket at hamming distance 1
     * is also visited (planesPerTable extra probes per table per query),
     * recovering neighbors that fell just across one hyperplane. The
@@ -1285,6 +1311,7 @@ object QueriesTrainingData {
     "d6_simhash_pairs" -> (d6SimhashPairs(_, _)),
     "d7_embed_dup" -> (d7EmbedDup(_, _)),
     "s6_range_search" -> (s6RangeSearch(_, _)),
+    "s7_ann_recall" -> (s7AnnRecall(_, _)),
     "s1_cosine_topk" -> (s1CosineTopK(_, _)),
     "s2_ann_lsh" -> (s2AnnLsh(_, _)),
     "s4_ann_lsh_multiprobe" -> (s4AnnLshMultiprobe(_, _)),
@@ -2288,6 +2315,44 @@ object QueriesTrainingData {
          |    AS rank
          |  FROM scored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s7_ann_recall" ->
+      s"""WITH $normVecCte,
+         |${OracleFragments.lshBucketsCte(planesPerTable = 4, numTables = 8, dims = 64)},
+         |escored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM vn q JOIN vn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |      AS rank
+         |    FROM escored
+         |  ) WHERE rank <= 5
+         |), acands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM lshbuckets q JOIN lshbuckets c
+         |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |), ascored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM acands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |), ann AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |      AS rank
+         |    FROM ascored
+         |  ) WHERE rank <= 5
+         |)
+         |SELECT e.query_id, count(*) AS k,
+         |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS recall_at_k
+         |FROM exact e LEFT JOIN ann a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "c1_corpus_card" ->
       s"""WITH perdoc AS (
          |  SELECT source,
