@@ -63,6 +63,19 @@ object Bench {
     }
   }
 
+  /** Flat `"name": value` pairs from the frozen-baseline JSON,
+    * restricted to registry query names — restriction is what keeps
+    * metadata keys (`"frozen_at_round": 10`) out of the guard's
+    * comparisons. Regex, not a JSON parser, on purpose: the guard must
+    * never be the thing that breaks a bench run, and the file is a
+    * flat map this repo itself writes.
+    */
+  private[graft] def parseFrozen(
+      txt: String, names: Set[String]): Map[String, Double] =
+    """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, _) => names.contains(k) }.toMap
+
   private final class MetricsTap extends SparkListener {
     val read = new AtomicLong
     val write = new AtomicLong
@@ -241,12 +254,9 @@ object Bench {
     // either carries its fresh-region number or documents that the
     // fresh region CONFIRMED the official one (a real regression).
     val frozen: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8")
-      val names = results.map(_._1).toSet
-      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, _) => names.contains(k) }.toMap
+      parseFrozen(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8"),
+        results.map(_._1).toSet)
     } catch { case _: Throwable => Map.empty }
     val repolled = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val finalResults = results.map { case (name, best @ (v, _, _, _)) =>

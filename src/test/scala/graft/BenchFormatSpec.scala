@@ -27,6 +27,25 @@ class BenchFormatSpec extends AnyFunSuite {
       .asInstanceOf[Map[String, Any]]
   }
 
+  test("frozen-baseline parse: registry names only, metadata keys excluded") {
+    val txt =
+      """{
+        | "frozen_at_round": 10,
+        | "queries": {
+        |  "q1_agg": 1.046,
+        |  "d6_simhash_pairs": 2.656,
+        |  "x22_hash_split": 0.124
+        | }
+        |}""".stripMargin
+    val got = Bench.parseFrozen(txt, Set("q1_agg", "d6_simhash_pairs", "nope"))
+    assert(got == Map("q1_agg" -> 1.046, "d6_simhash_pairs" -> 2.656))
+    // metadata keys and non-registry names never reach the guard
+    assert(!got.contains("frozen_at_round") && !got.contains("x22_hash_split"))
+    // garbage input degrades to empty, never throws (the guard must not
+    // be able to break a bench run)
+    assert(Bench.parseFrozen("not json at all", Set("q1_agg")).isEmpty)
+  }
+
   test("compact line keeps the FULL registry via prefix keys when names overflow") {
     // 114 realistic names cannot fit a 2000-char tail at any precision
     // with full names; the prefix format must carry every query
