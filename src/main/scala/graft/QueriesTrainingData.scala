@@ -1208,6 +1208,41 @@ object QueriesTrainingData {
     textEl.unionByName(mediaEl).orderBy("doc_id", "seq_pos")
   }
 
+  /** Exact media dedup report — per modality: item/unique counts and
+    * the byte savings of content-hash dedup (the first pass any
+    * multimodal corpus runs: identical images/clips are re-crawled
+    * constantly, and payload bytes dominate storage). Synthesis: 4
+    * consecutive doc_ids share one payload (the urlDf pattern — raw
+    * corpus media are unique-per-doc, so dedup would be vacuous
+    * without planted duplication; the oracle replays the identical
+    * synthesis), payload size keyed on the group so duplicates are
+    * bit-identical. Scale shape: one (type, hash)-scale aggregation
+    * then a 3-row reduce — payload BYTES never shuffle, only hashes
+    * and sizes (the m3 discipline).
+    */
+  private def m6MediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val grp = (col("doc_id") / 4).cast("long")
+    val m = docs(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      md5(concat(lit("media:"), grp.cast("string"))).as("content_md5"),
+      ((grp % 50 + 10) * 1024).cast("long").as("payload_bytes"))
+    m.groupBy("media_type", "content_md5")
+      .agg(count(lit(1)).as("n_copies"), min("payload_bytes").as("bytes"))
+      .groupBy("media_type")
+      .agg(sum("n_copies").as("n_items"),
+        count(lit(1)).as("n_unique"),
+        (sum("n_copies") - count(lit(1))).as("n_dup_items"),
+        sum(col("n_copies") * col("bytes")).as("bytes_total"),
+        sum("bytes").as("bytes_after_dedup"))
+      .select(col("media_type"), col("n_items"), col("n_unique"),
+        col("n_dup_items"), col("bytes_total"), col("bytes_after_dedup"),
+        round(lit(1.0) - col("bytes_after_dedup").cast("double")
+          / col("bytes_total").cast("double"), 6).as("dedup_savings"))
+      .orderBy("media_type")
+  }
+
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMeta(mediaDf(s, dir))
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
@@ -1334,6 +1369,7 @@ object QueriesTrainingData {
     "m1_media_meta" -> (m1MediaMeta(_, _)),
     "m2_media_features" -> (m2MediaFeatures(_, _)),
     "m5_interleaved" -> (m5Interleaved(_, _)),
+    "m6_media_dedup" -> (m6MediaDedup(_, _)),
     "c4_corpus_diff" -> (c4CorpusDiff(_, _)),
     "c5_mix_entropy" -> (c5MixEntropy(_, _)),
     "p3_update_pipeline" -> (p3UpdatePipeline(_, _)),
@@ -2634,6 +2670,26 @@ object QueriesTrainingData {
          |WHERE q >= 0.5
          |  AND (CASE ${langScores.reverse.map { case (c, _) => s"WHEN s_$c = msc THEN '$c'" }.mkString(" ")} END) = 'en'
          |GROUP BY source ORDER BY source""".stripMargin,
+    "m6_media_dedup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id,
+         |    (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
+         |    md5('media:' || (doc_id // 4)::VARCHAR) AS content_md5,
+         |    (((doc_id // 4) % 50 + 10) * 1024)::BIGINT AS payload_bytes
+         |  FROM documents
+         |), per_hash AS (
+         |  SELECT media_type, content_md5, count(*) AS n_copies,
+         |    min(payload_bytes) AS bytes
+         |  FROM media GROUP BY media_type, content_md5
+         |)
+         |SELECT media_type,
+         |  sum(n_copies)::BIGINT AS n_items,
+         |  count(*) AS n_unique,
+         |  (sum(n_copies) - count(*))::BIGINT AS n_dup_items,
+         |  sum(n_copies * bytes)::BIGINT AS bytes_total,
+         |  sum(bytes)::BIGINT AS bytes_after_dedup,
+         |  round(1.0 - sum(bytes)::DOUBLE / sum(n_copies * bytes), 6) AS dedup_savings
+         |FROM per_hash GROUP BY media_type ORDER BY media_type""".stripMargin,
     "m1_media_meta" ->
       s"""SELECT doc_id AS media_id,
          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
