@@ -659,6 +659,37 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@5 of the IVF index (s3's exact config: 16 cells, nprobe 4)
+    * against brute-force ground truth — s7's eval harness applied to
+    * the second index family, so BOTH ANN paths carry a pinned,
+    * hash-checked recall contract (an IVF centroid/probe regression is
+    * a mismatch, not silent drift). Reuses s3's session-cached
+    * persisted index; the ground truth is the bounded s1 broadcast.
+    */
+  private def s8IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val exact = operators.Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+      val ix = TempDirs.fresh("graft_ivf")
+      Clustering.writeIvfIndex(e, c, ix)
+      (ix, c)
+    })
+    val ann = Clustering.ivfTopKFromIndex(s, ixDir, q, cents, k = 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("_hit"))
+    exact
+      .join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("query_id"), col("k"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k").cast("double"), 6)
+          .as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   /** Cross-source content-overlap matrix (3-gram shingle overlap per
     * source pair, with the overlap coefficient n_shared / min(n_a,
     * n_b)) — the cross-corpus contamination table consulted before
@@ -767,7 +798,8 @@ object QueriesExtended {
     "x9_reservoir_sample" -> (x9ReservoirSample(_, _)),
     "x19_weighted_sample" -> (x19WeightedSample(_, _)),
     "q28_funnel" -> (q28Funnel(_, _)),
-    "s3_ann_ivf" -> (s3AnnIvf(_, _)))
+    "s3_ann_ivf" -> (s3AnnIvf(_, _)),
+    "s8_ivf_recall" -> (s8IvfRecall(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -1138,6 +1170,48 @@ object QueriesExtended {
          |    AS rank
          |  FROM scored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s8_ivf_recall" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |escored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM vn q JOIN vn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |      AS rank
+         |    FROM escored
+         |  ) WHERE rank <= 5
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), acands AS (
+         |  SELECT p.query_id, ix.vec_id AS neighbor_id
+         |  FROM probes p JOIN cellassign ix ON ix.cell = p.cell
+         |  WHERE ix.vec_id <> p.query_id
+         |), ascored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM acands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |), ann AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |      AS rank
+         |    FROM ascored
+         |  ) WHERE rank <= 5
+         |)
+         |SELECT e.query_id, count(*) AS k,
+         |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS recall_at_k
+         |FROM exact e LEFT JOIN ann a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 6) AS total_value
