@@ -1267,6 +1267,43 @@ object QueriesTrainingData {
   private def x34ClassifierScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")
 
+  /** Quality-classifier calibration table (the FineWeb-Edu-style
+    * reliability report): per (source, classifier-score decile), the
+    * mean classifier score vs the mean heuristic quality signal — the
+    * table that says whether the model's score ORDERING agrees with
+    * the independent heuristic before anyone trusts its threshold.
+    * Deciles are per SOURCE (ntile over a partitioned window), so the
+    * sort parallelizes across sources instead of funneling the corpus
+    * through one global ordering. Means are emitted as FLOORED
+    * micro-unit integers (the c7 micro-nat convention): sums of
+    * 6-dp-rounded inputs are exact integers in micro-units, and
+    * floor(sum/n) is boundary-free — a rounded-double mean hit an
+    * exact .5e-6 half (1037335/2) where Spark's HALF_UP and DuckDB's
+    * rounding disagree.
+    */
+  private def x40QualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.classifierScore(docs(s, dir))
+      .select(col("doc_id"), col("clf_score"))
+    val qual = docs(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy("source").orderBy(col("clf_score"), col("doc_id"))
+    def micro(c: org.apache.spark.sql.Column) =
+      round(c * 1000000.0, 0).cast("long")
+    scored.join(qual, "doc_id")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(micro(col("clf_score"))).as("_sc"),
+        sum(micro(col("q"))).as("_sq"))
+      .select(col("source"), col("decile"), col("n_docs"),
+        floor(col("_sc").cast("double") / col("n_docs")).cast("long")
+          .as("mean_clf_micro"),
+        floor(col("_sq").cast("double") / col("n_docs")).cast("long")
+          .as("mean_quality_micro"))
+      .orderBy("source", "decile")
+  }
+
   /** Code-vs-prose routing (TextAnalysis.codeSignals) over
     * deterministically synthesized code-bearing text: every 5th doc
     * gets a snippet woven from its own doc_id (the raw corpus contains
@@ -1316,6 +1353,7 @@ object QueriesTrainingData {
     "x37_length_batching" -> (x37LengthBatching(_, _)),
     "x1_token_stats" -> (x1TokenStats(_, _)),
     "x39_tokenizer_fertility" -> (x39TokenizerFertility(_, _)),
+    "x40_quality_calibration" -> (x40QualityCalibration(_, _)),
     "x2_quality" -> (x2Quality(_, _)),
     "x3_langid" -> (x3LangId(_, _)),
     "x4_fingerprint" -> (x4Fingerprint(_, _)),
@@ -1547,6 +1585,35 @@ object QueriesTrainingData {
          |SELECT doc_id, n_tokens, clf_score,
          |  (n_tokens > 0 AND clf_score > 0.0) AS kept
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "x40_quality_calibration" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    ${hash60(s"'clsw:' || (${hash60("t")} % 65536)::VARCHAR")} % 2001 - 1000
+         |      AS wm
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n, sum(wm)::BIGINT AS s
+         |  FROM w GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN coalesce(a.n, 0) <= 0 THEN 0.0
+         |         ELSE round(a.s::DOUBLE / (a.n * 1000.0), 6) END AS clf_score
+         |  FROM documents d LEFT JOIN agg a USING (doc_id)
+         |), qual AS (
+         |  SELECT doc_id, source, ${OracleFragments.qualitySql} AS q FROM documents
+         |), j AS (
+         |  SELECT ql.source, s.clf_score, ql.q,
+         |    ntile(10) OVER (PARTITION BY ql.source ORDER BY s.clf_score, s.doc_id)
+         |      AS decile
+         |  FROM scored s JOIN qual ql USING (doc_id)
+         |)
+         |SELECT source, decile, count(*) AS n_docs,
+         |  floor(sum(round(clf_score * 1000000, 0)::BIGINT)::DOUBLE
+         |    / count(*))::BIGINT AS mean_clf_micro,
+         |  floor(sum(round(q * 1000000, 0)::BIGINT)::DOUBLE
+         |    / count(*))::BIGINT AS mean_quality_micro
+         |FROM j GROUP BY source, decile ORDER BY source, decile""".stripMargin,
     "x35_code_detect" ->
       s"""WITH p AS (
          |  SELECT doc_id,

@@ -1461,6 +1461,33 @@ class TrainingDataSpec extends SparkSpec {
       s"dupSpans must flag the contained run in both docs: $spans")
   }
 
+  test("x40 calibration table tiles every source into deciles ordered by score") {
+    // The reliability-table contract: (1) every doc lands in exactly one
+    // (source, decile) cell, so n_docs sums back to the corpus; (2)
+    // deciles are assigned by ntile over clf_score, so the per-cell mean
+    // classifier score must be NON-DECREASING in decile within a source
+    // — if it ever dips, the bucketing and the reported means have
+    // desynchronized and the whole calibration read is garbage
+    val sfDir = "/root/testdata/sf0.001"
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val rows = graft.SparkEntry.queries("x40_quality_calibration")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every doc in exactly one cell")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, cells) =>
+      val byDecile = cells.sortBy(_.getAs[Int]("decile"))
+      assert(byDecile.map(_.getAs[Int]("decile")).toSeq == (1 to cells.length),
+        s"$src: deciles must tile 1..n with no gaps")
+      assert(cells.length == 10, s"$src has >=10 docs at sf0.001, so 10 cells")
+      val means = byDecile.map(_.getAs[Long]("mean_clf_micro")).toSeq
+      assert(means == means.sorted,
+        s"$src: mean score must be monotone across deciles: $means")
+      // ntile balance: cell sizes differ by at most 1
+      val sizes = cells.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src: ntile balance: ${sizes.toSeq}")
+    }
+  }
+
   test("containmentDedup drops the contained doc and keeps the superset + unrelated") {
     val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val long = short + " lambda mu nu" // moderate asymmetry: bands collide
