@@ -236,6 +236,16 @@ object QueriesTrainingData {
   /** UniMax budget allocation (Chung et al. 2023): water-filling a
     * 75%-of-corpus token budget across languages at a 1-epoch cap.
     */
+  /** Temperature-scaled mixture table (Mixture.temperatureMix): how a
+    * T in {1, 2, 4} reweights each source's sampling share and epoch
+    * rate — the multilingual-LM mixing knob next to x32's UniMax
+    * alternative. Power-of-two temperatures keep f^(1/T) a
+    * correctly-rounded sqrt chain on both engines.
+    */
+  private def x41TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    operators.Mixture.temperatureMix(docs(s, dir))
+      .orderBy("temperature", "source")
+
   private def x32UnimaxMix(s: SparkSession, dir: String): DataFrame =
     operators.Mixture.unimaxAllocation(docs(s, dir),
         budgetFraction = 0.75, epochCap = 1.0)
@@ -1419,7 +1429,8 @@ object QueriesTrainingData {
     "d14_bloom_contamination" -> (d14BloomContamination(_, _)),
     "x30_c4_rules" -> (x30C4Rules(_, _)),
     "x31_ccnet_buckets" -> (x31CcnetBuckets(_, _)),
-    "x32_unimax_mix" -> (x32UnimaxMix(_, _)))
+    "x32_unimax_mix" -> (x32UnimaxMix(_, _)),
+    "x41_temperature_mix" -> (x41TemperatureMix(_, _)))
 
   // --- oracle SQL fragments (DuckDB dialect) ---------------------------
 
@@ -2880,5 +2891,30 @@ object QueriesTrainingData {
          |  round(least(f.cap, lv.level), 6) AS alloc,
          |  round(round(least(f.cap, lv.level), 6) / f.n_tokens, 6) AS epochs,
          |  (f.cap <= lv.level) AS capped
-         |FROM flg f, lv ORDER BY lang""".stripMargin)
+         |FROM flg f, lv ORDER BY lang""".stripMargin,
+    "x41_temperature_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM cnt
+         |), w AS (
+         |  SELECT t.temperature, c.source, c.n_tokens, tot.total,
+         |    CAST(round(CASE t.temperature
+         |      WHEN 1 THEN c.n_tokens::DOUBLE / tot.total::DOUBLE
+         |      WHEN 2 THEN sqrt(c.n_tokens::DOUBLE / tot.total::DOUBLE)
+         |      ELSE sqrt(sqrt(c.n_tokens::DOUBLE / tot.total::DOUBLE))
+         |    END * 1e6) AS BIGINT) AS w_micro
+         |  FROM cnt c, tot, (SELECT unnest([1, 2, 4]) AS temperature) t
+         |), p AS (
+         |  SELECT temperature, source, n_tokens, total,
+         |    CAST(floor(w_micro::DOUBLE * 1e6 /
+         |      (sum(w_micro) OVER (PARTITION BY temperature))::DOUBLE)
+         |      AS BIGINT) AS p_micro
+         |  FROM w
+         |)
+         |SELECT temperature, source, n_tokens, p_micro,
+         |  CAST(floor(p_micro::DOUBLE * total::DOUBLE / n_tokens::DOUBLE)
+         |    AS BIGINT) AS epochs_micro
+         |FROM p ORDER BY temperature, source""".stripMargin)
 }

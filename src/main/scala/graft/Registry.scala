@@ -307,6 +307,24 @@ object Registry {
         df.join(broadcast(alloc), Seq(grp)), col("epochs"), id)
         .drop("epochs")
     },
+    "temperature_mix" -> { c => df =>
+      // temperature-scaled resampling (mT5-style): each group's docs
+      // are repeated at its epochs rate under p_g ∝ f_g^(1/T) for ONE
+      // power-of-two temperature; the |groups|-row rate table is
+      // broadcast and the resample is the same hash-lottery upsampler
+      // unimax_resample uses, so T is a drop-in alternative knob
+      import org.apache.spark.sql.functions._
+      val grp = str(c, "group_column").getOrElse("source")
+      val text = str(c, "text_column").getOrElse("text")
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val temp = int(c, "temperature").getOrElse(2)
+      val rates = operators.Mixture.temperatureMix(df, Seq(temp), grp, text)
+        .select(col(grp),
+          (col("epochs_micro").cast("double") / 1e6).as("_t_epochs"))
+      operators.Mixture.sourceUpsample(
+        df.join(broadcast(rates), Seq(grp)), col("_t_epochs"), id)
+        .drop("_t_epochs")
+    },
     "domain_cap" -> { c => df =>
       // per-registrable-domain quota (crawl balancing): keep at most
       // max_per_domain docs per domain, lowest id first — ONE window,

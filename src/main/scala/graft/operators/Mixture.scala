@@ -374,4 +374,60 @@ object Mixture {
       .select(col(groupCol), col("n_tokens"), col("cap"),
         col("alloc"), col("epochs"), col("capped"))
   }
+
+  /** Temperature-scaled mixture table (the mT5 / multilingual-LM
+    * formula): sampling share p_g(T) ∝ f_g^(1/T) where f_g is group
+    * g's token fraction, for each requested temperature. T=1 is
+    * proportional sampling; T→∞ is uniform; the table shows how hard
+    * each temperature upsamples low-resource groups (epochs_micro > 1e6
+    * means the group is seen more than once per corpus-sized budget).
+    *
+    * Temperatures are restricted to POWERS OF TWO so f^(1/T) is a
+    * sqrt chain — IEEE 754 requires sqrt (and division) to be
+    * correctly rounded, so Spark and any SQL oracle engine produce
+    * bit-identical weights, where a libm `pow` may differ by an ULP
+    * and flip a rounding boundary. Shares and epochs are emitted as
+    * floored micro-unit integers off an op-for-op identical chain of
+    * correctly-rounded double casts/multiplies/divides, the repo's
+    * cross-engine determinism convention.
+    *
+    * Scale: one map-side token-count aggregate; everything after runs
+    * on |groups| x |temperatures| rows with broadcast totals — no
+    * second pass over the corpus.
+    */
+  def temperatureMix(
+      docs: DataFrame, temperatures: Seq[Int] = Seq(1, 2, 4),
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(temperatures.nonEmpty &&
+      temperatures.forall(t => t >= 1 && (t & (t - 1)) == 0),
+      s"temperatureMix: temperatures must be powers of two, got $temperatures")
+    @annotation.tailrec
+    def root(c: Column, t: Int): Column = if (t <= 1) c else root(sqrt(c), t / 2)
+    // the corpus collapses to |groups| rows here, so the total rides
+    // an all-rows window instead of a scalar-broadcast cross join
+    val counts = docs
+      .groupBy(col(groupCol))
+      .agg(sum(size(TextAnalysis.wsTokens(TextAnalysis.normalize(col(textCol))))
+        .cast("long")).as("n_tokens"))
+      .withColumn("_total", sum("n_tokens").over(Window.partitionBy()))
+    val f = col("n_tokens").cast("double") / col("_total").cast("double")
+    val perT = temperatures.map { t =>
+      counts
+        .withColumn("temperature", lit(t))
+        .withColumn("_w_micro", round(root(f, t) * 1e6, 0).cast("long"))
+    }.reduce(_.unionByName(_))
+    // integer micro-weights sum order-independently; the final double
+    // divisions have exact-integer operands, so floor() is stable
+    val wSum = Window.partitionBy("temperature")
+    perT
+      .withColumn("_w_sum", sum("_w_micro").over(wSum))
+      .withColumn("p_micro",
+        floor(col("_w_micro").cast("double") * 1e6 /
+          col("_w_sum").cast("double")).cast("long"))
+      .withColumn("epochs_micro",
+        floor(col("p_micro").cast("double") * col("_total").cast("double") /
+          col("n_tokens").cast("double")).cast("long"))
+      .select(col("temperature"), col(groupCol), col("n_tokens"),
+        col("p_micro"), col("epochs_micro"))
+  }
 }

@@ -17,7 +17,8 @@ class CliSpec extends SparkSpec {
       "perplexity_filter", "pii_redact", "quality_filter", "quality_quantile_filter",
       "repetition_filter", "semantic_dedup", "simhash_dedup",
       "soft_dedup_weights", "source_mix",
-      "source_upsample", "stratified_sample", "token_budget", "unimax_resample",
+      "source_upsample", "stratified_sample", "temperature_mix", "token_budget",
+      "unimax_resample",
       "url_dedup", "weighted_sample"))
     assert(Registry.allStages("loaders") == Seq("ccsds", "csv", "jsonl", "orc", "parquet"))
     val e = intercept[NoSuchElementException](Registry.getExtractor("bogus"))

@@ -1461,6 +1461,49 @@ class TrainingDataSpec extends SparkSpec {
       s"dupSpans must flag the contained run in both docs: $spans")
   }
 
+  test("temperatureMix: T=1 is proportional, higher T upsamples the small source") {
+    // 9 docs x 10 tokens from "a", 1 doc x 10 tokens from "b":
+    // f_a = 0.9, f_b = 0.1 — hand-checkable sqrt-chain shares
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docsDf = ((0 until 9).map(i => (i.toLong, ten, "a")) :+ (9L, ten, "b"))
+      .toDF("doc_id", "text", "source")
+    val rows = Mixture.temperatureMix(docsDf).collect()
+      .map(r => (r.getAs[Int]("temperature"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("p_micro"), r.getAs[Long]("epochs_micro")))).toMap
+    // T=1: exact proportional shares, every group at exactly one epoch
+    assert(rows((1, "a")) == ((900000L, 1000000L)), s"$rows")
+    assert(rows((1, "b")) == ((100000L, 1000000L)), s"$rows")
+    // T=2: p_b = sqrt(.1)/(sqrt(.9)+sqrt(.1)) = 0.25 -> epochs_b = 2.5
+    assert(math.abs(rows((2, "b"))._1 - 250000L) <= 2, s"$rows")
+    assert(math.abs(rows((2, "b"))._2 - 2500000L) <= 20, s"$rows")
+    // shares are monotone in T: the small source rises, the big falls
+    assert(rows((1, "b"))._1 < rows((2, "b"))._1 &&
+      rows((2, "b"))._1 < rows((4, "b"))._1, s"$rows")
+    assert(rows((1, "a"))._1 > rows((2, "a"))._1 &&
+      rows((2, "a"))._1 > rows((4, "a"))._1, s"$rows")
+    // each temperature's shares sum to 1e6 within |groups| floor slack
+    Seq(1, 2, 4).foreach { t =>
+      val s = rows((t, "a"))._1 + rows((t, "b"))._1
+      assert(s <= 1000000L && s >= 1000000L - 2, s"T=$t sums to $s")
+    }
+    // non-power-of-two temperatures are rejected (sqrt-chain contract)
+    intercept[IllegalArgumentException](
+      Mixture.temperatureMix(docsDf, temperatures = Seq(3)))
+    // stage: T=1 is the identity multiset; T=4 repeats the small
+    // source at its epoch rate and thins the big one below 1x
+    import org.json4s.jackson.JsonMethods.parse
+    val t1 = graft.Registry.transformers("temperature_mix")(
+      parse("""{"temperature": 1}"""))(docsDf)
+    assert(t1.count() == 10L, "T=1 resample must pass every doc once")
+    val t4 = graft.Registry.transformers("temperature_mix")(
+      parse("""{"temperature": 4}"""))(docsDf)
+    val bySrc = t4.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // epochs_a ~ 0.70, epochs_b ~ 3.66 at T=4
+    assert(bySrc("b") >= 3L, s"small source must repeat: $bySrc")
+    assert(bySrc.getOrElse("a", 0L) < 9L, s"big source must thin: $bySrc")
+  }
+
   test("x40 calibration table tiles every source into deciles ordered by score") {
     // The reliability-table contract: (1) every doc lands in exactly one
     // (source, decile) cell, so n_docs sums back to the corpus; (2)
