@@ -333,6 +333,18 @@ object QueriesTrainingData {
       .where(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
       .orderBy("a_id", "b_id")
 
+  /** LSH band-configuration S-curve (Dedup.lshTuningReport): candidate
+    * volume / precision / recall at J >= 0.5 for rows-per-band in
+    * {1, 2, 4, 8} over one K=8 signature table off the staged shingle
+    * index. The tuning table behind d4/d8/d17's (band, row) choice —
+    * exact ground truth is viable here because the report targets a
+    * bounded sample by design (sampleMod at crawl scale).
+    */
+  private def d19LshTuning(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshTuningReport(
+        stagedShingles(s, dir).select(col("doc_id"), col("h"), col("hb")))
+      .orderBy("rows_per_band")
+
   private def d5Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashTable(docs(s, dir)).orderBy("doc_id")
 
@@ -1390,6 +1402,7 @@ object QueriesTrainingData {
     "d3_minhash_sig" -> (d3MinhashSig(_, _)),
     "d4_lsh_pairs" -> (d4LshPairs(_, _)),
     "d17_containment" -> (d17Containment(_, _)),
+    "d19_lsh_tuning" -> (d19LshTuning(_, _)),
     "d5_simhash" -> (d5Simhash(_, _)),
     "d6_simhash_pairs" -> (d6SimhashPairs(_, _)),
     "d7_embed_dup" -> (d7EmbedDup(_, _)),
@@ -2355,6 +2368,60 @@ object QueriesTrainingData {
          |WHERE round(i.i::DOUBLE / sa.sz, 6) >= 0.5
          |   OR round(i.i::DOUBLE / sb.sz, 6) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    "d19_lsh_tuning" -> {
+      val bandCtes = Seq(1, 2, 4, 8).map { r =>
+        s"""bands_$r AS (
+           |  SELECT doc_id, k // $r AS band,
+           |    string_agg(k || ':' || minhash, ',' ORDER BY k) AS band_key
+           |  FROM sigs GROUP BY doc_id, k // $r
+           |), cands_$r AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands_$r a JOIN bands_$r b
+           |    ON a.band = b.band AND a.band_key = b.band_key
+           |    AND a.doc_id < b.doc_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashSigsCte,
+         |$bandCtes,
+         |exh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM exh GROUP BY doc_id),
+         |ti AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM exh a JOIN exh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), truth AS (
+         |  SELECT a_id, b_id FROM ti
+         |  JOIN sz sa ON sa.doc_id = ti.a_id
+         |  JOIN sz sb ON sb.doc_id = ti.b_id
+         |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5
+         |), per_r AS (
+         |  SELECT 1 AS rows_per_band, a_id, b_id FROM cands_1
+         |  UNION ALL SELECT 2, a_id, b_id FROM cands_2
+         |  UNION ALL SELECT 4, a_id, b_id FROM cands_4
+         |  UNION ALL SELECT 8, a_id, b_id FROM cands_8
+         |), agg AS (
+         |  SELECT rows_per_band, count(*)::BIGINT AS n_candidates,
+         |    coalesce(sum(CASE WHEN t.a_id IS NOT NULL THEN 1 END), 0)::BIGINT
+         |      AS n_hits
+         |  FROM per_r p LEFT JOIN truth t
+         |    ON t.a_id = p.a_id AND t.b_id = p.b_id
+         |  GROUP BY rows_per_band
+         |), rs AS (SELECT unnest([1, 2, 4, 8]) AS rows_per_band),
+         |tc AS (SELECT count(*)::BIGINT AS n_true_pairs FROM truth)
+         |SELECT rs.rows_per_band, CAST(8 // rs.rows_per_band AS INT) AS n_bands,
+         |  coalesce(a.n_candidates, 0)::BIGINT AS n_candidates,
+         |  coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+         |  tc.n_true_pairs,
+         |  CASE WHEN coalesce(a.n_candidates, 0) > 0
+         |    THEN CAST(floor(a.n_hits::DOUBLE * 1e6 / a.n_candidates::DOUBLE)
+         |      AS BIGINT) ELSE 0 END AS precision_micro,
+         |  CASE WHEN tc.n_true_pairs > 0
+         |    THEN CAST(floor(coalesce(a.n_hits, 0)::DOUBLE * 1e6
+         |      / tc.n_true_pairs::DOUBLE) AS BIGINT) ELSE 0 END AS recall_micro
+         |FROM rs LEFT JOIN agg a USING (rows_per_band), tc
+         |ORDER BY rs.rows_per_band""".stripMargin
+    },
     "d5_simhash" ->
       s"""WITH $simhashSigsCte
          |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin,

@@ -280,6 +280,119 @@ object Dedup {
         col("a_sz"), col("b_sz"))
   }
 
+  /** EXACT Jaccard self-join via prefix filtering (AllPairs, Bayardo
+    * et al. 2007): order each doc's distinct gram hashes by ascending
+    * global df (rarest first, hash tiebreak), keep only the prefix of
+    * length |d| - ceil(t*|d|) + 1, and generate candidates from
+    * prefix-gram collisions — any pair with J >= t MUST share a prefix
+    * gram under a global token order, so the candidate set is lossless
+    * while the join never touches the frequent tail where the
+    * inverted-index blowup lives. Candidates are then verified on the
+    * FULL posting sets (exact inter, union-normalized J, 6-dp rounded
+    * like every Jaccard emit in this file). Output: (a_id, b_id,
+    * jaccard_sim) for all pairs with J >= threshold — identical to the
+    * uncapped inverted-index join, at a fraction of the exchange.
+    */
+  def exactJaccardPairsPrefix(
+      ex: DataFrame, threshold: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"exactJaccardPairsPrefix: threshold in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val exh = ex.select(col(idCol), col("h"))
+    val sizes = exh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val dfTbl = exh.groupBy("h").agg(count(lit(1)).as("_df"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val pre = exh.join(dfTbl, "h")
+      .withColumn("_r", row_number().over(wDoc.orderBy(col("_df"), col("h"))))
+      .withColumn("_sz", count(lit(1)).over(wDoc))
+      .where(col("_r") <=
+        col("_sz") - ceil(lit(threshold) * col("_sz")) + lit(1))
+      .select(col(idCol), col("h"))
+    val cands = pre.select(col(idCol).as("a_id"), col("h"))
+      .join(pre.select(col(idCol).as("b_id"), col("h")), "h")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val inter = cands
+      .join(exh.select(col(idCol).as("a_id"), col("h")), "a_id")
+      .join(exh.select(col(idCol).as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter")).cast("double"), 6)
+          .as("jaccard_sim"))
+      .where(col("jaccard_sim") >= threshold)
+  }
+
+  /** LSH band-configuration tuning report (the empirical S-curve): for
+    * each rows-per-band setting over ONE set of K minhash signatures,
+    * measure candidate volume, precision and recall against exact
+    * Jaccard ground truth at `threshold` — the table consulted before
+    * committing a (bands x rows) choice to a production dedup run.
+    * More rows per band = fewer, higher-precision candidates; the
+    * report shows where recall falls off the cliff.
+    *
+    * Ground truth is the EXACT pair set at J >= threshold via
+    * [[exactJaccardPairsPrefix]] (lossless AllPairs prefix filtering —
+    * no df cap, which would redefine the recall denominator; no
+    * full inverted-index blowup either). For crawl-scale corpora pass
+    * `sampleMod` > 1 to run the diagnostic on a deterministic 1/mod
+    * doc slice — S-curve estimates from a hash sample are unbiased.
+    * Candidates reuse one signature table across all configs; each
+    * config adds only a band-key exchange and a pair-count aggregate.
+    */
+  def lshTuningReport(
+      hashedGrams: DataFrame, numHashes: Int = 8,
+      rowsPerBands: Seq[Int] = Seq(1, 2, 4, 8), threshold: Double = 0.5,
+      sampleMod: Int = 1, idCol: String = "doc_id"): DataFrame = {
+    require(rowsPerBands.nonEmpty && rowsPerBands.forall(r =>
+      r >= 1 && numHashes % r == 0),
+      s"lshTuningReport: each rowsPerBand must divide numHashes=$numHashes")
+    val hg = if (sampleMod <= 1) hashedGrams
+      else hashedGrams.where(
+        pmod(hash60(col(idCol).cast("string")), lit(sampleMod.toLong)) === 0)
+    // truth and sigs each feed every per-config branch plus the tally —
+    // localCheckpoint so the exact-Jaccard join and the signature agg
+    // run ONCE, not once per rows-per-band config
+    val truth = exactJaccardPairsPrefix(
+      hg.select(col(idCol), col("h")), threshold, idCol)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val sigs = minhashFromBaseHashes(
+      hg.select(col(idCol), col("hb").as("h")), numHashes, idCol)
+      .localCheckpoint()
+    val perR = rowsPerBands.map { r =>
+      lshCandidates(sigs, r, idCol)
+        .join(truth.withColumn("_t", lit(1L)), Seq("a_id", "b_id"), "left")
+        .groupBy()
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum("_t"), lit(0L)).as("n_hits"))
+        .select(lit(r).as("rows_per_band"),
+          lit(numHashes / r).as("n_bands"),
+          col("n_candidates"), col("n_hits"))
+    }.reduce(_.unionByName(_))
+    // the truth count rides an exploded tally so the tiny report rows
+    // join on an equi-key instead of a scalar cross join
+    val truthTally = truth
+      .select(explode(array(rowsPerBands.map(lit(_)): _*)).as("rows_per_band"))
+      .groupBy("rows_per_band").agg(count(lit(1)).as("n_true_pairs"))
+    perR.join(truthTally, Seq("rows_per_band"), "left")
+      .withColumn("n_true_pairs", coalesce(col("n_true_pairs"), lit(0L)))
+      .select(col("rows_per_band"), col("n_bands"),
+        col("n_candidates"), col("n_hits"), col("n_true_pairs"),
+        when(col("n_candidates") > 0,
+          floor(col("n_hits").cast("double") * 1e6 /
+            col("n_candidates").cast("double")).cast("long"))
+          .otherwise(lit(0L)).as("precision_micro"),
+        when(col("n_true_pairs") > 0,
+          floor(col("n_hits").cast("double") * 1e6 /
+            col("n_true_pairs").cast("double")).cast("long"))
+          .otherwise(lit(0L)).as("recall_micro"))
+  }
+
   /** Containment-based duplicate REMOVAL: drop every doc whose distinct
     * shingles are >= `threshold` contained in a LARGER doc (ties on
     * size drop the larger id) — the quote/subset cleanup union-

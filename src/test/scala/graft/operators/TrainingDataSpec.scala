@@ -1461,6 +1461,61 @@ class TrainingDataSpec extends SparkSpec {
       s"dupSpans must flag the contained run in both docs: $spans")
   }
 
+  test("exactJaccardPairsPrefix equals the brute inverted-index join (lossless)") {
+    // the AllPairs prefix filter must not lose a single true pair —
+    // compare against the uncapped full-index join at several
+    // thresholds, including one low enough to stress the bound
+    val st = Dedup.shingleTable(corpus, 3)
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard_sim"))
+    Seq(0.1, 0.5, 0.75, 1.0).foreach { t =>
+      val pref = Dedup.exactJaccardPairsPrefix(st, t).collect().map(key).toSet
+      val brute = Dedup.ngramJaccardPairsFromIndex(
+        st.select(lit(0).as("block"), col("doc_id").as("id"), col("h").as("s")),
+        corpus.select(count(lit(1)).as("n_docs")), t).collect().map(key).toSet
+      assert(pref == brute, s"t=$t: prefix $pref vs brute $brute")
+    }
+    // and the fixture actually exercises it: J=0.75 pairs exist
+    assert(Dedup.exactJaccardPairsPrefix(st, 0.5).count() == 4)
+  }
+
+  test("lshTuningReport: nested candidate sets, exact dups never missed, floor math") {
+    // corpus truth at J >= 0.5: (0,1) J=1, (4,5) J=1, (0,2)/(1,2) J=0.75
+    val st = Dedup.shingleTable(corpus, 3)
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"),
+        Dedup.baseHash(col("s")).as("hb"))
+    val rows = Dedup.lshTuningReport(st, numHashes = 8,
+        rowsPerBands = Seq(1, 2, 4, 8), threshold = 0.5)
+      .orderBy("rows_per_band").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Long]("n_true_pairs") == 4L),
+      s"truth = two exact-dup pairs + two J=0.75 pairs: ${rows.toSeq}")
+    // rows-per-band chain 1|2|4|8 refines band keys, so candidate sets
+    // are NESTED: volumes and hits must be non-increasing in r
+    val cands = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    val hits = rows.map(_.getAs[Long]("n_hits")).toSeq
+    assert(cands == cands.sorted.reverse, s"candidates must shrink: $cands")
+    assert(hits == hits.sorted.reverse, s"hits must shrink: $hits")
+    // an exact dup has an identical signature — EVERY config catches it
+    assert(hits.forall(_ >= 2L), s"exact-dup pairs always collide: $hits")
+    // reported micro ratios are exactly the floor of the counts
+    rows.foreach { r =>
+      val (c, h, t) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_true_pairs"))
+      val p = if (c > 0) (h.toDouble * 1e6 / c.toDouble).floor.toLong else 0L
+      assert(r.getAs[Long]("precision_micro") == p, s"$r")
+      assert(r.getAs[Long]("recall_micro") == (h.toDouble * 1e6 / t).floor.toLong, s"$r")
+    }
+    // a rows-per-band that does not divide K is a config error
+    intercept[IllegalArgumentException](
+      Dedup.lshTuningReport(st, numHashes = 8, rowsPerBands = Seq(3)))
+    // sampleMod keeps a deterministic doc slice: truth can only shrink
+    val sampled = Dedup.lshTuningReport(st, sampleMod = 2)
+      .orderBy("rows_per_band").collect()
+    assert(sampled.head.getAs[Long]("n_true_pairs") <= 4L)
+  }
+
   test("temperatureMix: T=1 is proportional, higher T upsamples the small source") {
     // 9 docs x 10 tokens from "a", 1 doc x 10 tokens from "b":
     // f_a = 0.9, f_b = 0.1 — hand-checkable sqrt-chain shares
