@@ -155,6 +155,7 @@ object Bench {
         "jsonl" -> (() => QueriesTrainingData.stagedJsonl(spark, sfDir)),
         "jsonl_new" -> (() => QueriesTrainingData.stagedJsonlNew(spark, sfDir)),
         "st9grams" -> (() => QueriesTrainingData.stagedCorpusGrams(spark, sfDir)),
+        "corpusmd5" -> (() => QueriesTrainingData.stagedCorpusMd5(spark, sfDir)),
         "lineDf" -> (() => QueriesTrainingData.stagedLineDf(spark, sfDir)))
       stagers.foreach { case (what, run) =>
         // best-effort: a failed build is recorded by TempDirs under a

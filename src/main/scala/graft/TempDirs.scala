@@ -80,8 +80,16 @@ object TempDirs {
     */
   def stagingSeconds: Map[String, Double] =
     { import scala.jdk.CollectionConverters._
+      // a failed build keeps its artifact prefix visible ("FAILED:key",
+      // not one undifferentiated "FAILED" bucket): the artifact must
+      // say WHICH staged build failed, or a flaky stager is
+      // indistinguishable from another
+      def prefix(k: String): String =
+        if (k.startsWith("FAILED:"))
+          "FAILED:" + k.stripPrefix("FAILED:").takeWhile(_ != ':')
+        else k.takeWhile(_ != ':')
       buildSecs.asScala.toSeq
-        .groupBy(_._1.takeWhile(_ != ':'))  // sum: a prefix may have
+        .groupBy(kv => prefix(kv._1))       // sum: a prefix may have
         .map { case (p, kvs) =>             // several keyed builds
           p -> kvs.map(_._2.doubleValue()).sum }
     }

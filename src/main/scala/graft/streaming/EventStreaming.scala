@@ -13,6 +13,17 @@ import org.apache.spark.sql.types._
   */
 object EventStreaming {
 
+  /** Test-only tap: when set (per thread), [[drainToMemorySink]] hands
+    * the LAST micro-batch's executed physical plan to the callback
+    * after the drain completes and before the query stops. This is how
+    * StreamingSpec asserts the stream-static join posture (no per-batch
+    * Exchange on the static side) on the plan a micro-batch actually
+    * re-runs — the pre-start logical plan can't show it. Null outside
+    * tests; never read on the hot path beyond one null check.
+    */
+  private[graft] val lastPlanTap =
+    new ThreadLocal[org.apache.spark.sql.execution.SparkPlan => Unit]
+
   /** Shared harness: events file stream -> `transform` -> complete-mode
     * memory sink, drained and returned as a batch DataFrame. The drain
     * protocol (processAllAvailable inside try, stop+awaitTermination in
@@ -75,6 +86,9 @@ object EventStreaming {
       }
     try {
       query.processAllAvailable()
+      val tap = lastPlanTap.get
+      if (tap != null)
+        tap(org.apache.spark.sql.GraftShims.lastExecutedPlan(query))
     } finally {
       query.stop()
       query.awaitTermination()

@@ -31,4 +31,21 @@ object GraftShims {
     */
   def observedMetrics(obs: Observation): Map[String, Any] =
     obs.getOrEmpty
+
+  /** The executed physical plan of a streaming query's LAST micro-batch
+    * (`StreamExecution.lastExecution` is sql-private). This is how the
+    * stream-static join specs assert the static side carries no
+    * per-batch Exchange — the plan a production micro-batch actually
+    * re-runs, not the pre-start logical plan.
+    */
+  def lastExecutedPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery)
+      : execution.SparkPlan = q match {
+    case w: execution.streaming.runtime.StreamingQueryWrapper =>
+      w.streamingQuery.lastExecution.executedPlan
+    case e: execution.streaming.runtime.StreamExecution =>
+      e.lastExecution.executedPlan
+    case other =>
+      sys.error(s"unsupported StreamingQuery impl: ${other.getClass}")
+  }
 }

@@ -247,6 +247,62 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && docs.where(isNew).count() == got.size)
   }
 
+  test("stream-static joins scan a bucketed static side: no per-batch Exchange") {
+    // The static side of a stream-static join is re-planned and
+    // re-executed EVERY micro-batch. st6/st8/st9 stage their static
+    // index as a table bucketed on the join key, so each batch's
+    // executed plan must show the static side as a bare bucketed scan —
+    // no ShuffleExchange (re-partitioning the index per trigger was the
+    // r13 scale-killer) and no BroadcastExchange (a per-batch
+    // re-broadcast, impossible at corpus scale). Asserted on the LAST
+    // micro-batch's EXECUTED plan via the drain harness's tap — the
+    // pre-start logical plan cannot show micro-batch physical shape.
+    val sfDir = "/root/testdata/sf0.001"
+    val plans = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.execution.SparkPlan]
+    def capture(name: String): Unit = {
+      EventStreaming.lastPlanTap.set(p => plans(name) = p)
+      try graft.SparkEntry.queries(name)(spark, sfDir).collect()
+      finally EventStreaming.lastPlanTap.remove()
+    }
+    capture("st9_stream_contamination")
+    capture("st6_stream_static_dedup")
+    capture("st8_increment_dedup")
+    assert(plans.size == 3)
+    // AQE (on for the stateless streams) hides the final plan behind
+    // AdaptiveSparkPlanExec / QueryStageExec leaves — flatten through
+    // them, or collect() never reaches the join
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    for ((name, plan) <- plans) {
+      val nodes = flatten(plan)
+      val joins = nodes.filter(_.nodeName.contains("SortMergeJoin"))
+      assert(joins.nonEmpty,
+        s"$name: stream-static join must be sort-merge against the " +
+          s"bucketed index, plan:\n${plan.treeString}")
+      // the static side is the join child whose subtree scans parquet
+      // (the stream side scans the micro-batch's JSONL slice)
+      val staticSides = joins.flatMap(_.children).filter(c =>
+        flatten(c).exists(s =>
+          s.getClass.getSimpleName == "FileSourceScanExec" &&
+            s.toString.contains("Format: Parquet")))
+      assert(staticSides.nonEmpty,
+        s"$name: no parquet static side under the join:\n${plan.treeString}")
+      for (side <- staticSides) {
+        val exchanges = flatten(side).filter(_.nodeName.contains("Exchange"))
+        assert(exchanges.isEmpty,
+          s"$name: static side re-exchanges per micro-batch:\n${side.treeString}")
+        assert(flatten(side).exists(_.toString.contains("Bucketed: true")),
+          s"$name: static scan is not bucketed:\n${side.treeString}")
+      }
+    }
+  }
+
   test("append-mode sessionization emits each closed session once, bounded per batch") {
     // the production posture vs st4's complete-mode gate form: a
     // session row appears exactly when the watermark passes its close,
