@@ -843,15 +843,26 @@ object QueriesTrainingData {
     // sized — never broadcastable).
     val corpusGrams = s.table(stagedCorpusGrams(s, dir))
       .withColumn("_hit", lit(true))
-    val toks = TextAnalysis.wsTokens(TextAnalysis.normalize(col("text")))
+    // Tokenize ONCE per row behind a projection boundary, then gram off
+    // the materialized array. The r13 shape inlined `toks` (regex
+    // normalize + split) as a free expression inside the transform
+    // lambda — and higher-order-function lambdas do NOT subexpression-
+    // eliminate free expressions, so the full regex pass re-ran per
+    // element_at: 3 x n_grams regex splits of the whole document per
+    // doc (~1.1M per micro-batch at sf3 — 19 of st9's 21 s/batch).
+    // CollapseProject keeps the boundary: `_toks` is referenced many
+    // times and split/regexp is non-cheap, so the alias is not inlined.
+    val toks = col("_toks")
     val grams = when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array(TextAnalysis.normalize(col("text"))))
+      .otherwise(array(concat_ws(" ", toks)))
     val streamGrams = s.readStream
       .schema(graft.sources.JsonlSource.documentsSchema)
       .option("maxFilesPerTrigger", "1")
       .json(path)
+      .select(col("doc_id"),
+        TextAnalysis.wsTokens(TextAnalysis.normalize(col("text"))).as("_toks"))
       .select(col("doc_id"), explode(grams).as("s"))
       .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
     val scored = streamGrams
