@@ -41,10 +41,15 @@ import org.apache.spark.sql.SparkSession
   *     query's reps or its neighbors'; build cost is recorded in the
   *     "staging" map exactly as before;
   *   - a POLLUTION GUARD re-measures any query reading >1.5x its
-  *     frozen-baseline entry in a fresh region and records the min of
-  *     both regions (adjudication in the "repolled" map) — sustained
-  *     same-region pollution defeats the rep-disagreement rule because
-  *     every rep in the region reads high.
+  *     frozen-baseline entry OR >1.5x its best entry across the last
+  *     two committed round artifacts (round-over-round drift under a
+  *     loose frozen value is otherwise unexamined) in a fresh region
+  *     and records the min of both regions (adjudication in the
+  *     "repolled" map) — sustained same-region pollution defeats the
+  *     rep-disagreement rule because every rep in the region reads
+  *     high. Both guards arm only at the baselines' scale factor
+  *     (sf0.1): at sf1/sf3 every query legitimately exceeds its sf0.1
+  *     entry and the guard would repoll the entire selection.
   */
 object Bench {
 
@@ -254,14 +259,47 @@ object Bench {
     // "repolled":{name:{"official":x,"fresh":y}}, so a flagged entry
     // either carries its fresh-region number or documents that the
     // fresh region CONFIRMED the official one (a real regression).
-    val frozen: Map[String, Double] = try {
+    // BOTH reference maps only exist at the baseline's scale factor:
+    // the frozen map AND every BENCH_r*.json artifact were recorded at
+    // sf0.1, so at sf1/sf3 bracket runs every query legitimately reads
+    // >1.5x and an ungated guard would repoll the whole selection —
+    // two extra timed runs per query and min-of-4 minima that bias the
+    // scale-bracket ratios low (r13 ADVICE, medium).
+    val atBaselineSf = new java.io.File(sfDir).getName == "sf0.1"
+    val frozen: Map[String, Double] = if (!atBaselineSf) Map.empty else try {
       parseFrozen(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8"),
         results.map(_._1).toSet)
     } catch { case _: Throwable => Map.empty }
+    // Round-over-round guard (r13 verdict item 2): a regression that
+    // stays under a LOOSE frozen entry sails through the frozen-only
+    // guard unexamined (r13's t3 0.67 -> 1.59 s was still 0.54x
+    // frozen). Compare against the per-query MIN across the last TWO
+    // committed round artifacts, so a one-round drift is adjudicated
+    // the round after it appears even if that round's entry already
+    // absorbed it. Same regex parse: the only "name": number pairs in
+    // a bench artifact are its queries map, and names are filtered to
+    // the registry.
+    val prevRounds: Map[String, Double] = if (!atBaselineSf) Map.empty else try {
+      val names = results.map(_._1).toSet
+      val files = new java.io.File(".").listFiles()
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+        .takeRight(2)
+      files.map(f => parseFrozen(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"), names))
+        .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).map(k =>
+            k -> math.min(acc.getOrElse(k, Double.MaxValue),
+              m.getOrElse(k, Double.MaxValue))).toMap
+        }.filter(_._2 > 0.0) // -1 error sentinels must not arm the guard
+    } catch { case _: Throwable => Map.empty }
+    def guardFloor(name: String): Option[Double] =
+      (frozen.get(name).toSeq ++ prevRounds.get(name).toSeq)
+        .reduceOption((a, b) => math.min(a, b))
     val repolled = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val finalResults = results.map { case (name, best @ (v, _, _, _)) =>
-      frozen.get(name).filter(f => v > f * 1.5) match {
+      guardFloor(name).filter(f => v > f * 1.5) match {
         case Some(_) =>
           try { spark.catalog.clearCache(); System.gc() }
           catch { case _: Throwable => () }

@@ -46,6 +46,26 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.parseFrozen("not json at all", Set("q1_agg")).isEmpty)
   }
 
+  test("round-artifact parse: only the queries map yields name:number pairs") {
+    // the round-over-round guard reads full BENCH_r*.json artifacts —
+    // the per-query shuffle/repolled sub-objects and staging entries
+    // must not register as query timings, and an errored query's -1
+    // sentinel must come through (the caller filters it out)
+    val txt =
+      """{"metric":"total","value":9.9,"queries":{"q1_agg":1.25,
+        |"d6_simhash_pairs":-1.0},"staging":{"shingles3":5.2},
+        |"repolled":{"q1_agg":{"official":2.0,"fresh":1.25}},
+        |"shuffle":{"q1_agg":{"read":10,"write":20,"spill":0}}}"""
+        .stripMargin.replace("\n", "")
+    val got = Bench.parseFrozen(txt, Set("q1_agg", "d6_simhash_pairs"))
+    assert(got("q1_agg") == 1.25)
+    // "official"/"fresh"/"read" keys are not registry names; the nested
+    // q1_agg objects are not numbers, so no overwrite happens; and the
+    // errored query's -1.0 sentinel never parses (no '-' in the number
+    // class), so it can't arm the guard with a negative floor
+    assert(got.keySet == Set("q1_agg"))
+  }
+
   test("compact line keeps the FULL registry via prefix keys when names overflow") {
     // 114 realistic names cannot fit a 2000-char tail at any precision
     // with full names; the prefix format must carry every query
