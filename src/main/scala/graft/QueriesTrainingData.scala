@@ -3039,7 +3039,7 @@ object QueriesTrainingData {
          |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM cnt
          |), w AS (
          |  SELECT t.temperature, c.source, c.n_tokens, tot.total,
-         |    CAST(round(CASE t.temperature
+         |    CAST(floor(CASE t.temperature
          |      WHEN 1 THEN c.n_tokens::DOUBLE / tot.total::DOUBLE
          |      WHEN 2 THEN sqrt(c.n_tokens::DOUBLE / tot.total::DOUBLE)
          |      ELSE sqrt(sqrt(c.n_tokens::DOUBLE / tot.total::DOUBLE))

@@ -387,6 +387,14 @@ object Registry {
       val method = str(c, "method").getOrElse("ngram_jaccard")
       val cc = method match {
         case "minhash_lsh" =>
+          // fail loud, not silent: block_column and max_df_fraction are
+          // only consumed by the ngram_jaccard pair generator — a
+          // pipeline that switches methods but keeps them would LOOK
+          // like it still blocks/caps while doing neither
+          require(str(c, "block_column").isEmpty && maxDf.isEmpty,
+            "near_dedup: block_column/max_df_fraction only apply to " +
+              "method=ngram_jaccard; minhash_lsh bands globally and " +
+              "has no df cap — remove them from the config")
           val numHashes = int(c, "num_hashes").getOrElse(8)
           val rowsPerBand = int(c, "rows_per_band").getOrElse(2)
           operators.Dedup

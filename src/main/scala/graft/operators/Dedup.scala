@@ -307,7 +307,12 @@ object Dedup {
       .withColumn("_r", row_number().over(wDoc.orderBy(col("_df"), col("h"))))
       .withColumn("_sz", count(lit(1)).over(wDoc))
       .where(col("_r") <=
-        col("_sz") - ceil(lit(threshold) * col("_sz")) + lit(1))
+        // epsilon before ceil: when threshold*sz lands an ULP above an
+        // exact integer (0.07*100 = 7.000000000000001), a bare ceil
+        // shrinks the prefix by one and minimum-overlap true pairs are
+        // silently missed — breaking the documented lossless guarantee
+        // for thresholds that aren't exactly representable
+        col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + lit(1))
       .select(col(idCol), col("h"))
     val cands = pre.select(col(idCol).as("a_id"), col("h"))
       .join(pre.select(col(idCol).as("b_id"), col("h")), "h")

@@ -411,10 +411,16 @@ object Mixture {
         .cast("long")).as("n_tokens"))
       .withColumn("_total", sum("n_tokens").over(Window.partitionBy()))
     val f = col("n_tokens").cast("double") / col("_total").cast("double")
+    // floor, not round: round() on a double is the same HALF_UP-vs-
+    // banker's boundary class x40 documents — a token distribution
+    // whose weight lands micro-exactly on .5 could flip w_micro by 1
+    // between engines. floor is boundary-free and the sqrt chain is
+    // correctly rounded on both engines, so the floored integer is
+    // bit-identical.
     val perT = temperatures.map { t =>
       counts
         .withColumn("temperature", lit(t))
-        .withColumn("_w_micro", round(root(f, t) * 1e6, 0).cast("long"))
+        .withColumn("_w_micro", floor(root(f, t) * 1e6).cast("long"))
     }.reduce(_.unionByName(_))
     // integer micro-weights sum order-independently; the final double
     // divisions have exact-integer operands, so floor() is stable

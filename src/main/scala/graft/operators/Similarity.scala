@@ -292,12 +292,21 @@ object Similarity {
       .select(col("a_id").as(idCol), col("b_id").as("nbr"), col("cos_sim"))
       .unionByName(pairs
         .select(col("b_id").as(idCol), col("a_id").as("nbr"), col("cos_sim")))
-    sym.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_neighbors"),
-        max(struct(col("cos_sim"), (-col("nbr")).as("negn"), col("nbr").as("n")))
-          .as("b"))
+    // best-neighbor tie-break: (cos_sim desc, nbr asc) via row_number —
+    // NOT max(struct(cos_sim, -nbr)): arithmetic negation assumes a
+    // numeric id column, and idCol is a parameter (a string vec_id
+    // would null out / fail analysis and silently degrade the
+    // documented smallest-id tie-break). Both window functions share
+    // the one id-keyed exchange the groupBy would have paid.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+    sym
+      .withColumn("n_neighbors", count(lit(1)).over(w))
+      .withColumn("_rn", row_number().over(
+        w.orderBy(col("cos_sim").desc, col("nbr").asc)))
+      .where(col("_rn") === 1)
       .select(col(idCol), col("n_neighbors"),
-        col("b.cos_sim").as("best_sim"), col("b.n").as("best_id"))
+        col("cos_sim").as("best_sim"), col("nbr").as("best_id"))
   }
 
   def cosineDupPairsLsh(
