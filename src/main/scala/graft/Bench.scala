@@ -81,6 +81,47 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filter { case (k, _) => names.contains(k) }.toMap
 
+  /** Per-query seconds from a committed round artifact (BENCH_r*.json).
+    * These are DRIVER snapshots, not our long line: the compact stdout
+    * line lands under a "parsed" object with PREFIX keys
+    * (`"keys":"prefix"`; `"d19":10.03`, never `"d19_lsh_tuning"`) —
+    * the degradation compactJson applies once full names overflow the
+    * ~2000-char tail. parseFrozen filtered those keys against FULL
+    * registry names and returned empty, so the round-over-round guard
+    * never armed (r14 verdict item 1: d19's 1.94x drift sailed through
+    * unrepolled). Two fixes over parseFrozen:
+    *   - parse only inside flat `"queries":{...}` objects — the
+    *     artifact's "staging" map carries a "t15" key that would
+    *     otherwise collide with query t15_v2_pushdown's prefix, and
+    *     "value"/"n" metadata are kept out structurally instead of by
+    *     name-filter luck (escaped copies inside the "tail" string
+    *     never match: their quotes are `\"`);
+    *   - translate a prefix key back to its registry full name with
+    *     the SAME mapping the emitter uses (`name.takeWhile(_ != '_')`,
+    *     unique per query by the registry naming convention); an
+    *     ambiguous prefix is dropped, never guessed.
+    * Values are the driver's 2-dp echo of our minima — plenty for a
+    * 1.5x floor. Min across occurrences if a text ever carries several
+    * queries objects. Errored queries' -1 sentinels never parse (no
+    * '-' in the number class), so they cannot arm a negative floor.
+    */
+  private[graft] def parseRound(
+      txt: String, names: Set[String]): Map[String, Double] = {
+    val byPrefix: Map[String, String] =
+      names.groupBy(_.takeWhile(_ != '_'))
+        .collect { case (p, ns) if ns.size == 1 => p -> ns.head }
+    """"queries"\s*:\s*\{([^{}]*)\}""".r.findAllMatchIn(txt)
+      .flatMap(b =>
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(b.group(1))
+          .flatMap { m =>
+            val k = m.group(1)
+            (if (names.contains(k)) Some(k) else byPrefix.get(k))
+              .map(_ -> m.group(2).toDouble)
+          })
+      .toSeq.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
   private final class MetricsTap extends SparkListener {
     val read = new AtomicLong
     val write = new AtomicLong
@@ -266,27 +307,39 @@ object Bench {
     // two extra timed runs per query and min-of-4 minima that bias the
     // scale-bracket ratios low (r13 ADVICE, medium).
     val atBaselineSf = new java.io.File(sfDir).getName == "sf0.1"
+    // Artifacts are resolved from the repo root (the directory holding
+    // build.sbt), not the bare working directory — a bench launched
+    // from a subdirectory must not silently lose both guard maps.
+    val repoRoot: java.io.File =
+      Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+        .takeWhile(_ != null)
+        .find(d => new java.io.File(d, "build.sbt").isFile)
+        .getOrElse(new java.io.File(".").getCanonicalFile)
     val frozen: Map[String, Double] = if (!atBaselineSf) Map.empty else try {
       parseFrozen(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8"),
+        new java.io.File(repoRoot, "BASELINE_QUERIES.json").toPath), "UTF-8"),
         results.map(_._1).toSet)
     } catch { case _: Throwable => Map.empty }
     // Round-over-round guard (r13 verdict item 2): a regression that
     // stays under a LOOSE frozen entry sails through the frozen-only
     // guard unexamined (r13's t3 0.67 -> 1.59 s was still 0.54x
     // frozen). Compare against the per-query MIN across the last TWO
-    // committed round artifacts, so a one-round drift is adjudicated
-    // the round after it appears even if that round's entry already
-    // absorbed it. Same regex parse: the only "name": number pairs in
-    // a bench artifact are its queries map, and names are filtered to
-    // the registry.
+    // round artifacts on disk, so a one-round drift is adjudicated the
+    // round after it appears even if that round's entry already
+    // absorbed it. Filesystem presence IS the contract: the driver
+    // writes BENCH_r{N}.json only after this very run exits, so the
+    // in-progress round can never see its own artifact, and a
+    // hand-placed uncommitted artifact arming the guard is exactly the
+    // behavior a local what-if rerun wants. Round artifacts need
+    // parseRound (prefix-keyed driver snapshots), NOT parseFrozen —
+    // full-name filtering parsed nothing from them (r14 verdict 1).
     val prevRounds: Map[String, Double] = if (!atBaselineSf) Map.empty else try {
       val names = results.map(_._1).toSet
-      val files = new java.io.File(".").listFiles()
+      val files = repoRoot.listFiles()
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
         .takeRight(2)
-      files.map(f => parseFrozen(new String(
+      files.map(f => parseRound(new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"), names))
         .foldLeft(Map.empty[String, Double]) { (acc, m) =>
           (acc.keySet ++ m.keySet).map(k =>

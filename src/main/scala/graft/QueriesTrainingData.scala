@@ -756,9 +756,20 @@ object QueriesTrainingData {
     * sort-merge join skip the static-side Sort. This is the production
     * posture for a decontamination/dedup index too big to broadcast.
     */
+  /** Bucket count for staged static indexes. Sized to the INDEX (target
+    * ~128-256 MB per bucket file at production scale — a 100 GB gram
+    * index wants ~512-1024 buckets), NOT to the executor count: the
+    * bucketed scan always yields exactly `nBuckets` partitions
+    * regardless of `SPARK_GRAFT_CPUS`, and the stream side re-shuffles
+    * to the table's bucket count whatever `spark.sql.shuffle.partitions`
+    * says. 32 here matches the test indexes (a few MB — bucket-file
+    * floor dominates, more buckets only add open/close cost); the r14
+    * audit flagged the literal as coincidentally equal to local[32].
+    */
+  private[graft] val IndexBuckets: Int = 32
   private[graft] def stagedBucketedIndex(
       s: SparkSession, key: String, dir: String, bucketCol: String,
-      nBuckets: Int = 32)(build: => DataFrame): String = {
+      nBuckets: Int = IndexBuckets)(build: => DataFrame): String = {
     // table name must be unique per (key, testdata dir): the session
     // catalog is JVM-wide and tests stage several sf dirs side by side
     val tbl = "graft_" + key + "_" +

@@ -46,24 +46,75 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.parseFrozen("not json at all", Set("q1_agg")).isEmpty)
   }
 
-  test("round-artifact parse: only the queries map yields name:number pairs") {
-    // the round-over-round guard reads full BENCH_r*.json artifacts —
-    // the per-query shuffle/repolled sub-objects and staging entries
-    // must not register as query timings, and an errored query's -1
-    // sentinel must come through (the caller filters it out)
+  test("round-artifact parse: real prefix-keyed driver snapshot shape") {
+    // Fixture copied from BENCH_r14.json's actual structure: the driver
+    // stores {"n","rc","cpus","sf","tail","parsed"} where "tail" is an
+    // ESCAPED copy of our stdout and "parsed" is the compact line with
+    // PREFIX-keyed queries ("keys":"prefix") plus a staging map whose
+    // "t15" key collides with query t15_v2_pushdown's prefix. The r14
+    // guard parsed nothing from this shape (full-name filter) and so
+    // never armed — this fixture fails any parser that doesn't read
+    // the real format.
     val txt =
-      """{"metric":"total","value":9.9,"queries":{"q1_agg":1.25,
-        |"d6_simhash_pairs":-1.0},"staging":{"shingles3":5.2},
-        |"repolled":{"q1_agg":{"official":2.0,"fresh":1.25}},
-        |"shuffle":{"q1_agg":{"read":10,"write":20,"spill":0}}}"""
-        .stripMargin.replace("\n", "")
-    val got = Bench.parseFrozen(txt, Set("q1_agg", "d6_simhash_pairs"))
-    assert(got("q1_agg") == 1.25)
-    // "official"/"fresh"/"read" keys are not registry names; the nested
-    // q1_agg objects are not numbers, so no overwrite happens; and the
-    // errored query's -1.0 sentinel never parses (no '-' in the number
-    // class), so it can't arm the guard with a negative floor
-    assert(got.keySet == Set("q1_agg"))
+      """{
+        |  "n": 14,
+        |  "rc": 0,
+        |  "cpus": 32,
+        |  "sf": 0.1,
+        |  "tail": "...\"queries\":{\"d19\":99.0,\"t15\":99.0}...",
+        |  "parsed": {"metric": "total", "value": 124.17, "unit": "sec",
+        |    "sf": "sf0.1", "n_queries": 146, "keys": "prefix",
+        |    "queries_file": "BENCH_LAST.json",
+        |    "staging": {"shingles3": 5.704, "t15": 0.878},
+        |    "errors": {},
+        |    "queries": {"d19": 10.03, "t15": 3.2, "q1": 0.41,
+        |      "x22": -1, "zz": 7.7}}
+        |}""".stripMargin
+    val names = Set("d19_lsh_tuning", "t15_v2_pushdown", "q1_agg",
+      "x22_hash_split", "s6_range_search")
+    val got = Bench.parseRound(txt, names)
+    // prefix keys translate back to registry full names
+    assert(got == Map(
+      "d19_lsh_tuning" -> 10.03, "t15_v2_pushdown" -> 3.2,
+      "q1_agg" -> 0.41))
+    // staging's "t15":0.878 must NOT shadow query t15's 3.2 (it sits in
+    // a different object); "zz" maps to no registry prefix and drops;
+    // x22's -1 error sentinel never parses; the escaped tail copy's
+    // \"d19\":99.0 never matches (its quotes are escaped)
+    assert(!got.values.exists(v => v == 0.878 || v == 99.0 || v == 7.7))
+    // ambiguous prefixes are dropped, never guessed
+    val amb = Bench.parseRound(
+      """{"queries":{"d1":1.0}}""", Set("d1_exact", "d1_other"))
+    assert(amb.isEmpty)
+    // full-name artifacts (the long BENCH_LAST.json format) still parse
+    val full = Bench.parseRound(
+      """{"queries":{"q1_agg":1.25,"d6_simhash_pairs":-1.0},
+        |"staging":{"shingles3":5.2},
+        |"repolled":{"q1_agg":{"official":2.0,"fresh":1.25}}}"""
+        .stripMargin.replace("\n", ""),
+      Set("q1_agg", "d6_simhash_pairs"))
+    assert(full == Map("q1_agg" -> 1.25))
+    // garbage degrades to empty, never throws
+    assert(Bench.parseRound("not json", names).isEmpty)
+  }
+
+  test("round-artifact parse: the committed BENCH_r14.json itself") {
+    // The ultimate fixture is the real thing: r14's committed artifact
+    // is exactly the shape whose silent non-parse made the guard inert.
+    // Skipped (vacuously green) only if the artifact is ever pruned.
+    val f = new java.io.File("BENCH_r14.json")
+    if (f.isFile) {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val got = Bench.parseRound(txt, SparkEntry.queries.keySet)
+      // the regression the guard was built to catch must be visible
+      assert(got.get("d19_lsh_tuning").contains(10.03), got.get("d19_lsh_tuning"))
+      // staging's t15 entry (0.878 in r14) must not shadow the query
+      // value (0.75 in r14's queries map)
+      assert(got.get("t15_v2_pushdown").contains(0.75), got.get("t15_v2_pushdown"))
+      // the whole 146-query registry of r14 must be recovered
+      assert(got.size >= 140, s"only ${got.size} queries parsed")
+    }
   }
 
   test("compact line keeps the FULL registry via prefix keys when names overflow") {
