@@ -298,33 +298,81 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"exactJaccardPairsPrefix: threshold in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
     val exh = ex.select(col(idCol), col("h"))
-    val sizes = exh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val dfTbl = exh.groupBy("h").agg(count(lit(1)).as("_df"))
-    val wDoc = Window.partitionBy(col(idCol))
-    val pre = exh.join(dfTbl, "h")
-      .withColumn("_r", row_number().over(wDoc.orderBy(col("_df"), col("h"))))
-      .withColumn("_sz", count(lit(1)).over(wDoc))
-      .where(col("_r") <=
-        // epsilon before ceil: when threshold*sz lands an ULP above an
-        // exact integer (0.07*100 = 7.000000000000001), a bare ceil
-        // shrinks the prefix by one and minimum-overlap true pairs are
-        // silently missed — breaking the documented lossless guarantee
-        // for thresholds that aren't exactly representable
-        col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + lit(1))
-      .select(col(idCol), col("h"))
-    val cands = pre.select(col(idCol).as("a_id"), col("h"))
-      .join(pre.select(col(idCol).as("b_id"), col("h")), "h")
+    // ONE doc-level aggregation serves both the prefix table and the
+    // verify arrays: collect each doc's (df, h) pairs, sort in-map
+    // (array_sort on a 2-field struct = lexicographic (df, h) — the
+    // same rarest-first global order the window shape produced), and
+    // slice the AllPairs prefix off the sorted array. Replaces a
+    // doc-partition window sort (exchange + sort over every gram row)
+    // PLUS a second doc-level groupBy for the posting arrays with a
+    // single exchange on the doc id; per-row array_sort of a ~doc-sized
+    // array is cheaper than a partition-wide sort of the gram table.
+    val docTbl = exh.join(dfTbl, "h")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_df"), col("h"))))
+        .as("_sorted"), count(lit(1)).as("_sz"))
+      .withColumn("_arr", expr("transform(_sorted, x -> x.h)"))
+      // epsilon before ceil: when threshold*sz lands an ULP above an
+      // exact integer (0.07*100 = 7.000000000000001), a bare ceil
+      // shrinks the prefix by one and minimum-overlap true pairs are
+      // silently missed — breaking the documented lossless guarantee
+      // for thresholds that aren't exactly representable
+      .withColumn("_preflen",
+        (col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) +
+          lit(1)).cast("int"))
+      .select(col(idCol), col("_arr"), col("_sz"), col("_preflen"))
+    val pre = docTbl
+      .select(col(idCol), col("_sz"),
+        posexplode(slice(col("_arr"), lit(1), col("_preflen"))))
+      .select(col(idCol), col("col").as("h"),
+        (col("pos") + 1).as("_r"), col("_sz"))
+    // Candidate pruning on the prefix collisions — both filters are
+    // CONSERVATIVE (epsilon-loosened toward keeping a pair), so the
+    // candidate set stays lossless while shrinking ~an order of
+    // magnitude (r14's shape verified 409k candidates for 256 true
+    // pairs at sf0.1 — the 26M-row verify join behind d19's cost):
+    //  - length filter (Bayardo 2007 §3.1): J >= t forces
+    //    min(sz) >= t * max(sz);
+    //  - positional filter (Xiao et al. 2008, PPJoin): the grams common
+    //    to a pair appear in the SAME relative order in both docs'
+    //    globally-sorted lists, so at the pair's minimal common gram
+    //    (positions r_a, r_b — some prefix collision is at it) the
+    //    overlap is at most 1 + min(sz_a - r_a, sz_b - r_b), which must
+    //    reach minoverlap(t) = ceil(t/(1+t) * (sz_a + sz_b)). Keeping
+    //    every collision that passes keeps the minimal-gram collision
+    //    of every true pair, so the post-filter semijoin is lossless.
+    val aSide = pre.select(col(idCol).as("a_id"), col("h"),
+      col("_r").as("_ar"), col("_sz").as("_asz"))
+    val bSide = pre.select(col(idCol).as("b_id"), col("h"),
+      col("_r").as("_br"), col("_sz").as("_bsz"))
+    val minOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) *
+        (col("_asz") + col("_bsz")).cast("double") - lit(1e-9))
+    val cands = aSide.join(bSide, "h")
       .where(col("a_id") < col("b_id"))
+      .where(least(col("_asz"), col("_bsz")).cast("double") >=
+        lit(threshold) * greatest(col("_asz"), col("_bsz")).cast("double")
+          - lit(1e-9))
+      .where(least(col("_asz") - col("_ar"), col("_bsz") - col("_br"))
+        + lit(1) >= minOverlap)
       .select("a_id", "b_id").distinct()
-    val inter = cands
-      .join(exh.select(col(idCol).as("a_id"), col("h")), "a_id")
-      .join(exh.select(col(idCol).as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("b_sz")), "b_id")
+    // Verify on COMPACT posting arrays: one array row per doc, exact
+    // intersection computed in-map by array_intersect. The r14 shape
+    // re-exploded every candidate against both full posting lists and
+    // re-aggregated (exchange volume = sum of doc sizes over all
+    // candidates); this shape's exchange is |cands| ids + |docs|
+    // arrays — the same bytes the gram table already occupies — and
+    // needs no intersection groupBy at all. docTbl is the SAME
+    // aggregate the prefix table came from, so its exchange is reused.
+    cands
+      .join(docTbl.select(col(idCol).as("a_id"),
+        col("_arr").as("_aarr"), col("_sz").as("a_sz")), "a_id")
+      .join(docTbl.select(col(idCol).as("b_id"),
+        col("_arr").as("_barr"), col("_sz").as("b_sz")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("_aarr"), col("_barr"))).cast("long"))
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter")).cast("double"), 6)

@@ -1480,6 +1480,39 @@ class TrainingDataSpec extends SparkSpec {
     assert(Dedup.exactJaccardPairsPrefix(st, 0.5).count() == 4)
   }
 
+  test("exactJaccardPairsPrefix lossless under size/positional pruning (randomized)") {
+    // r15 added the Bayardo length filter and the PPJoin positional
+    // filter to candidate generation — both must stay CONSERVATIVE.
+    // Stress them with a deterministic pseudo-random corpus whose doc
+    // sizes vary 2-40 grams over a 60-hash universe (heavy partial
+    // overlaps, size ratios straddling every threshold), at thresholds
+    // including non-representable ones where the ceil-epsilon matters.
+    val rows = (0L until 40L).flatMap { d =>
+      val rnd = new scala.util.Random(d * 7919 + 13)
+      val sz = 2 + rnd.nextInt(39)
+      Seq.fill(sz)(rnd.nextInt(60)).distinct.map(h => (d, h.toLong))
+    } ++
+      // planted high-J block so every swept threshold has true pairs:
+      // 40==41 exactly, 42 drops one gram (J=9/10), 43 drops two (8/10)
+      Seq.tabulate(10)(h => (40L, 100L + h)) ++
+      Seq.tabulate(10)(h => (41L, 100L + h)) ++
+      Seq.tabulate(9)(h => (42L, 100L + h)) ++
+      Seq.tabulate(8)(h => (43L, 100L + h))
+    val st = spark.createDataFrame(rows).toDF("doc_id", "h")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard_sim"))
+    Seq(0.07, 0.3, 0.62, 0.9).foreach { t =>
+      val pref = Dedup.exactJaccardPairsPrefix(st, t).collect().map(key).toSet
+      val brute = Dedup.ngramJaccardPairsFromIndex(
+        st.select(lit(0).as("block"), col("doc_id").as("id"), col("h").as("s")),
+        st.select(countDistinct("doc_id").as("n_docs")), t)
+        .collect().map(key).toSet
+      assert(pref == brute,
+        s"t=$t: missing=${brute -- pref} extra=${pref -- brute}")
+      assert(pref.nonEmpty, s"t=$t: vacuous fixture")
+    }
+  }
+
   test("lshTuningReport: nested candidate sets, exact dups never missed, floor math") {
     // corpus truth at J >= 0.5: (0,1) J=1, (4,5) J=1, (0,2)/(1,2) J=0.75
     val st = Dedup.shingleTable(corpus, 3)
