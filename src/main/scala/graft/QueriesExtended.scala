@@ -271,39 +271,162 @@ object QueriesExtended {
     * running sum, partitioned per source. No stage widens a row beyond
     * (id, n_toks).
     */
-  private def p4PretrainFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc funnel flags through the shared first gates: one row per
+    * doc with `n_toks`, the budget ordering key `_h`, and booleans
+    * `_f0` (input), `_f1` (exact-dedup survivor), `_f2` (near-dup
+    * canonical survivor). Factored so p4 and p5 chain PROVABLY the
+    * same survivor sets (a one-sided edit to either gate would
+    * otherwise silently desynchronize the two published views).
+    *
+    * FLAGS, not successive filtered DataFrames, on purpose: a
+    * union-of-stage-aggregates re-executes every upstream gate once
+    * per stage row (p5's seven rows re-ran the cluster election five
+    * times — 5.9 s at sf0.1); annotating each doc once and taking ONE
+    * conditional aggregate pays each gate exactly once regardless of
+    * stage count.
+    */
+  private def funnelFlags(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val nToks = coalesce(
       TextAnalysis.wsTokenCount(col("text")).cast("long"), lit(0L))
-    val base = d.select(col("doc_id"), col("source"), col("text"),
-      nToks.as("n_toks"))
-    val s1 = base.join(
-      Dedup.exactGroups(d).select(col("survivor_id").as("doc_id")), "doc_id")
     val clusters = stagedClusters(s, dir)
     val survivors = survivorElection(s, dir)
       .select(col("survivor_id").as("doc_id"), lit(true).as("_surv"))
-    val s2 = s1
+    d.select(col("doc_id"), col("source"), nToks.as("n_toks"),
+        Dedup.hash60(concat(lit("budget:"), col("doc_id").cast("string")))
+          .as("_h"))
+      .join(Dedup.exactGroups(d)
+        .select(col("survivor_id").as("doc_id"), lit(true).as("_ex")),
+        Seq("doc_id"), "left")
       .join(clusters.select(col("doc_id"), lit(true).as("_clustered")),
         Seq("doc_id"), "left")
       .join(survivors, Seq("doc_id"), "left")
-      .where(col("_clustered").isNull || coalesce(col("_surv"), lit(false)))
-      .select(col("doc_id"), col("source"), col("text"), col("n_toks"))
-    val s3 = s2.join(
-      TextAnalysis.gopherFlags(d).where(col("kept")).select("doc_id"),
-      "doc_id")
-    val s4 = operators.Mixture.tokenBudgetSample(
-      s3.select("doc_id", "source", "text"), budgetTokens = 800L)
-    def stage(idx: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
-        .select(lit(idx).as("stage"), lit(name).as("stage_name"),
-          col("n_docs"), col("n_tokens"))
-    stage(0, "input", base)
-      .unionByName(stage(1, "exact_dedup", s1))
-      .unionByName(stage(2, "near_dedup", s2))
-      .unionByName(stage(3, "gopher", s3))
-      .unionByName(stage(4, "token_budget", s4))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("_h"),
+        lit(true).as("_f0"),
+        coalesce(col("_ex"), lit(false)).as("_f1"),
+        (coalesce(col("_ex"), lit(false)) &&
+          (col("_clustered").isNull || coalesce(col("_surv"), lit(false))))
+          .as("_f2"))
+  }
+
+  /** Gopher-kept and the per-source token-budget flag appended to a
+    * flag table: `_fG = prev && gopher.kept`, `_fB = _fG && running
+    * per-source token sum (x23's exact ordering: hash60("budget:"+id),
+    * id) <= budget`. Summing `when(_fG, n_toks) else 0` over ALL rows
+    * yields the identical cumulative at surviving rows as x23's window
+    * over the survivor subset.
+    */
+  private def withGopherAndBudget(
+      s: SparkSession, dir: String, flags: DataFrame, prev: String,
+      budgetTokens: Long): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("_h"), col("doc_id"))
+    flags
+      .join(TextAnalysis.gopherFlags(d).where(col("kept"))
+        .select(col("doc_id"), lit(true).as("_gk")), Seq("doc_id"), "left")
+      .withColumn("_fG", col(prev) && coalesce(col("_gk"), lit(false)))
+      .withColumn("_cum",
+        sum(when(col("_fG"), col("n_toks")).otherwise(0L)).over(w))
+      .withColumn("_fB", col("_fG") && col("_cum") <= budgetTokens)
+  }
+
+  /** ONE conditional aggregate over the flag table → the report rows. */
+  private def funnelReport(
+      flagged: DataFrame, stages: Seq[(String, String)]): DataFrame = {
+    val aggs = stages.zipWithIndex.flatMap { case ((_, f), i) => Seq(
+      sum(when(col(f), 1L).otherwise(0L)).as(s"_d$i"),
+      coalesce(sum(when(col(f), col("n_toks"))), lit(0L)).as(s"_t$i")) }
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stages.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(i).as("stage"), lit(n).as("stage_name"),
+          col(s"_d$i").as("n_docs"), col(s"_t$i").as("n_tokens")) }: _*))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_docs").as("n_docs"), col("r.n_tokens").as("n_tokens"))
       .orderBy("stage")
+  }
+
+  private def p4PretrainFunnel(s: SparkSession, dir: String): DataFrame = {
+    val flagged = withGopherAndBudget(
+      s, dir, funnelFlags(s, dir), prev = "_f2", budgetTokens = 800L)
+    funnelReport(flagged, Seq(
+      "input" -> "_f0", "exact_dedup" -> "_f1", "near_dedup" -> "_f2",
+      "gopher" -> "_fG", "token_budget" -> "_fB"))
+  }
+
+  /** The FULL pretraining funnel (p4 + the r13/r14 verdicts' missing
+    * gates): exact dedup → near-dup canonicalization → containment
+    * dedup (the d17 signal applied as a drop: among current survivors,
+    * a doc whose distinct shingles are >= 0.5 contained in a LARGER
+    * surviving doc drops — Dedup.containmentDedup's rule over the
+    * session-staged LSH pair scaffold, so the pair set is exactly d17's
+    * restricted to survivors) → semantic dedup (SemDeDup over the
+    * embeddings table, d13's exact kept set; a doc drops when its
+    * vector — vec_id is the doc's embedding id — was suppressed at
+    * cos >= 0.3 within its coarse cell; docs without a vector pass) →
+    * Gopher rules → per-source 800-token budget. One row per stage.
+    *
+    * Scale shape: containment adds one semi-joined pass over the staged
+    * band-collision pairs (no new LSH work — the scaffold is the
+    * session-staged index d4/d17 already scan); semantic adds d13's
+    * n·k assignment + within-cell verification, both bounded by the
+    * sqrt-sized quantizer (see d13's scaladoc). Every stage remains a
+    * semi-join of survivor ids; nothing widens past (id, n_toks).
+    *
+    * On THIS corpus the containment gate is a measured pass-through
+    * (0 drops at every SF): with near-dedup at J >= 0.1 upstream, a
+    * surviving containment pair needs J < 0.1, i.e. >5.5x size
+    * asymmetry at cont >= 0.5 — exactly the regime where banded-
+    * minhash recall is d17's documented bound. The gate earns its
+    * place because production near-dedup runs at ~0.8, where
+    * containment-but-not-near pairs are common; the drop rule's
+    * mechanism is spec-pinned on planted fixtures (TrainingDataSpec
+    * d17 contract) and the stage delta is cross-checked against the
+    * standalone d17 query per run.
+    */
+  private def p5FullFunnel(s: SparkSession, dir: String): DataFrame = {
+    val flags2 = funnelFlags(s, dir)
+    // containment gate: d17's verified pair scaffold restricted to
+    // current survivors, Dedup.containmentDedup's drop rule (raw
+    // fractions — integer/integer IEEE division, bit-identical in
+    // DuckDB; ties on size drop the larger id, a_id < b_id holds).
+    // The restriction joins the FLAG table (doc-level, narrow) — the
+    // pair scaffold itself is the session-staged index d4/d17 scan.
+    val vp = Dedup.lshVerifiedPairsFromHashes(
+      QueriesTrainingData.stagedShingles(s, dir)
+        .select(col("doc_id"), col("h"), col("hb")))
+    val sIds = flags2.where(col("_f2")).select("doc_id")
+    val vpSurv = vp
+      .join(sIds.select(col("doc_id").as("a_id")), "a_id")
+      .join(sIds.select(col("doc_id").as("b_id")), "b_id")
+    val contA = col("inter").cast("double") / col("a_sz")
+    val contB = col("inter").cast("double") / col("b_sz")
+    val contLosers = vpSurv
+      .select(explode(array(
+        when(contA >= 0.5 && col("a_sz") < col("b_sz"), col("a_id")),
+        when(contB >= 0.5 && col("b_sz") <= col("a_sz"), col("b_id"))))
+        .as("doc_id"))
+      .where(col("doc_id").isNotNull).distinct()
+    // semantic gate: d13's exact kept set (same dynamic quantizer
+    // sizing — at the sf0.01 oracle gate the formula yields 16, the
+    // frozen seed CTE); vec_id is the doc's embedding id, docs
+    // without a vector pass
+    val e = t(s, dir, "embeddings")
+    val nCells = math.max(16, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
+    val semDropped = Clustering.semanticDedup(e, nCells = nCells, tau = 0.3)
+      .where(!col("kept"))
+      .select(col("vec_id").as("doc_id"), lit(true).as("_sem"))
+    val flags4 = flags2
+      .join(contLosers.withColumn("_cl", lit(true)), Seq("doc_id"), "left")
+      .withColumn("_f3", col("_f2") && col("_cl").isNull)
+      .join(semDropped, Seq("doc_id"), "left")
+      .withColumn("_f4", col("_f3") && col("_sem").isNull)
+    val flagged = withGopherAndBudget(
+      s, dir, flags4, prev = "_f4", budgetTokens = 800L)
+    funnelReport(flagged, Seq(
+      "input" -> "_f0", "exact_dedup" -> "_f1", "near_dedup" -> "_f2",
+      "containment" -> "_f3", "semantic" -> "_f4",
+      "gopher" -> "_fG", "token_budget" -> "_fB"))
   }
 
   /** Per-source dedup IMPACT report — the corpus-card row a dedup run
@@ -782,6 +905,7 @@ object QueriesExtended {
     "d16_soft_dedup" -> (d16SoftDedup(_, _)),
     "d11_incremental_dedup" -> (d11IncrementalDedup(_, _)),
     "p4_pretrain_funnel" -> (p4PretrainFunnel(_, _)),
+    "p5_full_funnel" -> (p5FullFunnel(_, _)),
     "c8_dedup_impact" -> (c8DedupImpact(_, _)),
     "st1_stream_window" -> (st1StreamWindow(_, _)),
     "st2_stream_dedup" -> (st2StreamDedup(_, _)),
@@ -974,6 +1098,117 @@ object QueriesExtended {
          |  FROM s3 JOIN nt n USING (doc_id)
          |UNION ALL SELECT 4, 'token_budget', count(*),
          |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4
+         |ORDER BY stage""".stripMargin,
+    // p5 replays p4's chain, then: containment drops off the SAME
+    // cands/inter/sz CTEs the cluster closure already defines (the d17
+    // pair scaffold restricted to s2 survivors; raw integer/integer
+    // division — IEEE-identical on both engines), then the d13
+    // semantic-dedup CTEs verbatim (seed quantizer = 16 at the oracle
+    // gate, vec_id == doc_id), then gopher + budget as p4.
+    "p5_full_funnel" ->
+      s"""WITH RECURSIVE
+         |${OracleFragments.minhashSigsCte},
+         |${OracleFragments.dedupClustersCte(0.1)},
+         |${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |nt AS (
+         |  SELECT doc_id, source,
+         |    CAST(coalesce(len(${OracleFragments.rawToksSqlNoNorm}), 0) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents
+         |), ex1 AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(${OracleFragments.normSql})
+         |), scored AS (
+         |  SELECT doc_id, ${OracleFragments.qualitySql} AS q FROM documents
+         |), surv AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |      row_number() OVER (PARTITION BY c.cluster_id
+         |        ORDER BY s.q DESC, c.doc_id) AS rn
+         |    FROM clusters c JOIN scored s USING (doc_id)) WHERE rn = 1
+         |), s2 AS (
+         |  SELECT e.doc_id FROM ex1 e
+         |  LEFT JOIN clusters c ON c.doc_id = e.doc_id
+         |  WHERE c.doc_id IS NULL OR e.doc_id IN (SELECT doc_id FROM surv)
+         |), cpair AS (
+         |  SELECT c.a_id, c.b_id, sa.sz AS a_sz, sb.sz AS b_sz,
+         |    coalesce(i.i, 0) AS it
+         |  FROM cands c
+         |  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+         |  JOIN sz sa ON sa.doc_id = c.a_id JOIN sz sb ON sb.doc_id = c.b_id
+         |  WHERE c.a_id IN (SELECT doc_id FROM s2)
+         |    AND c.b_id IN (SELECT doc_id FROM s2)
+         |), closers AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT CASE WHEN it::DOUBLE / a_sz >= 0.5 AND a_sz < b_sz
+         |      THEN a_id END AS doc_id FROM cpair
+         |    UNION ALL
+         |    SELECT CASE WHEN it::DOUBLE / b_sz >= 0.5 AND b_sz <= a_sz
+         |      THEN b_id END FROM cpair
+         |  ) WHERE doc_id IS NOT NULL
+         |), s3c AS (
+         |  SELECT doc_id FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM closers)
+         |), spr AS (
+         |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM cellassign a JOIN cellassign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |), sdup AS (
+         |  SELECT DISTINCT p.b_id
+         |  FROM spr p
+         |  JOIN vn x ON x.vec_id = p.a_id
+         |  JOIN vn y ON y.vec_id = p.b_id
+         |  WHERE round(list_sum(list_transform(range(1, 65),
+         |    i -> x.en[i] * y.en[i])), 6) >= 0.3
+         |), s4c AS (
+         |  SELECT doc_id FROM s3c WHERE doc_id NOT IN (SELECT b_id FROM sdup)
+         |), gtoks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |gs AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |    round(sum(length(w))::DOUBLE / count(*), 6) AS mean_word_len,
+         |    round(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)::DOUBLE
+         |          / count(*), 6) AS frac_alpha_words,
+         |    count(DISTINCT CASE WHEN list_contains(${OracleFragments.stopListSql}, w)
+         |                        THEN w END) AS n_stop_distinct,
+         |    round(sum(CASE WHEN regexp_matches(w, '#|\\.\\.\\.') THEN 1 ELSE 0 END)::DOUBLE
+         |          / count(*), 6) AS symbol_word_ratio
+         |  FROM gtoks GROUP BY doc_id
+         |), gk AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN gs s USING (doc_id)
+         |  WHERE coalesce(s.n_words, 0) BETWEEN 50 AND 100000
+         |    AND coalesce(s.mean_word_len, 0.0) BETWEEN 3.0 AND 10.0
+         |    AND coalesce(s.frac_alpha_words, 0.0) >= 0.8
+         |    AND coalesce(s.n_stop_distinct, 0) >= 2
+         |    AND coalesce(s.symbol_word_ratio, 0.0) < 0.1
+         |), s5c AS (
+         |  SELECT doc_id FROM s4c WHERE doc_id IN (SELECT doc_id FROM gk)
+         |), bt AS (
+         |  SELECT t.doc_id, t.n_toks,
+         |    sum(t.n_toks) OVER (PARTITION BY t.source
+         |      ORDER BY ('0x' || substr(md5('budget:' || t.doc_id::VARCHAR), 1, 15))::BIGINT,
+         |        t.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM nt t JOIN s5c USING (doc_id)
+         |), s6c AS (SELECT doc_id, n_toks FROM bt WHERE cum <= 800)
+         |SELECT 0 AS stage, 'input' AS stage_name, count(*) AS n_docs,
+         |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM nt
+         |UNION ALL SELECT 1, 'exact_dedup', count(*),
+         |  CAST(coalesce(sum(n.n_toks), 0) AS BIGINT)
+         |  FROM ex1 JOIN nt n USING (doc_id)
+         |UNION ALL SELECT 2, 'near_dedup', count(*),
+         |  CAST(coalesce(sum(n.n_toks), 0) AS BIGINT)
+         |  FROM s2 JOIN nt n USING (doc_id)
+         |UNION ALL SELECT 3, 'containment', count(*),
+         |  CAST(coalesce(sum(n.n_toks), 0) AS BIGINT)
+         |  FROM s3c JOIN nt n USING (doc_id)
+         |UNION ALL SELECT 4, 'semantic', count(*),
+         |  CAST(coalesce(sum(n.n_toks), 0) AS BIGINT)
+         |  FROM s4c JOIN nt n USING (doc_id)
+         |UNION ALL SELECT 5, 'gopher', count(*),
+         |  CAST(coalesce(sum(n.n_toks), 0) AS BIGINT)
+         |  FROM s5c JOIN nt n USING (doc_id)
+         |UNION ALL SELECT 6, 'token_budget', count(*),
+         |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s6c
          |ORDER BY stage""".stripMargin,
     "c8_dedup_impact" ->
       s"""WITH RECURSIVE

@@ -1425,6 +1425,68 @@ class TrainingDataSpec extends SparkSpec {
     assert((a.getLong(2), a.getLong(5)) == p4("near_dedup"), s"near: $a vs $p4")
   }
 
+  test("p5 full funnel: stages 0-2 == p4, containment/semantic deltas replay d17/d13") {
+    // p5 threads the d17 containment drop and the d13 semantic drop
+    // between p4's near-dedup and gopher gates. Three identities, at
+    // sf0.01 where the semantic delta is non-trivial (476 -> 297):
+    //  1. stages 0-2 equal p4's rows exactly (shared funnelBaseStages);
+    //  2. the containment delta equals the drop rule applied to the
+    //     STANDALONE d17 query's pairs restricted to near-dedup
+    //     survivors (zero drops on this corpus — the assertion still
+    //     binds: any p5-side drop d17's pairs don't support fails);
+    //  3. the semantic delta equals the STANDALONE d13 query's
+    //     kept=false ids among containment survivors.
+    val sfDir = "/root/testdata/sf0.01"
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+    val p5 = rows("p5_full_funnel")
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val p4 = rows("p4_pretrain_funnel")
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    Seq("input", "exact_dedup", "near_dedup").foreach(st =>
+      assert(p5(st) == p4(st), s"$st: p5=${p5(st)} p4=${p4(st)}"))
+    // docs/tokens must be monotone non-increasing down the funnel
+    val ordered = Seq("input", "exact_dedup", "near_dedup", "containment",
+      "semantic", "gopher", "token_budget").map(p5)
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._1 <= a._1 && b._2 <= a._2, s"non-monotone: $a -> $b") }
+    // reconstruct the near-dedup survivor id set via the SAME registry
+    // stages CliSpec proved equal to p4's s2
+    val extract = graft.Registry.getExtractor("parquet")
+    val docs = extract(spark, graft.Registry.parseConfig(
+      s"""{"path": "$sfDir/documents.parquet"}"""))
+    val exact = graft.Registry.getTransformer("exact_dedup")(
+      graft.Registry.parseConfig("{}"))
+    val near = graft.Registry.getTransformer("near_dedup")(
+      graft.Registry.parseConfig(
+        """{"method": "minhash_lsh", "threshold": 0.1, "ngram": 3,
+          | "num_hashes": 8, "rows_per_band": 2,
+          | "keep": "best_quality"}""".stripMargin))
+    val surv2 = near(exact(docs)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv2.size.toLong == p5("near_dedup")._1, "survivor recompute drifted")
+    // identity 2: containment delta from the standalone d17 query
+    val d17drops = rows("d17_containment").flatMap { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      val (asz, bsz) = (r.getAs[Long]("a_sz"), r.getAs[Long]("b_sz"))
+      val it = r.getAs[Long]("inter").toDouble
+      if (!surv2(a) || !surv2(b)) None
+      else if (it / asz >= 0.5 && asz < bsz) Some(a)
+      else if (it / bsz >= 0.5 && bsz <= asz) Some(b)
+      else None
+    }.toSet
+    assert(p5("containment")._1 == p5("near_dedup")._1 - d17drops.size,
+      s"containment delta != d17 replay: $d17drops")
+    val surv3 = surv2 -- d17drops
+    // identity 3: semantic delta from the standalone d13 query
+    val d13dropped = rows("d13_semantic_dedup")
+      .filter(!_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    val semDrops = surv3.intersect(d13dropped)
+    assert(p5("semantic")._1 == p5("containment")._1 - semDrops.size,
+      s"semantic delta != d13 replay: expected -${semDrops.size}")
+    assert(semDrops.nonEmpty, "semantic gate vacuous at sf0.01")
+  }
+
   test("extreme asymmetry (50x): containmentDedup misses, dupSpans catches (d17 contract)") {
     // The adversarial regime d17's scaladoc documents: a doc FULLY
     // contained in a ~50x larger doc. Its containment is 1.0 but its
