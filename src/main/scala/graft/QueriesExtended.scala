@@ -813,6 +813,32 @@ object QueriesExtended {
       .orderBy("query_id")
   }
 
+  /** IVF nprobe tuning S-curve (Clustering.ivfTuningReport) over s3's
+    * session-cached persisted index: recall@5 vs exact ground truth
+    * plus candidate volume and cells-read at nprobe in {1, 2, 4, 8} —
+    * the d19 analog for the ANN family, the table behind s3/s8's
+    * nprobe=4 choice. Ground truth is computed once (localCheckpoint)
+    * and shared across the four swept configs; each config pays one
+    * partition-pruned index scan (file-level pruning asserted per
+    * swept nprobe in ScaleSpec).
+    */
+  private def s9IvfTuning(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+      val ix = TempDirs.fresh("graft_ivf")
+      Clustering.writeIvfIndex(e, c, ix)
+      (ix, c)
+    })
+    val truth = operators.Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    Clustering.ivfTuningReport(s, ixDir, q, cents, truth,
+        k = 5, nprobes = Seq(1, 2, 4, 8))
+      .orderBy("nprobe")
+  }
+
   /** Cross-source content-overlap matrix (3-gram shingle overlap per
     * source pair, with the overlap coefficient n_shared / min(n_a,
     * n_b)) — the cross-corpus contamination table consulted before
@@ -923,7 +949,8 @@ object QueriesExtended {
     "x19_weighted_sample" -> (x19WeightedSample(_, _)),
     "q28_funnel" -> (q28Funnel(_, _)),
     "s3_ann_ivf" -> (s3AnnIvf(_, _)),
-    "s8_ivf_recall" -> (s8IvfRecall(_, _)))
+    "s8_ivf_recall" -> (s8IvfRecall(_, _)),
+    "s9_ivf_tuning" -> (s9IvfTuning(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -1447,6 +1474,62 @@ object QueriesExtended {
          |FROM exact e LEFT JOIN ann a
          |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    "s9_ivf_tuning" -> {
+      val probeCtes = Seq(1, 2, 4, 8).map { p =>
+        s"""probes_$p AS (
+           |  SELECT vec_id AS query_id, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d1 WHERE vec_id < 20) WHERE rn <= $p
+           |), cands_$p AS (
+           |  SELECT p.query_id, ix.vec_id AS neighbor_id
+           |  FROM probes_$p p JOIN cellassign ix ON ix.cell = p.cell
+           |  WHERE ix.vec_id <> p.query_id
+           |), scored_$p AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * n.en[i])), 6) AS cos_sim
+           |  FROM cands_$p c
+           |  JOIN vn q ON q.vec_id = c.query_id
+           |  JOIN vn n ON n.vec_id = c.neighbor_id
+           |), top_$p AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+           |      AS rank
+           |    FROM scored_$p
+           |  ) WHERE rank <= 5
+           |), row_$p AS (
+           |  SELECT $p AS nprobe,
+           |    (SELECT count(DISTINCT cell) FROM probes_$p) AS n_cells_read,
+           |    (SELECT count(*) FROM cands_$p) AS n_candidates,
+           |    sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           |    count(*)::BIGINT AS n_true
+           |  FROM exact e LEFT JOIN top_$p t
+           |    ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |escored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM vn q JOIN vn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |      AS rank
+         |    FROM escored
+         |  ) WHERE rank <= 5
+         |),
+         |$probeCtes
+         |SELECT nprobe, n_cells_read, n_candidates, n_hits, n_true,
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(floor(n_hits::DOUBLE * 1000000 / n_true::DOUBLE) AS BIGINT)
+         |    ELSE 0 END AS recall_micro
+         |FROM (
+         |  SELECT * FROM row_1 UNION ALL SELECT * FROM row_2
+         |  UNION ALL SELECT * FROM row_4 UNION ALL SELECT * FROM row_8
+         |) ORDER BY nprobe""".stripMargin
+    },
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 6) AS total_value

@@ -173,6 +173,73 @@ object Clustering {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF nprobe S-curve (d19's analog for the ANN index): for each
+    * nprobe over ONE persisted index, measure recall@k against exact
+    * ground truth alongside the two cost axes a probe actually pays —
+    * candidate rows scored and index cells READ (the partition-pruned
+    * file subset). The table consulted before committing an nprobe to
+    * a production ANN config: recall climbs with nprobe while cost
+    * climbs linearly, and the knee is corpus-specific.
+    *
+    * `truth` is (query_id, neighbor_id) exact top-k — pass it
+    * localCheckpointed so the ground truth runs once, not once per
+    * swept config. Each config pays one pruned index scan (asserted
+    * file-level in ScaleSpec for every swept nprobe) plus a
+    * queries-bounded top-k window; nothing corpus-scale is re-derived
+    * per branch.
+    */
+  def ivfTuningReport(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], truth: DataFrame,
+      k: Int, nprobes: Seq[Int],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty &&
+      nprobes.forall(p => p >= 1 && p <= centroids.size),
+      s"ivfTuningReport: each nprobe must be in [1, ${centroids.size}]")
+    val truthTagged = truth
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("_t"))
+    nprobes.map { p =>
+      val probeCells = {
+        val scored = centroids.map { case (cid, c) =>
+          struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"),
+            lit(cid).as("cid"))
+        }
+        slice(array_sort(array(scored: _*)), 1, p)
+      }
+      val probes = queries.select(
+          col(idCol).as("query_id"),
+          Similarity.normalized(col(vecCol)).as("q_vec"),
+          explode(probeCells).as("pc"))
+        .select(col("query_id"), col("q_vec"), col("pc.cid").as("cell"))
+      val cells = probes.select("cell").distinct().collect()
+        .map(_.getInt(0)).toSeq.sorted
+      val scored = readIvfCells(spark, indexDir, cells)
+        .join(broadcast(probes), Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val annK = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("_h"))
+      val cand = scored.groupBy().agg(count(lit(1)).as("n_candidates"))
+      val hit = truthTagged
+        .join(annK, Seq("query_id", "neighbor_id"), "left")
+        .groupBy().agg(count(lit(1)).as("n_true"),
+          sum(when(col("_h"), 1L).otherwise(0L)).as("n_hits"))
+      // bounded one-row x one-row combine (the allowlisted crossJoin
+      // shape), then the d19-style floored micro-recall
+      cand.crossJoin(hit)
+        .select(lit(p).as("nprobe"), lit(cells.size.toLong).as("n_cells_read"),
+          col("n_candidates"), col("n_hits"), col("n_true"),
+          when(col("n_true") > 0,
+            floor(col("n_hits").cast("double") * 1e6 /
+              col("n_true").cast("double")).cast("long"))
+            .otherwise(lit(0L)).as("recall_micro"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** IVF (inverted-file) approximate top-k: index = corpus assigned to
     * its nearest of k coarse cells (after `iterations` Lloyd rounds);
     * each query probes its `nprobe` nearest cells and exact-ranks by

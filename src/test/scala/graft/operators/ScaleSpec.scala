@@ -62,6 +62,45 @@ class ScaleSpec extends SparkSpec {
     assert(probe.select("cell").distinct().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("IVF tuning sweep prunes the index to probed cells at EVERY swept nprobe") {
+    // s9's contract: each swept config pays one PARTITION-PRUNED index
+    // scan — a sweep that silently full-scans at some nprobe would
+    // still return correct recall while lying about the cost axis.
+    val dir = "/root/testdata/sf0.001"
+    val embs = graft.Tables(spark, dir, "embeddings")
+    val cents = Clustering.trainCentroids(embs, nCells = 8, iterations = 1)
+    val out = java.nio.file.Files.createTempDirectory("ivf_tune").toString
+    Clustering.writeIvfIndex(embs, cents, out)
+    // few queries, so the probed-cell union stays a STRICT subset and
+    // file-level pruning is observable (s9's 20-query set saturates
+    // all cells in union — per-query pruning still holds, but is not
+    // visible from the union's scan)
+    val q = embs.where(col("vec_id") < 3)
+    val truth = Similarity.bruteForceTopK(embs, q, k = 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val report = Clustering.ivfTuningReport(
+      spark, out, q, cents, truth, k = 5, nprobes = Seq(1, 2, 4))
+    val rows = report.orderBy("nprobe").collect()
+    assert(rows.length == 3)
+    // recall monotone non-decreasing in nprobe; candidate volume and
+    // cells-read strictly shaped by the sweep
+    val recalls = rows.map(_.getAs[Long]("recall_micro"))
+    assert(recalls.sliding(2).forall { case Array(a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cands.sliding(2).forall { case Array(a, b) => a < b },
+      s"candidates not increasing: ${cands.toSeq}")
+    assert(rows.head.getAs[Long]("n_cells_read") < 8,
+      "nprobe=1 with 3 queries must not touch every cell")
+    assert(rows.last.getAs[Long]("n_true") == 3 * 5)
+    // every index scan in the plan carries a cell partition filter —
+    // one pruned scan per swept config, none full
+    val plan = report.queryExecution.executedPlan.toString
+    val pruned = """PartitionFilters: \[[^\]]*cell""".r.findAllIn(plan).size
+    assert(pruned >= 3, s"expected >=3 cell-pruned index scans, got $pruned:\n" +
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_bkt")
