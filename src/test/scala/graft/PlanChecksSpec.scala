@@ -149,6 +149,16 @@ class PlanChecksSpec extends SparkSpec {
       s"int8 kernel missing from plan:\n$plan")
   }
 
+  test("s10 pq scoring broadcasts query LUTs and encodes via the compiled argmin kernel") {
+    val plan = planOf("s10_pq_adc")
+    assert(!plan.contains("CartesianProduct"),
+      s"ADC scoring degraded to a shuffled product:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.toLowerCase.contains("nearestcentroid"),
+      s"compiled PQ encode kernel missing from plan:\n$plan")
+  }
+
   test("d13 semantic dedup pairs only within cells - no all-pairs product") {
     val plan = planOf("d13_semantic_dedup")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

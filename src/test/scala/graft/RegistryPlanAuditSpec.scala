@@ -30,8 +30,10 @@ class RegistryPlanAuditSpec extends SparkSpec {
   private val bnljAllowed: Map[String, String] = Map(
     "s1_cosine_topk" -> "labeled brute-force baseline: query side is k rows",
     "s5_quantized_cosine" -> "query side broadcast: k rows",
+    "s10_pq_adc" -> "query side broadcast: k rows (ADC lookup tables ride the broadcast)",
     "s7_ann_recall" -> "composes the s1 brute-force ground truth: query side is k rows",
     "s8_ivf_recall" -> "composes the s1 brute-force ground truth: query side is k rows",
+    "s9_ivf_tuning" -> "composes the s1 brute-force ground truth: query side is k rows",
     "d2_ngram_jaccard" -> "corpus doc-count scalar broadcast: 1 row",
     "d12_line_dedup" -> "boilerplate array broadcast: df-capped line set",
     "x6_tfidf" -> "corpus doc-count scalar broadcast: 1 row",

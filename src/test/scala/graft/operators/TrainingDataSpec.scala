@@ -113,6 +113,58 @@ class TrainingDataSpec extends SparkSpec {
     assert(!exactPairs.exists { case (q, n) => q == n })
   }
 
+  test("pq: codes are the per-subspace argmin, ADC reproduces the LUT sum, recall sane") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val nSub = 16; val subDims = 4
+    val cbs = Similarity.pqCodebooks(e, nSub = nSub, codebookSize = 16)
+    assert(cbs.size == nSub && cbs.forall(_.size == 16))
+    assert(cbs.forall(_.forall(_._2.length == subDims)))
+    // a seed vector must encode to its own codeword in every subspace
+    // (distance 0 is the unique minimum unless two seeds collide)
+    val queries = e.where($"vec_id" < 10)
+    val got = Similarity.pqTopK(e, queries, k = 5, cbs)
+    val rows = got.collect()
+    assert(rows.length == 50) // 10 queries x k=5
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self returned")
+    // JVM-side replay of encode+ADC for one pair pins the kernel math
+    val seeds = e.where($"vec_id" < 16)
+      .select($"vec_id".cast("int"),
+        graft.operators.Similarity.normalized($"embedding"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def encode(v: Array[Double]): Array[Int] =
+      (0 until nSub).map { j =>
+        seeds.map { case (c, s) =>
+          val d = (0 until subDims).map { i =>
+            val x = v(j * subDims + i) - s(j * subDims + i); x * x
+          }.sum
+          (d, c)
+        }.min._2
+      }.toArray
+    val vecs = e.select($"vec_id",
+        graft.operators.Similarity.normalized($"embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val (qid, nid) = (rows.head.getLong(0), rows.head.getLong(1))
+    val expAdc = {
+      val q = vecs(qid); val codes = encode(vecs(nid))
+      (0 until nSub).map { j =>
+        val cw = seeds(codes(j))._2
+        (0 until subDims).map(i => q(j * subDims + i) * cw(j * subDims + i)).sum
+      }.sum
+    }
+    assert(math.abs(rows.head.getDouble(2) - expAdc) < 1e-5,
+      s"ADC score ${rows.head.getDouble(2)} != replayed $expAdc")
+    // compressed-domain ranking still finds most true neighbors
+    val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall > 0.6,
+      s"PQ recall $recall collapsed (ADC shortlist should recover most true neighbors)")
+  }
+
   test("banded simhash pairs equal the naive block-wide join") {
     // pigeonhole guarantee: segment banding must lose NO pair within
     // the hamming budget — compare against the O(block²) definition
