@@ -179,6 +179,44 @@ private[graft] object OracleFragments {
        |    FROM d1) WHERE rn = 1
        |)""".stripMargin
 
+  /** CTEs sub..luts: product quantization — `Similarity.pqCodebooks` /
+    * `pqCodes` / `pqLuts`' exact math: 16 subspaces × 4 dims, 16
+    * codewords per subspace seeded from the first 16 NORMALIZED
+    * vectors, argmin ties -> lowest codeword id, LUT entries kept as
+    * unrounded doubles (both engines fold the 4-term products
+    * left-to-right). Requires `vn` from [[normVecCte]] in scope.
+    * Exposes `codes` (per-vector 16-code list, codes 0-based) and
+    * `luts` (per-query vec_id < 20 16×16 lookup tables).
+    */
+  val pqCtes: String =
+    """sub AS (
+      |  SELECT vec_id, j,
+      |    list_transform(range(1, 5), i -> en[j * 4 + i]) AS sv
+      |  FROM vn CROSS JOIN range(0, 16) r(j)
+      |), cb AS (
+      |  SELECT j, vec_id AS cid, sv AS cw FROM sub WHERE vec_id < 16
+      |), enc AS (
+      |  SELECT vec_id, j, cid FROM (
+      |    SELECT s.vec_id, s.j, c.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |        list_sum(list_transform(range(1, 5),
+      |          i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))), c.cid)
+      |        AS rn
+      |    FROM sub s JOIN cb c USING (j)
+      |  ) WHERE rn = 1
+      |), codes AS (
+      |  SELECT vec_id, list(cid ORDER BY j) AS codes FROM enc GROUP BY vec_id
+      |), lutv AS (
+      |  SELECT s.vec_id AS query_id, s.j, c.cid,
+      |    list_sum(list_transform(range(1, 5), i -> s.sv[i] * c.cw[i])) AS ip
+      |  FROM sub s JOIN cb c USING (j) WHERE s.vec_id < 20
+      |), lutj AS (
+      |  SELECT query_id, j, list(ip ORDER BY cid) AS l
+      |  FROM lutv GROUP BY query_id, j
+      |), luts AS (
+      |  SELECT query_id, list(l ORDER BY j) AS luts FROM lutj GROUP BY query_id
+      |)""".stripMargin
+
   /** CTEs planes/lshbits/lshbuckets: per-table sign-bit hyperplane LSH
     * buckets — VectorOps.lshBuckets' exact math (md5-derived plane
     * components on the RAW vector, left-to-right accumulation, bucket

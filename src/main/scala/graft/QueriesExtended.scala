@@ -839,6 +839,35 @@ object QueriesExtended {
       .orderBy("nprobe")
   }
 
+  /** IVF-PQ through a persisted index (Clustering.ivfPqTopKFromIndex —
+    * FAISS's IndexIVFPQ layout as parquet): s3's coarse quantizer
+    * partitions the index by cell, s10's PQ codes sit NEXT TO the
+    * float vectors as separate columns, and a query pays exactly what
+    * it touches — nprobe/nCells of the files (partition pruning), the
+    * 8-byte code column for ADC scoring (column pruning, the scan
+    * reads no vector), and the vector column for the 32-deep shortlist
+    * rerank only. Both prunings are plan-asserted. Same cell/codebook
+    * configs as s3/s10 so regressions in either component surface here
+    * as a hash mismatch.
+    */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Seq[(Int, Array[Double])], Seq[Seq[(Int, Array[Double])]])]()
+
+  private def s11IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (ixDir, cents, cbs) = ivfPqIndexCache.computeIfAbsent(s"$dir:16:16:16", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+      val cb = operators.Similarity.pqCodebooks(e, nSub = 16, codebookSize = 16)
+      val ix = TempDirs.fresh("graft_ivfpq")
+      Clustering.writeIvfPqIndex(e, c, cb, ix)
+      (ix, c, cb)
+    })
+    Clustering.ivfPqTopKFromIndex(s, ixDir, e.where(col("vec_id") < 20),
+        cents, cbs, k = 5, nprobe = 4, rerankDepth = 32)
+      .orderBy("query_id", "rank")
+  }
+
   /** Cross-source content-overlap matrix (3-gram shingle overlap per
     * source pair, with the overlap coefficient n_shared / min(n_a,
     * n_b)) — the cross-corpus contamination table consulted before
@@ -950,7 +979,8 @@ object QueriesExtended {
     "q28_funnel" -> (q28Funnel(_, _)),
     "s3_ann_ivf" -> (s3AnnIvf(_, _)),
     "s8_ivf_recall" -> (s8IvfRecall(_, _)),
-    "s9_ivf_tuning" -> (s9IvfTuning(_, _)))
+    "s9_ivf_tuning" -> (s9IvfTuning(_, _)),
+    "s11_ivfpq" -> (s11IvfPq(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -1408,6 +1438,44 @@ object QueriesExtended {
          |SELECT c.vec_id, c.cell,
          |  (c.vec_id NOT IN (SELECT b_id FROM dup)) AS kept
          |FROM cellassign c ORDER BY c.vec_id""".stripMargin,
+    "s11_ivfpq" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.pqCtes},
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), cands AS (
+         |  SELECT p.query_id, ix.vec_id AS neighbor_id
+         |  FROM probes p JOIN cellassign ix ON ix.cell = p.cell
+         |  WHERE ix.vec_id <> p.query_id
+         |), scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 17),
+         |      j -> q.luts[j][n.codes[j] + 1])), 6) AS approx_cos
+         |  FROM cands cand
+         |  JOIN luts q ON q.query_id = cand.query_id
+         |  JOIN codes n ON n.vec_id = cand.neighbor_id
+         |), shortlist AS (
+         |  SELECT query_id, neighbor_id, approx_cos,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> qe.en[i] * ne.en[i])), 6) AS cos_sim
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_cos DESC, neighbor_id) AS adc_rank
+         |    FROM scored
+         |  ) s
+         |  JOIN vn qe ON qe.vec_id = s.query_id
+         |  JOIN vn ne ON ne.vec_id = s.neighbor_id
+         |  WHERE adc_rank <= 32
+         |)
+         |SELECT query_id, neighbor_id, approx_cos, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM shortlist
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s3_ann_ivf" ->
       s"""WITH ${OracleFragments.normVecCte},
          |${OracleFragments.ivfCellsCte(16)},

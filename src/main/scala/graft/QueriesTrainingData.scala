@@ -2842,33 +2842,8 @@ object QueriesTrainingData {
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s10_pq_adc" ->
       s"""WITH $normVecCte,
-         |sub AS (
-         |  SELECT vec_id, j,
-         |    list_transform(range(1, 5), i -> en[j * 4 + i]) AS sv
-         |  FROM vn CROSS JOIN range(0, 16) r(j)
-         |), cb AS (
-         |  SELECT j, vec_id AS cid, sv AS cw FROM sub WHERE vec_id < 16
-         |), enc AS (
-         |  SELECT vec_id, j, cid FROM (
-         |    SELECT s.vec_id, s.j, c.cid,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
-         |        list_sum(list_transform(range(1, 5),
-         |          i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))), c.cid)
-         |        AS rn
-         |    FROM sub s JOIN cb c USING (j)
-         |  ) WHERE rn = 1
-         |), codes AS (
-         |  SELECT vec_id, list(cid ORDER BY j) AS codes FROM enc GROUP BY vec_id
-         |), lutv AS (
-         |  SELECT s.vec_id AS query_id, s.j, c.cid,
-         |    list_sum(list_transform(range(1, 5), i -> s.sv[i] * c.cw[i])) AS ip
-         |  FROM sub s JOIN cb c USING (j) WHERE s.vec_id < 20
-         |), lutj AS (
-         |  SELECT query_id, j, list(ip ORDER BY cid) AS l
-         |  FROM lutv GROUP BY query_id, j
-         |), luts AS (
-         |  SELECT query_id, list(l ORDER BY j) AS luts FROM lutj GROUP BY query_id
-         |), scored AS (
+         |${OracleFragments.pqCtes},
+         |scored AS (
          |  SELECT q.query_id, n.vec_id AS neighbor_id,
          |    round(list_sum(list_transform(range(1, 17),
          |      j -> q.luts[j][n.codes[j] + 1])), 6) AS approx_cos

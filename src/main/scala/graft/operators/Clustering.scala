@@ -173,6 +173,95 @@ object Clustering {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Persist an IVF-PQ index (Jégou 2011's production composition —
+    * FAISS's IndexIVFPQ): cell-partitioned like [[writeIvfIndex]], but
+    * each row carries the vector's PQ `codes` NEXT TO the float
+    * vector, in separate parquet COLUMNS. The two access patterns the
+    * search needs then cost exactly what they touch: the ADC scoring
+    * scan reads (neighbor_id, codes) only — nprobe/nCells of the
+    * files × the 8-byte code column — and the shortlist rerank reads
+    * `c_vec` for rerankDepth rows. Columnar pruning is what lets ONE
+    * index serve both passes; a row store would pay the vectors on
+    * every probe.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
+      codebooks: Seq[Seq[(Int, Array[Double])]], dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val en = Similarity.normalized(col(vecCol))
+    corpus.select(
+        col(idCol).as("neighbor_id"),
+        nearestCentroid(col(vecCol), centroids).as("cell"),
+        Similarity.pqCodes(en, codebooks).as("codes"),
+        en.as("c_vec"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+  }
+
+  /** Query a PERSISTED IVF-PQ index: probe the nprobe nearest cells
+    * (partition pruning — only those cells' FILES are listed or read),
+    * ADC-score the probed cells' CODES against the query's broadcast
+    * lookup tables (the scan reads no float vector — column pruning,
+    * plan-asserted), shortlist `rerankDepth` per query, then rerank
+    * exactly from a second codes-free scan of the same probed cells.
+    * The per-candidate cost is nSub array lookups; floats are touched
+    * for rerankDepth rows per query, not per candidate — this is the
+    * layout that serves ANN from a 100 TB index: nprobe/nCells of the
+    * files, code-column bytes, vector-column bytes only for the
+    * shortlist.
+    */
+  def ivfPqTopKFromIndex(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      codebooks: Seq[Seq[(Int, Array[Double])]],
+      k: Int, nprobe: Int, rerankDepth: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probeCells = {
+      val scored = centroids.map { case (cid, c) =>
+        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
+      }
+      slice(array_sort(array(scored: _*)), 1, nprobe)
+    }
+    val en = Similarity.normalized(col(vecCol))
+    val probes = queries.select(
+        col(idCol).as("query_id"),
+        en.as("q_en"),
+        Similarity.pqLuts(en, codebooks).as("luts"),
+        explode(probeCells).as("pc"))
+      .select(col("query_id"), col("q_en"), col("luts"), col("pc.cid").as("cell"))
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    // ADC pass: the scan is pruned to (cell, neighbor_id, codes) —
+    // no float vector leaves the files
+    val scored = readIvfCells(spark, indexDir, cells)
+      .select(col("cell"), col("neighbor_id"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.adcScore(col("codes"), col("luts")), 6)
+          .as("approx_cos"),
+        col("q_en"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val shortlist = scored
+      .withColumn("_adc_rank", row_number().over(wAdc))
+      .where(col("_adc_rank") <= rerankDepth)
+      .select("query_id", "neighbor_id", "approx_cos", "q_en")
+    // rerank pass: second pruned scan of the SAME cells, vector column
+    // only, shortlist rows broadcast onto it
+    val vecs = readIvfCells(spark, indexDir, cells)
+      .select(col("neighbor_id"), col("c_vec"))
+    val reranked = vecs
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
+        round(Similarity.dot(col("q_en"), col("c_vec")), 6).as("cos_sim"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    reranked
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "approx_cos", "cos_sim", "rank")
+  }
+
   /** IVF nprobe S-curve (d19's analog for the ANN index): for each
     * nprobe over ONE persisted index, measure recall@k against exact
     * ground truth alongside the two cost axes a probe actually pays —

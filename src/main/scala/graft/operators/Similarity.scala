@@ -388,34 +388,51 @@ object Similarity {
     * [[bruteForceTopK]]: the query side must be small
     * ([[requireBroadcastableQueries]]); the corpus side streams codes.
     */
+  /** PQ codes for a NORMALIZED vector column: one codeword id per
+    * subspace via the compiled argmin kernel (ties -> lowest id).
+    */
+  def pqCodes(en: Column, codebooks: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val subDims = codebooks.head.head._2.length
+    array(codebooks.indices.map { j =>
+      graft.functions.VectorExpressions
+        .nearestCentroidStruct(slice(en, j * subDims + 1, subDims), codebooks(j))
+        .getField("cid")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup tables for a NORMALIZED vector column:
+    * luts(j)(c) = ⟨en_subⱼ, codewordⱼ,c⟩ — nSub×|codebook| small dots,
+    * computed once per query and carried on the broadcast side.
+    */
+  def pqLuts(en: Column, codebooks: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val subDims = codebooks.head.head._2.length
+    array(codebooks.indices.map { j =>
+      array(codebooks(j).map { case (_, cw) =>
+        dot(slice(en, j * subDims + 1, subDims), typedlit(cw.toSeq))
+      }: _*)
+    }: _*)
+  }
+
+  /** The ADC kernel: sum over subspaces of the code-indexed LUT entry —
+    * a pure table-lookup score, no float vector on the corpus side.
+    */
+  def adcScore(codes: Column, luts: Column): Column =
+    aggregate(
+      zip_with(codes, luts, (cd, l) => element_at(l, cd + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
   def pqTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       codebooks: Seq[Seq[(Int, Array[Double])]],
       rerankDepth: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorExpressions
     requireBroadcastableQueries(queries, "pqTopK")
-    val nSub = codebooks.size
-    val subDims = codebooks.head.head._2.length
     val en = normalized(col(vecCol))
-    def sub(j: Int): Column = slice(en, j * subDims + 1, subDims)
-    val codes = array((0 until nSub).map { j =>
-      VectorExpressions.nearestCentroidStruct(sub(j), codebooks(j))
-        .getField("cid")
-    }: _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), en.as("n_en"),
-      codes.as("codes"))
-    // the per-query ADC tables: nSub×|codebook| small dots, query side only
-    val luts = array((0 until nSub).map { j =>
-      array(codebooks(j).map { case (_, cw) =>
-        dot(sub(j), typedlit(cw.toSeq))
-      }: _*)
-    }: _*)
+      pqCodes(en, codebooks).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), en.as("q_en"),
-      luts.as("luts"))
-    val adc = aggregate(
-      zip_with(col("codes"), col("luts"), (cd, l) => element_at(l, cd + 1)),
-      lit(0.0), (acc, x) => acc + x)
+      pqLuts(en, codebooks).as("luts"))
+    val adc = adcScore(col("codes"), col("luts"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -159,6 +159,19 @@ class PlanChecksSpec extends SparkSpec {
       s"compiled PQ encode kernel missing from plan:\n$plan")
   }
 
+  test("s11 ivf-pq: ADC scan is code-only and cell-pruned; rerank scan is vector-only") {
+    val plan = planOf("s11_ivfpq")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ degraded to a shuffled product:\n$plan")
+    val pruned = """PartitionFilters: \[[^\]]*cell""".r.findAllIn(plan).size
+    assert(pruned >= 2, s"expected 2 cell-pruned index scans, got $pruned:\n$plan")
+    val schemas = """ReadSchema: [^\n]*""".r.findAllIn(plan).toSeq
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("c_vec")),
+      s"ADC pass reads vectors:\n${schemas.mkString("\n")}")
+    assert(schemas.exists(s => s.contains("c_vec") && !s.contains("codes")),
+      s"rerank pass reads codes:\n${schemas.mkString("\n")}")
+  }
+
   test("d13 semantic dedup pairs only within cells - no all-pairs product") {
     val plan = planOf("d13_semantic_dedup")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

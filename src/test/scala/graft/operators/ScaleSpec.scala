@@ -101,6 +101,57 @@ class ScaleSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("IVF-PQ index: ADC scan reads codes not vectors, both scans cell-pruned, rerank exact") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = graft.Tables(spark, dir, "embeddings")
+    val cents = Clustering.trainCentroids(embs, nCells = 8, iterations = 1)
+    val cbs = Similarity.pqCodebooks(embs, nSub = 16, codebookSize = 16)
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Clustering.writeIvfPqIndex(embs, cents, cbs, out)
+    val q = embs.where(col("vec_id") < 3)
+    val res = Clustering.ivfPqTopKFromIndex(
+      spark, out, q, cents, cbs, k = 5, nprobe = 2)
+    val rows = res.collect()
+    assert(rows.length == 15, s"3 queries x k=5, got ${rows.length}")
+    val plan = res.queryExecution.executedPlan.toString
+    // partition pruning: BOTH passes (ADC + rerank) scan only probed cells
+    val pruned = """PartitionFilters: \[[^\]]*cell""".r.findAllIn(plan).size
+    assert(pruned >= 2, s"expected 2 cell-pruned index scans, got $pruned:\n" +
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // column pruning: the ADC scan never reads the float vector, the
+    // rerank scan never reads the codes — one columnar index, two
+    // minimal access paths
+    val schemas = """ReadSchema: [^\n]*""".r.findAllIn(plan).toSeq
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("c_vec")),
+      s"no codes-only scan (ADC pass reads vectors?):\n${schemas.mkString("\n")}")
+    assert(schemas.exists(s => s.contains("c_vec") && !s.contains("codes")),
+      s"no vector-only scan (rerank pays code bytes?):\n${schemas.mkString("\n")}")
+    // every returned neighbor lives in one of its query's probed cells,
+    // and the reported cos_sim is the exact cosine (rerank not approximate)
+    val cells = spark.read.parquet(out)
+      .select(col("neighbor_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val raw = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def probed(qid: Long): Set[Int] =
+      cents.map { case (cid, c) =>
+        val v = raw(qid)
+        (v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum, cid)
+      }.sorted.take(2).map(_._2).toSet
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(probed(qid).contains(cells(nid)),
+        s"neighbor $nid of query $qid outside probed cells ${probed(qid)}")
+      val exact = unit(raw(qid)).zip(unit(raw(nid))).map { case (a, b) => a * b }.sum
+      assert(math.abs(r.getDouble(3) - exact) < 1e-5,
+        s"rerank cos ${r.getDouble(3)} != exact $exact for ($qid, $nid)")
+    }
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_bkt")
