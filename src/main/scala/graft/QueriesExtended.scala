@@ -868,6 +868,25 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** Margin-based bitext-style pair mining (Similarity.marginMining —
+    * Artetxe & Schwenk 2019's ratio margin): the corpus split by
+    * vec_id parity into a src and a tgt side, candidates blocked by
+    * the same deterministic coarse cells as the IVF index, every
+    * forward-kNN pair emitted with cos, margin (cos over the mean of
+    * both sides' k-neighborhood similarity — exact integer micro-unit
+    * math, one IEEE division) and the mutual-kNN flag. The
+    * alignment-mining read over an embedded corpus: margin ranks
+    * candidate pairs, `mutual` marks the high-precision subset.
+    */
+  private def s12MarginMining(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    operators.Similarity.marginMining(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        cents, k = 4)
+      .orderBy("src_id", "rank")
+  }
+
   /** Cross-source content-overlap matrix (3-gram shingle overlap per
     * source pair, with the overlap coefficient n_shared / min(n_a,
     * n_b)) — the cross-corpus contamination table consulted before
@@ -980,7 +999,8 @@ object QueriesExtended {
     "s3_ann_ivf" -> (s3AnnIvf(_, _)),
     "s8_ivf_recall" -> (s8IvfRecall(_, _)),
     "s9_ivf_tuning" -> (s9IvfTuning(_, _)),
-    "s11_ivfpq" -> (s11IvfPq(_, _)))
+    "s11_ivfpq" -> (s11IvfPq(_, _)),
+    "s12_margin_mining" -> (s12MarginMining(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -1476,6 +1496,41 @@ object QueriesExtended {
          |    ORDER BY cos_sim DESC, neighbor_id) AS rank
          |  FROM shortlist
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s12_margin_mining" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |sides AS (
+         |  SELECT c.vec_id, c.cell, v.en FROM cellassign c
+         |  JOIN vn v USING (vec_id)
+         |), pairs AS (
+         |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         |    CAST(floor(list_sum(list_transform(range(1, 65),
+         |      i -> s.en[i] * t.en[i])) * 1e6) AS BIGINT) AS cos_micro
+         |  FROM sides s JOIN sides t ON s.cell = t.cell
+         |  WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+         |), ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY cos_micro DESC, tgt_id) AS f_rank,
+         |    row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY cos_micro DESC, src_id) AS b_rank
+         |  FROM pairs
+         |), fwd AS (
+         |  SELECT src_id, sum(cos_micro) AS f_sum, count(*) AS f_n
+         |  FROM ranked WHERE f_rank <= 4 GROUP BY src_id
+         |), bwd AS (
+         |  SELECT tgt_id, sum(cos_micro) AS b_sum, count(*) AS b_n
+         |  FROM ranked WHERE b_rank <= 4 GROUP BY tgt_id
+         |)
+         |SELECT r.src_id, r.tgt_id,
+         |  r.cos_micro / 1e6 AS cos_sim,
+         |  round(2.0 * r.cos_micro * f.f_n * b.b_n /
+         |    (f.f_sum * b.b_n + b.b_sum * f.f_n), 6) AS margin,
+         |  r.f_rank AS rank,
+         |  r.b_rank <= 4 AS mutual
+         |FROM ranked r JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id)
+         |WHERE r.f_rank <= 4
+         |ORDER BY r.src_id, r.f_rank""".stripMargin,
     "s3_ann_ivf" ->
       s"""WITH ${OracleFragments.normVecCte},
          |${OracleFragments.ivfCellsCte(16)},

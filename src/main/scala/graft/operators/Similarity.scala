@@ -452,4 +452,72 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "approx_cos", "cos_sim", "rank")
   }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER criterion): a candidate pair (x, y) scores
+    * cos(x, y) normalized by the average similarity of each side's
+    * k-nearest neighborhood — `margin = cos(x,y) / ((avgNNₖ(x) +
+    * avgNNₖ(y)) / 2)` — which suppresses hub vectors that are "close
+    * to everything" and promotes pairs that stand out from their own
+    * neighborhoods. The mined output is every forward-kNN pair with
+    * its margin and a `mutual` flag (y's backward rank of x also ≤ k,
+    * the high-precision subset).
+    *
+    * Scale shape: candidates are generated WITHIN coarse-quantizer
+    * cells only (the same deterministic centroids as the IVF index),
+    * so both corpora shuffle once on `cell` and the pair space is
+    * |cell_src|×|cell_tgt| per cell, never |src|×|tgt| — the same
+    * bounded-blocking posture as semantic dedup. Neighborhood stats
+    * are therefore per-cell approximations of the global kNN, exactly
+    * as a sharded production miner computes them.
+    *
+    * Cross-engine determinism: per-pair cosines are floored to
+    * integer micro-units (the dot is computed bit-identically on both
+    * engines — left-to-right fold), neighborhood sums are then exact
+    * integer math, and the margin is a single IEEE division of exact
+    * integers — no summation-order sensitivity anywhere.
+    */
+  def marginMining(
+      src: DataFrame, tgt: DataFrame,
+      centroids: Seq[(Int, Array[Double])], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.nearestCentroidStruct
+    def side(df: DataFrame, role: String): DataFrame =
+      df.select(
+        col(idCol).as(s"${role}_id"),
+        normalized(col(vecCol)).as(s"${role}_en"),
+        nearestCentroidStruct(col(vecCol), centroids).getField("cid").as("cell"))
+    val pairs = side(src, "src").join(side(tgt, "tgt"), "cell")
+      .select(col("src_id"), col("tgt_id"),
+        floor(dot(col("src_en"), col("tgt_en")) * 1e6).cast("long")
+          .as("cos_micro"))
+    val wF = Window.partitionBy("src_id")
+      .orderBy(col("cos_micro").desc, col("tgt_id"))
+    val wB = Window.partitionBy("tgt_id")
+      .orderBy(col("cos_micro").desc, col("src_id"))
+    val ranked = pairs
+      .withColumn("f_rank", row_number().over(wF))
+      .withColumn("b_rank", row_number().over(wB))
+    val fwd = ranked.where(col("f_rank") <= k)
+      .groupBy("src_id")
+      .agg(sum("cos_micro").as("f_sum"), count(lit(1)).as("f_n"))
+    val bwd = ranked.where(col("b_rank") <= k)
+      .groupBy("tgt_id")
+      .agg(sum("cos_micro").as("b_sum"), count(lit(1)).as("b_n"))
+    ranked.where(col("f_rank") <= k)
+      .join(fwd, "src_id").join(bwd, "tgt_id")
+      .select(
+        col("src_id"), col("tgt_id"),
+        (col("cos_micro").cast("double") / 1e6).as("cos_sim"),
+        // 2·cos·f_n·b_n / (f_sum·b_n + b_sum·f_n): the ratio margin as
+        // one division of exact integers (numerator promoted to double
+        // left-to-right; every intermediate < 2^53)
+        round(
+          lit(2.0) * col("cos_micro") * col("f_n") * col("b_n") /
+            (col("f_sum") * col("b_n") + col("b_sum") * col("f_n"))
+              .cast("double"),
+          6).as("margin"),
+        col("f_rank").as("rank"),
+        (col("b_rank") <= k).as("mutual"))
+  }
 }

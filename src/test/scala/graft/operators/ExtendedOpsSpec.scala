@@ -187,4 +187,74 @@ class ExtendedOpsSpec extends SparkSpec {
       .filter(Set("orders", "lineitem", "events"))
     assert(leaked.isEmpty, s"fixed-name views leaked: ${leaked.mkString(",")}")
   }
+
+  test("margin mining matches a first-principles replay; cell-blocked plan") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = graft.Tables(spark, dir, "embeddings")
+    val k = 4
+    val cents = Clustering.trainCentroids(embs, nCells = 8, iterations = 1)
+    val res = Similarity.marginMining(
+      embs.where(col("vec_id") % 2 === 0), embs.where(col("vec_id") % 2 === 1),
+      cents, k = k)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation is not cell-blocked:\n$plan")
+
+    // first-principles replay: same float->double cast, normalization,
+    // left-to-right dot, floor-micro quantization, rank and margin math
+    val raw = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    def cell(v: Array[Double]): Int =
+      cents.map { case (cid, c) =>
+        (v.indices.foldLeft(0.0)((a, i) => a + (v(i) - c(i)) * (v(i) - c(i))), cid)
+      }.minBy { case (d, cid) => (d, cid) }._2
+    val en = raw.map { case (id, v) => id -> unit(v) }
+    val cellOf = raw.map { case (id, v) => id -> cell(v) }
+    val pairs = for {
+      (s, sv) <- en.toSeq if s % 2 == 0
+      (t, tv) <- en.toSeq if t % 2 == 1 && cellOf(s) == cellOf(t)
+    } yield {
+      val d = sv.indices.foldLeft(0.0)((a, i) => a + sv(i) * tv(i))
+      (s, t, math.floor(d * 1e6).toLong)
+    }
+    def ranks[A](rows: Seq[(Long, Long, Long)], key: ((Long, Long, Long)) => Long,
+        other: ((Long, Long, Long)) => Long): Map[(Long, Long), Int] =
+      rows.groupBy(key).flatMap { case (_, g) =>
+        g.sortBy(r => (-r._3, other(r)))
+          .zipWithIndex.map { case (r, i) => (r._1, r._2) -> (i + 1) }
+      }
+    val fRank = ranks(pairs, _._1, _._2)
+    val bRank = ranks(pairs, _._2, _._1)
+    val fStats = pairs.filter(p => fRank((p._1, p._2)) <= k)
+      .groupBy(_._1).map { case (s, g) => s -> (g.map(_._3).sum, g.size) }
+    val bStats = pairs.filter(p => bRank((p._1, p._2)) <= k)
+      .groupBy(_._2).map { case (t, g) => t -> (g.map(_._3).sum, g.size) }
+    val expected = pairs.filter(p => fRank((p._1, p._2)) <= k).map { p =>
+      val (fs, fn) = fStats(p._1)
+      val (bs, bn) = bStats(p._2)
+      val margin = 2.0 * p._3 * fn * bn / (fs * bn + bs * fn).toDouble
+      ((p._1, p._2), (p._3 / 1e6, margin, fRank((p._1, p._2)),
+        bRank((p._1, p._2)) <= k))
+    }.toMap
+
+    val got = res.collect()
+    assert(got.length == expected.size,
+      s"row count ${got.length} != replay ${expected.size}")
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (cos, margin, rank, mutual) = expected(key)
+      assert(r.getDouble(2) == cos, s"cos mismatch at $key")
+      assert(math.abs(r.getDouble(3) - margin) < 1e-6, s"margin mismatch at $key")
+      assert(r.getInt(4) == rank, s"rank mismatch at $key")
+      assert(r.getBoolean(5) == mutual, s"mutual mismatch at $key")
+    }
+    // the high-precision subset exists and margins rank sensibly:
+    // a mutual pair's margin should (weakly) dominate its src's k-th
+    assert(got.exists(_.getBoolean(5)), "no mutual pairs mined")
+  }
 }
