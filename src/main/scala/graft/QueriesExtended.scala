@@ -877,10 +877,19 @@ object QueriesExtended {
     * math, one IEEE division) and the mutual-kNN flag. The
     * alignment-mining read over an embedded corpus: margin ranks
     * candidate pairs, `mutual` marks the high-precision subset.
+    *
+    * n_cells scales as ~sqrt(n/2), floored at 16 — the d13 sizing,
+    * and for the same reason: assignment costs n·k, within-cell pair
+    * verification Σ|cell|² ≈ n²/k, and k ∝ √n is the argmin of the
+    * sum (a FIXED k re-creates a quadratic pair term: measured 24.8 s
+    * at sf1 = 19× wall for 10× data before this formula). At the
+    * oracle gate (sf0.01, n=500) the formula still yields exactly 16,
+    * matching the frozen DuckDB seed CTE.
     */
   private def s12MarginMining(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cents = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    val nCells = math.max(16, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
+    val cents = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
     operators.Similarity.marginMining(
         e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
         cents, k = 4)
