@@ -971,9 +971,22 @@ object QueriesExtended {
       .orderBy("vec_id")
   }
 
+  /** Embedding-health diagnostics per label
+    * (Clustering.embeddingDiagnostics): anisotropy via the
+    * ||mean unit vector||^2 identity (the Ethayarajh 2019 mean-pairwise
+    * -cosine read WITHOUT the O(n^2) pair scan), rogue-dimension
+    * variance share (Timkey & van Schijndel 2021) and mean raw norm —
+    * the report consulted before an embedding column is trusted for
+    * dedup/ANN/mining. All sums are exact integer micro-unit math in
+    * decimal/HUGEINT; the only float steps are final divisions.
+    */
+  private def e4EmbeddingDiagnostics(s: SparkSession, dir: String): DataFrame =
+    Clustering.embeddingDiagnostics(t(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c3_source_overlap" -> (c3SourceOverlap(_, _)),
     "e3_cluster_quality" -> (e3ClusterQuality(_, _)),
+    "e4_embedding_diagnostics" -> (e4EmbeddingDiagnostics(_, _)),
     "d13_semantic_dedup" -> (d13SemanticDedup(_, _)),
     "q20_range_join" -> (q20RangeJoin(_, _)),
     "q21_subqueries" -> (q21Subqueries(_, _)),
@@ -1062,6 +1075,33 @@ object QueriesExtended {
         |  FROM documents
         |) WHERE h < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
         |ORDER BY doc_id""".stripMargin,
+    "e4_embedding_diagnostics" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |q AS (
+         |  SELECT vn.label AS grp,
+         |    list_transform(vn.en, x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv,
+         |    CAST(floor(vn0.nrm * 1e6) AS BIGINT) AS norm_micro
+         |  FROM vn JOIN vn0 USING (vec_id)
+         |), d AS (
+         |  SELECT grp, i AS dim, qv[i] AS qq FROM q, range(1, 65) t(i)
+         |), pd AS (
+         |  SELECT grp, dim, sum(qq) AS s, sum(qq * qq) AS q2, count(*) AS n
+         |  FROM d GROUP BY 1, 2
+         |), st AS (
+         |  SELECT grp, max(n) AS n, sum(s * s) AS ss,
+         |    max(n * q2 - s * s) AS vmax, sum(n * q2 - s * s) AS vsum
+         |  FROM pd GROUP BY 1
+         |), nm AS (
+         |  SELECT grp, sum(norm_micro) AS nm_sum FROM q GROUP BY 1
+         |)
+         |SELECT st.grp AS label, CAST(st.n AS BIGINT) AS n,
+         |  round(CAST(nm_sum AS DOUBLE) / CAST(st.n AS DOUBLE) / 1e6, 6)
+         |    AS avg_norm,
+         |  round(CAST(ss AS DOUBLE) / CAST(st.n * st.n AS DOUBLE) / 1e12, 6)
+         |    AS anisotropy,
+         |  round(CAST(vmax AS DOUBLE) / CAST(vsum AS DOUBLE), 6)
+         |    AS top_dim_share
+         |FROM st JOIN nm USING (grp) ORDER BY label""".stripMargin,
     "e2_kmeans" ->
       """WITH c AS (
         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce

@@ -404,4 +404,75 @@ object Clustering {
       .join(dropped.withColumn("_dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cell"), col("_dup").isNull.as("kept"))
   }
+
+  /** Per-group embedding-health report — the diagnostics read before an
+    * embedding column is trusted for dedup/ANN/mining:
+    *
+    *  - `anisotropy`: squared norm of the group's mean UNIT vector,
+    *    `||mean(e/||e||)||^2` — 0 when directions cancel (isotropic),
+    *    1 when all vectors point the same way. This equals the mean
+    *    pairwise cosine over all ordered pairs (self included), the
+    *    Ethayarajh 2019 anisotropy read, WITHOUT the O(n^2) pair scan:
+    *    the identity `E[cos(x,y)] = ||mu||^2` turns it into one O(n*d)
+    *    aggregation (Mu & Viswanath 2018's "common mean vector").
+    *  - `top_dim_share`: the largest single dimension's share of total
+    *    per-dimension variance — the rogue-dimension detector (Timkey &
+    *    van Schijndel 2021): cosine is dominated by a handful of
+    *    high-variance dimensions exactly when this is large.
+    *  - `avg_norm`: mean raw L2 norm (collapsed/degenerate groups show
+    *    up here first).
+    *
+    * Cross-engine determinism: unit vectors are quantized to integer
+    * micro-units per component, so every per-dimension sum (S_d, and
+    * the sum of squares Q_d) is EXACT integer math; S_d^2 and the
+    * variance numerators n*Q_d - S_d^2 exceed int64 range at corpus
+    * scale, so they accumulate in decimal(38,0) (Spark) / HUGEINT
+    * (DuckDB) — exact and summation-order-free on both engines. The
+    * only floating-point steps are the final divisions, each a single
+    * IEEE op on exact integers.
+    *
+    * Scale shape: one posexplode (map-side, dims x rows), one partial-
+    * aggregated shuffle keyed (group, dim) — |groups| x dims rows out —
+    * then a |groups|-row reduction. No collect, no pair join; at 100 TB
+    * this is a scan plus two tiny exchanges.
+    */
+  def embeddingDiagnostics(
+      corpus: DataFrame, byCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val qv = transform(Similarity.normalized(col(vecCol)),
+      x => floor(x * lit(1e6)).cast("long"))
+    val base = corpus.select(
+      col(byCol).as("grp"), qv.as("qv"),
+      floor(Similarity.norm(Similarity.asDouble(col(vecCol))) * lit(1e6))
+        .cast("long").as("norm_micro"))
+    val dims = base.select(col("grp"), posexplode(col("qv")).as(Seq("dim", "q")))
+    val dec = "decimal(38,0)"
+    val perDim = dims.groupBy("grp", "dim").agg(
+      sum(col("q")).as("s"),
+      sum((col("q") * col("q")).cast(dec)).as("q2"),
+      count(lit(1)).as("n"))
+    // variance numerator per dim: n*Q_d - S_d^2 (exact, >= 0)
+    val varNum = (col("n").cast(dec) * col("q2") -
+      col("s").cast(dec) * col("s").cast(dec)).as("v")
+    val stats = perDim.select(col("grp"), col("n"), col("s"), varNum)
+      .groupBy("grp").agg(
+        max(col("n")).as("n"),
+        sum((col("s").cast(dec) * col("s").cast(dec))).as("ss"),
+        max(col("v")).as("vmax"),
+        sum(col("v")).as("vsum"))
+    val norms = base.groupBy("grp")
+      .agg(sum(col("norm_micro")).as("nm_sum"))
+    stats.join(norms, "grp")
+      .select(
+        col("grp").as(byCol), col("n"),
+        round(col("nm_sum").cast("double") /
+          col("n").cast("double") / lit(1e6), 6).as("avg_norm"),
+        // ||mu||^2 = sum_d (S_d / n)^2 in micro^2 units
+        round(col("ss").cast("double") /
+          (col("n") * col("n")).cast("double") / lit(1e12), 6)
+          .as("anisotropy"),
+        round(col("vmax").cast("double") / col("vsum").cast("double"), 6)
+          .as("top_dim_share"))
+      .orderBy(byCol)
+  }
 }

@@ -257,4 +257,53 @@ class ExtendedOpsSpec extends SparkSpec {
     // a mutual pair's margin should (weakly) dominate its src's k-th
     assert(got.exists(_.getBoolean(5)), "no mutual pairs mined")
   }
+
+  test("embedding diagnostics: ||mu||^2 equals brute-force mean pairwise cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = graft.Tables(spark, dir, "embeddings")
+    val res = Clustering.embeddingDiagnostics(embs)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoopJoin"), s"diagnostics must be scan+agg:\n$plan")
+
+    // replay: quantized unit vectors, then the O(n^2) definition the
+    // operator avoids — mean ordered-pair cosine == ||sum(q)||^2 / n^2
+    val raw = embs.select(col("label"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    def quant(v: Array[Double]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = if (n > 0) v.map(_ / n) else v
+      u.map(x => math.floor(x * 1e6).toLong)
+    }
+    val byLabel = raw.groupBy(_._1).map { case (l, g) =>
+      l -> g.map(p => (quant(p._2), math.sqrt(p._2.map(x => x * x).sum)))
+    }
+    val got = res.collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (l, vs) =>
+      val (n, avgNorm, aniso, topShare) = got(l)
+      assert(n == vs.length, s"label $l count")
+      val expNorm = vs.map(v => math.floor(v._2 * 1e6).toLong).sum.toDouble /
+        n / 1e6
+      assert(math.abs(avgNorm - expNorm) < 1e-6, s"label $l avg_norm")
+      // brute-force mean ordered-pair cosine over quantized unit vecs
+      val qs = vs.map(_._1)
+      val pairMean = (for (a <- qs; b <- qs) yield
+        a.indices.map(i => a(i) * b(i)).sum).map(BigInt(_)).sum.toDouble /
+        (n.toDouble * n) / 1e12
+      assert(math.abs(aniso - pairMean) < 1e-6,
+        s"label $l: ||mu||^2 $aniso != pair mean $pairMean")
+      // rogue-dimension share: replay n*Q_d - S_d^2 exactly
+      val dims = qs.head.indices.map { d =>
+        val s = BigInt(qs.map(_(d)).sum)
+        val q2 = qs.map(q => BigInt(q(d)) * BigInt(q(d))).sum
+        BigInt(n) * q2 - s * s
+      }
+      val expShare = dims.max.toDouble / dims.sum.toDouble
+      assert(math.abs(topShare - expShare) < 1e-6, s"label $l top_dim_share")
+      assert(topShare >= 1.0 / 64 && topShare <= 1.0)
+    }
+  }
 }
