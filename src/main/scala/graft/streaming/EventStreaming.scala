@@ -41,6 +41,17 @@ object EventStreaming {
       outputMode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Size the stateful-shuffle partition count by INPUT volume (~2 MB
+    // of source parquet per state partition, clamped to [8, cores]):
+    // at the sf0.1 gate (2 MB) state-store instance overhead dominates
+    // and 8 wins by ~1 s/query; at sf3 (58 MB, 2.9M session rows) the
+    // state commit+emit parallelism dominates and 32 wins 34.5->23.7 s
+    // on st4. This is the knob the drain comment promises "rises with
+    // throughput" — tied to bytes, not core count.
+    val inputBytes = new java.io.File(s"$dir/events.parquet").length()
+    val hint = math.min(
+      spark.sparkContext.defaultParallelism,
+      math.max(8, (inputBytes / (2L << 20)).toInt))
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a directory: stream the whole sf dir
     // but list only the events file (new matching files would be picked
@@ -50,7 +61,7 @@ object EventStreaming {
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    drainToMemorySink(spark, queryName, outputMode)(transform(stream))
+    drainToMemorySink(spark, queryName, outputMode, hint)(transform(stream))
   }
 
   /** Generic drain harness for ANY streaming DataFrame (the shared
@@ -62,16 +73,20 @@ object EventStreaming {
     */
   def drainToMemorySink(
       spark: SparkSession, queryName: String,
-      outputMode: String = "complete")(streamed: DataFrame): DataFrame = {
+      outputMode: String = "complete",
+      statePartitions: Int = 8)(streamed: DataFrame): DataFrame = {
     // Stateful streaming cost here is dominated by state-store
     // INSTANCES (one per shuffle partition per store, re-opened every
     // micro-batch), not by data volume — pin the streaming query to
     // fewer partitions than the batch engine uses. The query's state
     // partitioning is fixed at its first run, which is exactly the
     // per-query scoping we want; answers are partitioning-independent.
-    // At production stream volumes this knob rises with throughput.
+    // At production stream volumes this knob rises with throughput —
+    // runToMemorySink sizes it from the source file (see hint there).
     val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
+        statePartitions.toString))
     val query =
       try {
         streamed.writeStream
@@ -97,13 +112,15 @@ object EventStreaming {
     // the memory sink holds every drained row on the driver for as
     // long as the view is registered, which pollutes long sessions
     // (the round-2 bench leaked st1/st2/st3 tables for its lifetime).
-    // The sink's rows are already driver-resident, so materializing a
-    // local DataFrame copies nothing across the cluster.
-    val drained = spark.table(queryName)
-    val schema = drained.schema
-    val rows = java.util.Arrays.asList(drained.collect(): _*)
+    // Detach via an eager localCheckpoint, NOT collect+createDataFrame:
+    // the old copy-out built a LocalRelation whose rows were re-encoded
+    // on EVERY downstream action — at st4's sf3 output (2.86M session
+    // rows) that drain protocol cost ~50 s against a 12 s streaming
+    // query. The checkpoint pays one encode pass into block-manager
+    // partitions and every later action is a plain scan.
+    val drained = spark.table(queryName).localCheckpoint(true)
     spark.catalog.dropTempView(queryName)
-    spark.createDataFrame(rows, schema)
+    drained
   }
 
   /** Hourly tumbling-window counts/sums per event_type, computed by a
