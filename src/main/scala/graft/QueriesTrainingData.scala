@@ -2260,7 +2260,12 @@ object QueriesTrainingData {
       s"""WITH sh AS (
          |  SELECT doc_id, ${shinglesSql(2)} AS sh FROM documents
          |), ex AS (
-         |  SELECT doc_id, ('0x' || substr(md5(s_raw), 1, 15))::BIGINT AS h
+         |  -- DISTINCT on (doc, hash): the engine dedups 60-bit gram
+         |  -- hashes (not gram strings) so its exchange carries longs;
+         |  -- identical values unless two grams of one doc collide,
+         |  -- which this replay then mirrors exactly
+         |  SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(s_raw), 1, 15))::BIGINT AS h
          |  FROM (SELECT doc_id, unnest(sh) AS s_raw FROM sh)
          |), tag AS (
          |  SELECT doc_id,

@@ -101,6 +101,28 @@ object Dedup {
       .drop("pos", "n_grams")
       .distinct()
 
+  /** One row per (id, DISTINCT 60-bit gram hash) — [[shingleTable]]
+    * with the hash taken BEFORE the dedup exchange, so the distinct's
+    * shuffle rows and (uncompressed, in-memory) aggregation state carry
+    * 16-byte (id, long) pairs instead of gram strings — the README's
+    * "shuffle keys are hashes, not strings" posture applied to the
+    * dedup exchange itself. Measured effect at d14/sf3: wall floor and
+    * its GC bimodality are UNCHANGED (the token-window sort upstream
+    * dominates, and lz4 already compressed the string exchange to
+    * within ~5% of the hashed one); the win is bounded aggregate-state
+    * memory, which matters when per-partition gram sets no longer fit
+    * the string form. Differs from hashing after the distinct only
+    * when two grams of ONE doc collide in 60 bits (merging two
+    * postings) — the oracle dedups on the same hashes, so both engines
+    * see the same collisions at any scale.
+    */
+  def hashedShingleTable(
+      docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    gramRows(docs, n, idCol, textCol, Nil)
+      .select(col(idCol), hash60(col("s")).as("h"))
+      .distinct()
+
   /** Positional (ordered, NON-distinct) n-gram table: one row per
     * (id, pos, gram, n_grams) — the input shape for order-sensitive
     * fingerprinting (winnowing).
@@ -843,8 +865,11 @@ object Dedup {
     * sets are small, so the sketch is a few MB) is broadcast and drops
     * non-colliding train postings BEFORE the exchange. False positives
     * only let extra postings through to the exact join, so the result
-    * is bit-identical to [[contaminationPairs]] — the oracle replays
-    * the exact semantics and the Bloom stays an invisible prefilter.
+    * is bit-identical to [[contaminationPairs]] (up to within-doc
+    * 60-bit gram-hash collisions: this form dedups (id, hash) via
+    * [[hashedShingleTable]] so the exchange carries longs, and the
+    * oracle dedups the same hashes) — the oracle replays the exact
+    * semantics and the Bloom stays an invisible prefilter.
     *
     * One bounded departure from the pure-plan rule, inherent to Bloom
     * construction: building the sketch costs auxiliary actions over
@@ -878,8 +903,8 @@ object Dedup {
     // bpeMerges precedent. The eval set (benchmark suites) is the
     // small side by construction at production scale, so executor-
     // local materialization without lineage is an acceptable trade.
-    val evalSide = shingleTable(docs.where(evalPred), n, idCol, textCol)
-      .select(col(idCol).as("eval_id"), hash60(col("s")).as("h"))
+    val evalSide = hashedShingleTable(docs.where(evalPred), n, idCol, textCol)
+      .select(col(idCol).as("eval_id"), col("h"))
       .localCheckpoint()
     val bloomBytes = {
       // posting rows (not distinct hashes) as the size estimate: an
@@ -895,8 +920,8 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal
           .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.GraftShims.expression(col("h"))))
-    val train = shingleTable(docs.where(!evalPred), n, idCol, textCol)
-      .select(col(idCol).as("train_id"), hash60(col("s")).as("h"))
+    val train = hashedShingleTable(docs.where(!evalPred), n, idCol, textCol)
+      .select(col(idCol).as("train_id"), col("h"))
     // denominator (train doc's distinct shingles) comes from the FULL
     // posting set — the prefilter must not shrink overlap_frac
     val sizes = train.groupBy("train_id").agg(count(lit(1)).as("sz"))
