@@ -8,6 +8,13 @@ and compares values exactly. Usage:
 
     sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
     python3 scripts/check_correctness.py /root/testdata/sf0.01 /tmp/verify_out
+
+An optional third argument writes the per-query outcome map as JSON
+(the CORRECTNESS_LOCAL_r{N}.json artifact preflight commits each round,
+so the correctness signal survives a driver hiccup like r15's empty
+CORRECTNESS_r15.json):
+
+    python3 scripts/check_correctness.py SF_DIR OUT_DIR CORRECTNESS_LOCAL_r16.json
 """
 import glob
 import json
@@ -48,7 +55,8 @@ def approx_eq(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.basename(p)[: -len(".parquet")]
@@ -64,6 +72,7 @@ def main(sf_dir, out_dir):
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             print(f"SKIP  {name}: no result parquet")
+            results[name] = {"status": "skip"}
             n_skip += 1
             continue
         got = con.execute(
@@ -71,6 +80,7 @@ def main(sf_dir, out_dir):
         got_cols = [d[0] for d in con.description]
         if name not in oracles:
             print(f"ROWS  {name}: {len(got)} rows (no oracle)")
+            results[name] = {"status": "rows_only", "rows": len(got)}
             n_skip += 1
             continue
         try:
@@ -84,22 +94,26 @@ def main(sf_dir, out_dir):
             if odd:
                 print(f"FAIL  {name}: oracle emits driver-unsafe types "
                       f"{odd} — CAST to BIGINT/DOUBLE in the SQL")
+                results[name] = {"status": "fail", "why": "driver-unsafe oracle types"}
                 n_fail += 1
                 continue
             exp = con.execute(oracles[name]).fetchall()
             exp_cols = [d[0] for d in con.description]
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
+            results[name] = {"status": "fail", "why": f"oracle SQL error: {e}"}
             n_fail += 1
             continue
         gc, gr = canon(got, got_cols)
         ec, er = canon(exp, exp_cols)
         if gc != ec:
             print(f"FAIL  {name}: columns {gc} != {ec}")
+            results[name] = {"status": "fail", "why": "column mismatch"}
             n_fail += 1
             continue
         if len(gr) != len(er):
             print(f"FAIL  {name}: {len(gr)} rows != {len(er)} rows")
+            results[name] = {"status": "fail", "why": f"{len(gr)} rows != {len(er)}"}
             n_fail += 1
             continue
         bad = None
@@ -114,17 +128,26 @@ def main(sf_dir, out_dir):
         if bad:
             i, g, e = bad
             print(f"FAIL  {name}: row {i}\n  got {g}\n  exp {e}")
+            results[name] = {"status": "fail", "why": f"value mismatch at row {i}"}
             n_fail += 1
         elif not exact:
             print(f"WARN  {name}: {len(gr)} rows approx-equal only "
                   f"(hash would MISMATCH — tighten rounding)")
+            results[name] = {"status": "fail", "why": "approx-equal only"}
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(gr)} rows")
+            results[name] = {"status": "pass", "rows": len(gr)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only/skip")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"n_pass": n_pass, "n_fail": n_fail, "n_skip": n_skip,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} entries)")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

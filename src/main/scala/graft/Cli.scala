@@ -90,9 +90,12 @@ object Cli {
         transforms = transforms,
         load = df => opts.loader match {
           case Some(l) =>
-            val n = df.count()
+            // the loader's write is the pipeline's ONE action; the
+            // negative sentinel tells Pipeline.run to take the row
+            // count from the stage_load observe that rode that action
+            // (the old df.count() here was a second full-pipeline job)
             Registry.getLoader(l)(df, Registry.parseConfig(opts.loaderConfig.getOrElse("")))
-            n
+            -1L
           case _ => df.count()
         },
         dryRun = opts.dryRun) // dry run: explain only, loader skipped

@@ -663,18 +663,26 @@ object QueriesExtended {
   private def x10Winnowing(s: SparkSession, dir: String): DataFrame = {
     val winnowW = 4
     val docs = t(s, dir, "documents")
-    val grams = Dedup.shingleTablePos(docs, 3)
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(0, winnowW - 1)
-    // n_grams rides along from the gram table's own window pass — no
-    // second unbounded count().over sweep of the hot gram table
-    grams
-      .withColumn("h", Dedup.hash60(col("s")))
-      .withColumn("wmin", min(col("h")).over(win))
-      // a window starting at pos is complete iff pos + W <= n_grams
-      .where(col("pos") <= col("n_grams") - winnowW || col("pos") === 0)
-      .select(col("doc_id"), col("wmin").as("fingerprint"))
-      .distinct()
+    import graft.functions.TextHashExpressions.{slidingWindowMins, tokenGramHash60s}
+    // gram hashes AND the winnow min-selection both run array-side in
+    // one map pass (TokenGramHash60s ∘ SlidingWindowMins): the r15
+    // shape exploded grams and selected minima with a per-row window —
+    // an Exchange + Sort of the full gram table; here the only
+    // exchange left is the presentation ORDER BY. Incomplete trailing
+    // windows are never emitted except the pos-0 rule for docs with
+    // fewer than W grams (min of all available) — SlidingWindowMins
+    // encodes exactly that. The fingerprint array lands in its own
+    // projection and the OUTER explode reads the attribute, so
+    // InferFiltersFromGenerate cannot re-inline the kernel chain into
+    // a pushed-down filter (the triple-evaluation trap caught in the
+    // r16 d14 plan audit).
+    docs
+      .select(col("doc_id"),
+        array_distinct(slidingWindowMins(
+          tokenGramHash60s(TextAnalysis.normalize(col("text")), 3),
+          winnowW)).as("arr"))
+      .select(col("doc_id"), explode_outer(col("arr")).as("fingerprint"))
+      .where(col("fingerprint").isNotNull)
       .orderBy("doc_id", "fingerprint")
   }
 
@@ -905,8 +913,10 @@ object QueriesExtended {
     * 60-bit hash — never doc x doc.
     */
   private def c3SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleTable(t(s, dir, "documents"), 3, carryCols = Seq("source"))
-      .select(col("source"), Dedup.hash60(col("s")).as("h"))
+    // in-kernel per-doc dedup shrinks the source-level distinct's
+    // exchange to each doc's gram SET before it ever shuffles
+    val sh = Dedup.gramHashSetRows(t(s, dir, "documents"), 3, carryCols = Seq("source"))
+      .select(col("source"), col("h"))
       .distinct()
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val a = sh.select(col("source").as("src_a"), col("h"))
@@ -1097,7 +1107,10 @@ object QueriesExtended {
          |SELECT st.grp AS label, CAST(st.n AS BIGINT) AS n,
          |  round(CAST(nm_sum AS DOUBLE) / CAST(st.n AS DOUBLE) / 1e6, 6)
          |    AS avg_norm,
-         |  round(CAST(ss AS DOUBLE) / CAST(st.n * st.n AS DOUBLE) / 1e12, 6)
+         |  -- n cast to DOUBLE before squaring, in lockstep with the
+         |  -- engine (bigint n*n would overflow past ~3e9-row groups)
+         |  round(CAST(ss AS DOUBLE)
+         |      / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)) / 1e12, 6)
          |    AS anisotropy,
          |  round(CAST(vmax AS DOUBLE) / CAST(vsum AS DOUBLE), 6)
          |    AS top_dim_share
@@ -1573,8 +1586,13 @@ object QueriesExtended {
          |)
          |SELECT r.src_id, r.tgt_id,
          |  r.cos_micro / 1e6 AS cos_sim,
-         |  round(2.0 * r.cos_micro * f.f_n * b.b_n /
-         |    (f.f_sum * b.b_n + b.b_sum * f.f_n), 6) AS margin,
+         |  -- NULL when the denominator is non-positive (ratio margin
+         |  -- undefined for non-positive neighborhood similarity sums),
+         |  -- in lockstep with the engine's guard
+         |  CASE WHEN f.f_sum * b.b_n + b.b_sum * f.f_n > 0
+         |    THEN round(2.0 * r.cos_micro * f.f_n * b.b_n /
+         |      (f.f_sum * b.b_n + b.b_sum * f.f_n), 6)
+         |    ELSE NULL END AS margin,
          |  r.f_rank AS rank,
          |  r.b_rank <= 4 AS mutual
          |FROM ranked r JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id)

@@ -34,9 +34,8 @@ object QueriesTrainingData {
     */
   private[graft] def stagedShingles(s: SparkSession, dir: String): DataFrame = {
     val staged = TempDirs.cached(s"shingles3:$dir") { d =>
-      Dedup.shingleTable(docs(s, dir), 3, carryCols = Seq("source"))
-        .select(col("doc_id"), col("source"),
-          Dedup.hash60(col("s")).as("h"), Dedup.baseHash(col("s")).as("hb"))
+      Dedup.hashedGramTable(docs(s, dir), 3, carryCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("h"), col("hb"))
         .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$d/shingles")
     }
@@ -1917,10 +1916,16 @@ object QueriesTrainingData {
       s"""WITH w AS (SELECT doc_id, unnest($toksSql) AS s FROM documents),
          |wc AS (SELECT doc_id, s, count(*) AS c FROM w GROUP BY 1, 2),
          |ws AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM wc GROUP BY 1),
-         |g2 AS (SELECT doc_id, unnest(${OracleFragments.posGramsSql(2)}) AS s FROM documents),
+         |-- gram identity = hash60 of the gram, in lockstep with the
+         |-- engine's window-free gram-hash kernel (identical values
+         |-- unless two grams of one doc collide in 60 bits, which this
+         |-- replay then mirrors exactly)
+         |g2 AS (SELECT doc_id, ${hash60("s_raw")} AS s FROM
+         |  (SELECT doc_id, unnest(${OracleFragments.posGramsSql(2)}) AS s_raw FROM documents)),
          |g2c AS (SELECT doc_id, s, count(*) AS c FROM g2 GROUP BY 1, 2),
          |g2s AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM g2c GROUP BY 1),
-         |g3 AS (SELECT doc_id, unnest(${OracleFragments.posGramsSql(3)}) AS s FROM documents),
+         |g3 AS (SELECT doc_id, ${hash60("s_raw")} AS s FROM
+         |  (SELECT doc_id, unnest(${OracleFragments.posGramsSql(3)}) AS s_raw FROM documents)),
          |g3s AS (SELECT doc_id,
          |          1.0 - count(DISTINCT s)::DOUBLE / count(*) AS f FROM g3 GROUP BY 1)
          |SELECT d.doc_id,

@@ -785,8 +785,7 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val n = int(c, "ngram").getOrElse(3)
       requireFree(df, "eval_overlap", "n_grams", "n_overlap", "overlap_frac")
-      val grams = operators.Dedup.shingleTable(df, n, id, text)
-        .select(col(id), operators.Dedup.hash60(col("s")).as("h"))
+      val grams = operators.Dedup.hashedShingleTable(df, n, id, text)
       val report = str(c, "eval_flag_column") match {
         case Some(flagCol) =>
           // flag lives on df, not the gram table: tag the grams first

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -75,7 +76,7 @@ object TextHashOps {
       i += Character.charCount(cp)
     }
     val n = cps.length
-    if (n < winLen) return new GenericArrayData(Array.emptyLongArray)
+    if (n < winLen) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     var lead = 1L // B^(L-1)
     var j = 0
     while (j < winLen - 1) { lead = mulmod(lead, B); j += 1 }
@@ -92,7 +93,261 @@ object TextHashOps {
       out(p) = h
       p += 1
     }
-    new GenericArrayData(out)
+    // fromPrimitiveArray, NOT GenericArrayData: the latter's long[]
+    // constructor boxes every element (one java.lang.Long per hash) --
+    // at 8M grams/SF that allocation was measurable GC pressure
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Word n-gram 60-bit hashes as a native Catalyst kernel.
+  *
+  * `Dedup.gramRows` (r15 shape) assembled word n-grams by exploding
+  * tokens and `lead`-joining them back with a window over the doc
+  * partition — an Exchange + per-partition Sort of every TOKEN row
+  * before a single gram existed. At sf3 that corpus-wide sort was the
+  * d14 GC bimodality (18-84 s across identical plans, SCALE.md r15):
+  * the sort buffers and gram strings churned the old gen. This kernel
+  * walks each document ONCE: token boundaries are found by byte scan
+  * (separators after `TextAnalysis.normalize` are single ASCII
+  * spaces), each gram is digested in place (md5 over the token byte
+  * ranges joined by a space byte — exactly the md5 of the
+  * `concat_ws(" ", toks)` gram string, since UTF-8 concatenation is
+  * byte concatenation), and the emitted long is `Dedup.hash60` of the
+  * gram: the first 60 md5 bits. No token row, no gram string, no hex
+  * round-trip, no window — the per-doc cost is one md5 per gram, the
+  * plan stays map-shaped until the consumer's own aggregation
+  * exchange.
+  *
+  * Semantics match `Dedup.shingleTablePos` exactly, INCLUDING the
+  * small-doc rule: a document with fewer than `n` tokens contributes
+  * one gram — the whole (normalized) input string — at position 0.
+  * Oracles are unchanged: every DuckDB replay already computes
+  * `('0x' || substr(md5(gram), 1, 15))::BIGINT`, and this kernel
+  * produces byte-identical digests.
+  *
+  * `Dedup.baseHash` (the minhash base, first 32 md5 bits mod P) is
+  * derivable from these values as `(h >>> 28) % P` — hex digits 1-8
+  * are bits 59..28 of the 60-bit value — so one long per gram serves
+  * the whole dedup family (see `Dedup.baseHashFromH60`).
+  */
+object TokenGramOps {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Java-regex `\s` is ASCII-only (no UNICODE_CHARACTER_CLASS), so a
+    * byte-level scan agrees with `wsTokens`' split on any input: UTF-8
+    * continuation/lead bytes are >= 0x80 and never match.
+    */
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def h60(d: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h >>> 4 // 15 hex digits = first 60 bits
+  }
+
+  /** Sorted-distinct view of a long array: sort (primitive, in place)
+    * + linear dedup. The per-DOC distinct that makes a (id, gram-hash)
+    * posting stream globally DISTINCT on (id, h) without any
+    * exchange — the id is already part of the key, so doc-local dedup
+    * IS the distinct every set-shape consumer needs. Order is not part
+    * of the contract (consumers aggregate).
+    */
+  def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length <= 1) return a
+    java.util.Arrays.sort(a)
+    var w = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** hash60 of every word n-gram of `s` in position order; a single
+    * hash60(s) element when s has fewer than n tokens.
+    */
+  def tokenGramHash60s(s: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(tokenGramHash60Array(s, n))
+
+  /** The DISTINCT set of [[tokenGramHash60s]] values (sorted) — the
+    * per-doc dedup baked into the kernel so set-shape consumers never
+    * pay a distinct Exchange for it.
+    */
+  def tokenGramHash60sDistinct(s: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(sortedDistinct(tokenGramHash60Array(s, n)))
+
+  private def tokenGramHash60Array(s: UTF8String, n: Int): Array[Long] = {
+    val b = s.getBytes
+    val md = md5Local.get()
+    val digest = new Array[Byte](16)
+    // token runs [start, end)
+    var nToks = 0
+    var i = 0
+    while (i < b.length) {
+      if (!isWs(b(i))) {
+        nToks += 1
+        while (i < b.length && !isWs(b(i))) i += 1
+      } else i += 1
+    }
+    if (nToks < n) {
+      md.reset()
+      md.update(b)
+      md.digest(digest, 0, 16)
+      return Array(h60(digest))
+    }
+    val starts = new Array[Int](nToks)
+    val ends = new Array[Int](nToks)
+    var k = 0
+    i = 0
+    while (i < b.length) {
+      if (!isWs(b(i))) {
+        starts(k) = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        ends(k) = i
+        k += 1
+      } else i += 1
+    }
+    val m = nToks - n + 1
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      md.reset()
+      // normalized input: tokens g..g+n-1 are contiguous with single
+      // spaces, but digesting per-token keeps the gram == the
+      // concat_ws(" ", ...) string for ANY input
+      var j = g
+      while (j < g + n) {
+        if (j > g) md.update(' '.toByte)
+        md.update(b, starts(j), ends(j) - starts(j))
+        j += 1
+      }
+      md.digest(digest, 0, 16)
+      out(g) = h60(digest)
+      g += 1
+    }
+    out
+  }
+}
+
+/** token_gram_hash60s(text, n) -> array<long>, one 60-bit md5 hash per
+  * word n-gram position (explode for gram rows, posexplode when the
+  * position matters). With `distinct = true` the array is the per-doc
+  * SORTED SET of gram hashes instead — exploding it yields rows that
+  * are already globally distinct on (id, h), so set-shape consumers
+  * skip the dedup Exchange entirely (position is meaningless then).
+  */
+case class TokenGramHash60s(child: Expression, n: Int,
+    distinct: Boolean = false)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_gram_hash60s needs a string column, got ${child.dataType}")
+  }
+  private def call(v: UTF8String): ArrayData =
+    if (distinct) TokenGramOps.tokenGramHash60sDistinct(v, n)
+    else TokenGramOps.tokenGramHash60s(v, n)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else call(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val fn = if (distinct) "tokenGramHash60sDistinct" else "tokenGramHash60s"
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.TokenGramOps.$fn(
+          ${c.value}, $n);
+      }
+      boolean ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+/** sliding_window_mins(arr, w) -> array<long>: the minimum of every
+  * COMPLETE length-w window of arr in position order, or a single
+  * min of all elements when len(arr) < w — the winnowing selection
+  * rule (Schleimer/Wilkerson/Aiken) applied array-side, so fingerprint
+  * selection composes with [[TokenGramHash60s]] into one map-shaped
+  * pass: no per-row window, no Exchange, no Sort. Monotonic-deque
+  * scan, O(len) comparisons for any w.
+  */
+case class SlidingWindowMins(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"w must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sliding_window_mins needs array<bigint>, got $other")
+    }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SlidingWindowMins.mins(v.asInstanceOf[ArrayData], w)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.SlidingWindowMins.mins(${c.value}, $w);
+      }
+      boolean ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+object SlidingWindowMins {
+  def mins(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    if (n < w) {
+      var m = arr.getLong(0)
+      var i = 1
+      while (i < n) { val v = arr.getLong(i); if (v < m) m = v; i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(m))
+    }
+    val out = new Array[Long](n - w + 1)
+    // deque of candidate indices, values strictly increasing
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(dq(head))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -137,4 +392,13 @@ object TextHashExpressions {
 
   def rollingWindowHashes(text: Column, winLen: Int): Column =
     column(RollingWindowHashes(expression(text), winLen))
+
+  def tokenGramHash60s(text: Column, n: Int): Column =
+    column(TokenGramHash60s(expression(text), n))
+
+  def tokenGramHash60sDistinct(text: Column, n: Int): Column =
+    column(TokenGramHash60s(expression(text), n, distinct = true))
+
+  def slidingWindowMins(arr: Column, w: Int): Column =
+    column(SlidingWindowMins(expression(arr), w))
 }

@@ -467,9 +467,13 @@ object Clustering {
         col("grp").as(byCol), col("n"),
         round(col("nm_sum").cast("double") /
           col("n").cast("double") / lit(1e6), 6).as("avg_norm"),
-        // ||mu||^2 = sum_d (S_d / n)^2 in micro^2 units
+        // ||mu||^2 = sum_d (S_d / n)^2 in micro^2 units. n is cast to
+        // double BEFORE squaring: a LongType n*n silently overflows
+        // past n ~ 3.0e9 rows per label group and would corrupt the
+        // reported anisotropy at corpus scale (the oracle mirrors the
+        // cast so both engines divide by the same double product)
         round(col("ss").cast("double") /
-          (col("n") * col("n")).cast("double") / lit(1e12), 6)
+          (col("n").cast("double") * col("n").cast("double")) / lit(1e12), 6)
           .as("anisotropy"),
         round(col("vmax").cast("double") / col("vsum").cast("double"), 6)
           .as("top_dim_share"))

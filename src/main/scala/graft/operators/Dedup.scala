@@ -47,21 +47,100 @@ object Dedup {
         .otherwise(array(normalize(text))))
   }
 
-  /** Shared n-gram core: one row per (id, carry..., pos, gram,
+  /** baseHash derived from an existing [[hash60]] value: md5 hex
+    * digits 1-8 (the 32-bit minhash base) are bits 59..28 of the
+    * 60-bit value, so `(h >>> 28) % P` recovers [[baseHash]] EXACTLY —
+    * one digest serves both hash schemes (property-tested against the
+    * string forms in TrainingDataSpec).
+    */
+  def baseHashFromH60(h: Column): Column =
+    shiftright(h, 28) % minhashP
+
+  /** Positional gram-HASH rows: one row per (id, carry..., pos, h)
+    * with h = [[hash60]] of the word n-gram at 0-based position pos —
+    * the [[graft.functions.TokenGramHash60s]] kernel exploded. This is
+    * the r16 data-path shape for the whole shingle family: the r15
+    * form ([[gramRows]]) exploded tokens and re-assembled grams with a
+    * `lead` window, paying an Exchange + Sort over every TOKEN row
+    * before the first gram existed — at sf3 that corpus-wide sort was
+    * d14's GC bimodality. Here gram hashes are emitted by a single
+    * linear codegen kernel per document; the plan stays map-shaped
+    * until the consumer's own aggregation exchange, and no gram string
+    * or token row is ever materialized. Hash values are identical to
+    * hash60 over [[gramRows]]' gram strings (the kernel digests the
+    * same UTF-8 bytes), so every DuckDB oracle replays unchanged.
+    */
+  private[graft] def gramHashRows(
+      docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame =
+    // arr lands in its OWN projection and the generator explodes the
+    // attribute with the OUTER variant: the non-outer form invites
+    // InferFiltersFromGenerate to push `size(gen) > 0 AND isnotnull
+    // (gen)` below the projection, re-inlining the kernel into the
+    // filter — THREE kernel evaluations per document (caught in the
+    // r16 d14 plan audit). The null-row filter on the generator
+    // OUTPUT restores inner-explode semantics (a null-text doc is
+    // dropped, as before) at zero extra kernel cost.
+    docs.select((Seq(col(idCol)) ++ carryCols.map(col) :+
+      graft.functions.TextHashExpressions
+        .tokenGramHash60s(TextAnalysis.normalize(col(textCol)), n)
+        .as("arr")): _*)
+      .select((Seq(col(idCol)) ++ carryCols.map(col) :+
+        posexplode_outer(col("arr"))): _*)
+      .where(col("col").isNotNull)
+      .withColumnRenamed("col", "h")
+
+  /** Gram-hash SET rows: one row per (id, carry..., DISTINCT h) with
+    * the dedup done INSIDE the kernel (sorted per-doc distinct) — the
+    * id is part of the key, so doc-local dedup IS the global
+    * distinct-on-(id, h), and the posting stream leaves this operator
+    * having never entered an Exchange. This is the r16 posture shift
+    * for the whole shingle family: r15 paid a corpus-wide distinct
+    * shuffle to build every set-shape gram table; now the first
+    * exchange any dedup plan pays is its own aggregation/join — the
+    * theoretical minimum.
+    */
+  private[graft] def gramHashSetRows(
+      docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame =
+    docs.select((Seq(col(idCol)) ++ carryCols.map(col) :+
+      graft.functions.TextHashExpressions
+        .tokenGramHash60sDistinct(TextAnalysis.normalize(col(textCol)), n)
+        .as("arr")): _*)
+      .select((Seq(col(idCol)) ++ carryCols.map(col) :+
+        explode_outer(col("arr")).as("h")): _*)
+      .where(col("h").isNotNull)
+
+  /** DISTINCT (id, carry..., h, hb) gram-hash table — the staged-index
+    * shape the LSH/jaccard family consumes (h = [[hash60]] for exact
+    * overlap, hb = [[baseHash]] for minhash), built from one kernel
+    * pass with hb derived arithmetically ([[baseHashFromH60]]) after
+    * the dedup exchange. The distinct's exchange carries (id, long)
+    * pairs — never strings — and nothing upstream of it shuffles.
+    */
+  private[graft] def hashedGramTable(
+      docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame =
+    gramHashSetRows(docs, n, idCol, textCol, carryCols)
+      .withColumn("hb", baseHashFromH60(col("h")))
+
+  /** Shared n-gram STRING core: one row per (id, carry..., pos, gram,
     * n_grams) with pos = 0-based gram position and n_grams the per-doc
     * gram count (derived from the same window pass that assembles the
     * grams — no second count().over sweep). posexplode tokens (one
     * normalize+split per document), then n-gram assembly via window
-    * `lead` over token position — fully codegen'd, linear in token
-    * count. Documents with fewer than n tokens contribute their
-    * normalized text as the single gram at pos 0 (same semantics as
-    * [[shingles]]). The window shuffle is on the doc id — the same
-    * exchange every downstream dedup aggregation needs anyway.
+    * `lead` over token position. Documents with fewer than n tokens
+    * contribute their normalized text as the single gram at pos 0
+    * (same semantics as [[shingles]]).
     *
-    * BOTH public shapes below derive from this one body, so the
-    * minhash family and winnowing can never drift apart in
-    * tokenization or small-doc handling (their DuckDB oracles encode
-    * the same math once in OracleFragments).
+    * r16: this window form is the REFERENCE implementation the specs
+    * check the kernel against, and the entry point for callers that
+    * need the gram text itself; every hash-consuming data path now
+    * goes through [[gramHashRows]]/[[hashedGramTable]], which emit the
+    * same hashes without the token-window Exchange + Sort.
     */
   private def gramRows(
       docs: DataFrame, n: Int,
@@ -101,27 +180,22 @@ object Dedup {
       .drop("pos", "n_grams")
       .distinct()
 
-  /** One row per (id, DISTINCT 60-bit gram hash) — [[shingleTable]]
-    * with the hash taken BEFORE the dedup exchange, so the distinct's
-    * shuffle rows and (uncompressed, in-memory) aggregation state carry
-    * 16-byte (id, long) pairs instead of gram strings — the README's
-    * "shuffle keys are hashes, not strings" posture applied to the
-    * dedup exchange itself. Measured effect at d14/sf3: wall floor and
-    * its GC bimodality are UNCHANGED (the token-window sort upstream
-    * dominates, and lz4 already compressed the string exchange to
-    * within ~5% of the hashed one); the win is bounded aggregate-state
-    * memory, which matters when per-partition gram sets no longer fit
-    * the string form. Differs from hashing after the distinct only
-    * when two grams of ONE doc collide in 60 bits (merging two
-    * postings) — the oracle dedups on the same hashes, so both engines
+  /** One row per (id, DISTINCT 60-bit gram hash). r15 moved the hash
+    * BEFORE the dedup exchange so shuffle rows carried (id, long)
+    * pairs instead of gram strings; r16 removes both the token-window
+    * Exchange+Sort (the d14 sf3 GC floor) AND the dedup exchange
+    * itself — the kernel emits each doc's sorted-distinct gram hashes
+    * in one linear pass ([[gramHashSetRows]]), so this table is
+    * map-shaped end to end. Differs from hashing distinct gram strings
+    * only when two grams of ONE doc collide in 60 bits (merging two
+    * postings) — the oracles dedup the same hashes, so both engines
     * see the same collisions at any scale.
     */
   def hashedShingleTable(
       docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    gramRows(docs, n, idCol, textCol, Nil)
-      .select(col(idCol), hash60(col("s")).as("h"))
-      .distinct()
+    gramHashSetRows(docs, n, idCol, textCol, Nil)
+      .select(col(idCol), col("h"))
 
   /** Positional (ordered, NON-distinct) n-gram table: one row per
     * (id, pos, gram, n_grams) — the input shape for order-sensitive
@@ -146,10 +220,7 @@ object Dedup {
     */
   def ngramNovelty(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    ngramNoveltyFromHashes(
-      shingleTable(docs, n, idCol, textCol)
-        .select(col(idCol), hash60(col("s")).as("h")),
-      idCol)
+    ngramNoveltyFromHashes(hashedShingleTable(docs, n, idCol, textCol), idCol)
 
   /** Novelty from an already-hashed `(id, h)` DISTINCT gram table. A
     * df=1 hash uniquely identifies its owning doc, so the document
@@ -212,8 +283,13 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, numHashes: Int, shingleSize: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    minhashFromShingles(
-      shingleTable(docs, shingleSize, idCol, textCol), numHashes, idCol)
+    // kernel-distinct grams feed the min aggregates directly (dups
+    // could not change a min anyway; the in-kernel dedup just shrinks
+    // the agg input) — the groupBy(id) is the plan's only shuffle
+    minhashFromBaseHashes(
+      gramHashSetRows(docs, shingleSize, idCol, textCol)
+        .select(col(idCol), baseHashFromH60(col("h")).as("h")),
+      numHashes, idCol)
 
   /** Signatures from an existing (id, s) shingle table — lets callers
     * that also need the shingles (e.g. LSH verify) tokenize once.
@@ -480,8 +556,7 @@ object Dedup {
       docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 8, rowsPerBand: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val st = shingleTable(docs, n, idCol, textCol)
-      .select(col(idCol), hash60(col("s")).as("h"), baseHash(col("s")).as("hb"))
+    val st = hashedGramTable(docs, n, idCol, textCol)
     val pairs = lshVerifiedPairsFromHashes(st, numHashes, rowsPerBand, idCol)
       .withColumn("cont_a", col("inter").cast("double") / col("a_sz"))
       .withColumn("cont_b", col("inter").cast("double") / col("b_sz"))
@@ -514,13 +589,10 @@ object Dedup {
   def jaccardClusters(
       docs: DataFrame, n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.1,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val st = shingleTable(docs, n, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     jaccardClustersFromHashes(
-      st.select(col(idCol), hash60(col("s")).as("h"),
-        baseHash(col("s")).as("hb")),
+      hashedGramTable(docs, n, idCol, textCol),
       numHashes, rowsPerBand, threshold, idCol)
-  }
 
   /** [[jaccardClusters]] over a prebuilt DISTINCT gram table
     * `(id, h, hb)` — the session-staged-index entry point (lets the
@@ -599,13 +671,10 @@ object Dedup {
   def incrementalDedupFlags(
       docs: DataFrame, isNew: Column, n: Int = 3, numHashes: Int = 8,
       rowsPerBand: Int = 2, threshold: Double = 0.1,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val st = shingleTable(docs, n, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     incrementalDedupFlagsFromHashes(docs, isNew,
-      st.select(col(idCol), hash60(col("s")).as("h"),
-        baseHash(col("s")).as("hb")),
+      hashedGramTable(docs, n, idCol, textCol),
       numHashes, rowsPerBand, threshold, idCol, textCol)
-  }
 
   /** [[incrementalDedupFlags]] over a prebuilt DISTINCT gram table
     * `(id, h, hb)` (h = [[hash60]] for exact-overlap verify, hb =
@@ -718,10 +787,11 @@ object Dedup {
       maxDfFraction: Option[Double] = None): DataFrame = {
     // join/shuffle on a 60-bit hash of the shingle, not the string:
     // same result (both sides of the oracle hash identically), far
-    // cheaper exchange keys
-    val ex = shingleTable(docs, n, idCol, textCol, carryCols = Seq(blockCol))
+    // cheaper exchange keys; the (id, h) dedup is in-kernel, so the
+    // posting table reaches the index join without its own exchange
+    val ex = gramHashSetRows(docs, n, idCol, textCol, carryCols = Seq(blockCol))
       .select(col(blockCol).as("block"), col(idCol).as("id"),
-        hash60(col("s")).as("s"))
+        col("h").as("s"))
     ngramJaccardPairsFromIndex(
       ex, docs.select(count(lit(1)).as("n_docs")), threshold, maxDfFraction)
   }
@@ -795,8 +865,7 @@ object Dedup {
       evalPred: Column,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     contaminationPairsFromHashes(
-      shingleTable(docs, n, idCol, textCol)
-        .select(col(idCol), hash60(col("s")).as("h")),
+      hashedShingleTable(docs, n, idCol, textCol),
       docs, minShared, evalPred, idCol)
 
   /** [[contaminationPairs]] over a prebuilt hashed `(id, h)` DISTINCT
@@ -920,17 +989,43 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal
           .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
         org.apache.spark.sql.GraftShims.expression(col("h"))))
-    val train = hashedShingleTable(docs.where(!evalPred), n, idCol, textCol)
-      .select(col(idCol).as("train_id"), col("h"))
-    // denominator (train doc's distinct shingles) comes from the FULL
-    // posting set — the prefilter must not shrink overlap_frac
-    val sizes = train.groupBy("train_id").agg(count(lit(1)).as("sz"))
-    train.where(mightContain)
-      .join(evalSide, "h")
+    // Train side, one map-only corpus pass, ZERO corpus-scale
+    // exchange (the r16 shape; r15 dedup'd the FULL posting table in a
+    // corpus-wide shuffle before the bloom could drop anything — that
+    // exchange was the d14 sf3 floor):
+    //   - the kernel emits each doc's DISTINCT gram hashes (dedup
+    //     in-kernel: id is part of the posting key, so doc-local
+    //     dedup IS the global distinct), and runs ONCE per doc (the
+    //     array lands in its own projection; size() and the OUTER
+    //     explode read the attribute — the non-outer explode invites
+    //     InferFiltersFromGenerate to re-inline the kernel into a
+    //     pushed-down filter, tripling the per-doc work);
+    //   - the denominator (per-doc DISTINCT gram count over the FULL
+    //     set — the prefilter must not shrink overlap_frac) is
+    //     size(arr): doc-local, and it rides the posting rows as a
+    //     constant-per-doc column, so the old corpus-scale `sizes`
+    //     aggregate + join are gone entirely (docs whose grams all
+    //     fail the bloom can never reach the output — no shared gram,
+    //     no pair — so dropping their sz rows with them is lossless);
+    //   - the eval side is broadcast EXPLICITLY: it is small by
+    //     construction (benchmark suites), and without the hint the
+    //     optimizer has no reliable stats for either side of the join
+    //     (kernel output vs checkpointed RDD) and at corpus scale may
+    //     plan a shuffle of the train stream — the one exchange this
+    //     shape exists to avoid. The plan's only shuffle is the
+    //     pair-level groupBy, which is output-sized.
+    import graft.functions.TextHashExpressions.tokenGramHash60sDistinct
+    docs.where(!evalPred)
+      .select(col(idCol).as("train_id"),
+        tokenGramHash60sDistinct(TextAnalysis.normalize(col(textCol)), n)
+          .as("arr"))
+      .select(col("train_id"), size(col("arr")).cast("long").as("sz"),
+        explode_outer(col("arr")).as("h"))
+      .where(col("h").isNotNull && mightContain)
+      .join(broadcast(evalSide), "h")
       .groupBy("train_id", "eval_id")
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"), first(col("sz")).as("sz"))
       .where(col("n_shared") >= minShared)
-      .join(sizes, "train_id")
       .select(col("train_id"), col("eval_id"), col("n_shared"),
         round(col("n_shared").cast("double") / col("sz").cast("double"), 6)
           .as("overlap_frac"))
@@ -1111,11 +1206,18 @@ object Dedup {
     // one O(len) pass per doc, no per-window substring strings (the
     // substr+md5 form of this pass cost 2.5 of d15's 3.3 s at sf0.1).
     // Docs shorter than winLen yield the empty array (they cannot
-    // contain a length->=winLen duplicate); explode drops them.
+    // contain a length->=winLen duplicate); the null-filter on the
+    // OUTER explode's output drops them. Outer + own projection, so
+    // InferFiltersFromGenerate cannot re-inline the kernel into a
+    // pushed-down `size(...) > 0` filter (the r16 triple-evaluation
+    // finding — the non-outer form ran the O(len) kernel three times
+    // per document).
     val wins = docs
       .select(col(idCol),
-        posexplode(graft.functions.TextHashExpressions
-          .rollingWindowHashes(col(textCol), winLen)))
+        graft.functions.TextHashExpressions
+          .rollingWindowHashes(col(textCol), winLen).as("_arr"))
+      .select(col(idCol), posexplode_outer(col("_arr")))
+      .where(col("col").isNotNull)
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -511,12 +511,19 @@ object Similarity {
         (col("cos_micro").cast("double") / 1e6).as("cos_sim"),
         // 2·cos·f_n·b_n / (f_sum·b_n + b_sum·f_n): the ratio margin as
         // one division of exact integers (numerator promoted to double
-        // left-to-right; every intermediate < 2^53)
-        round(
-          lit(2.0) * col("cos_micro") * col("f_n") * col("b_n") /
-            (col("f_sum") * col("b_n") + col("b_sum") * col("f_n"))
-              .cast("double"),
-          6).as("margin"),
+        // left-to-right; every intermediate < 2^53). The denominator
+        // can be <= 0 when a neighborhood's floored micro-cosines sum
+        // non-positive (near-orthogonal/anti-correlated cells): the
+        // ratio margin is undefined there — emit NULL rather than an
+        // Infinity/sign-flipped value that would silently corrupt
+        // downstream margin ranking (oracle mirrors the guard)
+        when(
+          (col("f_sum") * col("b_n") + col("b_sum") * col("f_n")) > 0,
+          round(
+            lit(2.0) * col("cos_micro") * col("f_n") * col("b_n") /
+              (col("f_sum") * col("b_n") + col("b_sum") * col("f_n"))
+                .cast("double"),
+            6)).as("margin"),
         col("f_rank").as("rank"),
         (col("b_rank") <= k).as("mutual"))
   }

@@ -360,10 +360,15 @@ object TextAnalysis {
     val words = docs
       .select(id, explode(wsTokens(normalize(col(textCol)))).as("s"))
     val topWord = topFrac(words, "top_word_frac")
-    val topBigram = topFrac(Dedup.shingleTablePos(docs, 2, idCol, textCol), "top_bigram_frac")
-    val dupTrigram = Dedup.shingleTablePos(docs, 3, idCol, textCol)
+    // gram identity = the 60-bit kernel hash, not the gram string: the
+    // count/countDistinct exchanges carry (id, long) rows and the gram
+    // construction is window-free (the oracle counts the same hashes)
+    val topBigram = topFrac(
+      Dedup.gramHashRows(docs, 2, idCol, textCol)
+        .select(id, col("h").as("s")), "top_bigram_frac")
+    val dupTrigram = Dedup.gramHashRows(docs, 3, idCol, textCol)
       .groupBy(id)
-      .agg((lit(1.0) - countDistinct(col("s")) / count(lit(1))).as("dup_3gram_frac"))
+      .agg((lit(1.0) - countDistinct(col("h")) / count(lit(1))).as("dup_3gram_frac"))
     docs.select(id)
       .join(topWord, Seq(idCol), "left")
       .join(topBigram, Seq(idCol), "left")

@@ -48,7 +48,23 @@ object EventStreaming {
     // state commit+emit parallelism dominates and 32 wins 34.5->23.7 s
     // on st4. This is the knob the drain comment promises "rises with
     // throughput" — tied to bytes, not core count.
-    val inputBytes = new java.io.File(s"$dir/events.parquet").length()
+    // Hadoop FS, not java.io.File.length(): length() silently reads 0
+    // for a missing path and ~4096 for a directory-style parquet
+    // layout, collapsing the sizing knob to its floor with no signal.
+    // getContentSummary sums correctly for both single-file and
+    // directory layouts; an absent path is shouted (the stream read
+    // below will fail with its own error anyway).
+    val inputBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength
+      else {
+        System.err.println(
+          s"EventStreaming: input $p is absent — state-partition hint " +
+            s"falls back to its floor")
+        0L
+      }
+    }
     val hint = math.min(
       spark.sparkContext.defaultParallelism,
       math.max(8, (inputBytes / (2L << 20)).toInt))

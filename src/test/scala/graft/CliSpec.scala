@@ -127,6 +127,57 @@ class CliSpec extends SparkSpec {
     assert(back.select("unit").distinct().head().getString(0) == "degC")
   }
 
+  test("loader-path run is ONE action: observe supplies rowsLoaded, no count() job") {
+    val dir = java.nio.file.Files.createTempDirectory("cli_onejob_in")
+    val out = java.nio.file.Files.createTempDirectory("cli_onejob_out").toString
+    Fixtures.writeHkFile(dir.resolve("hk.bin"), 24)
+    val extract = Registry.getExtractor("binary")
+    val decom = Registry.getTransformer("decom")(Registry.parseConfig(
+      """{"parameters": [
+        |  {"name": "obc_temp_dn", "apid": 256, "byte_offset": 0,
+        |   "bit_length": 16, "param_type": "uint", "unit": "DN"}
+        |]}""".stripMargin))
+    val load = Registry.getLoader("parquet")
+    // count ACTIONS, not Spark jobs: AQE materializes each exchange
+    // stage as its own job, so job count is plan-shape noise — the
+    // double-action defect this guards against is a second
+    // QueryExecution (the old separate df.count()), which is exactly
+    // one extra onSuccess callback
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val tap = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    org.apache.spark.GraftSparkShims.waitForListeners(spark.sparkContext)
+    spark.listenerManager.register(tap)
+    try {
+      actions.set(0)
+      // the Cli.run loader path: write IS the action, -1 sentinel tells
+      // Pipeline.run to take rowsLoaded from the stage_load observe
+      val result = Pipeline.run(
+        spark,
+        extract = s => extract(s, Registry.parseConfig(
+          s"""{"path": "${dir.toString}/hk.bin", "sec_hdr_length": 4}""")),
+        transforms = Seq("decom" -> decom),
+        load = df => {
+          load(df, Registry.parseConfig(s"""{"output_dir": "$out"}"""))
+          -1L
+        })
+      org.apache.spark.GraftSparkShims.waitForListeners(spark.sparkContext)
+      assert(result.ok, result.summary)
+      assert(result.rowsLoaded == 24,
+        s"observe-supplied rowsLoaded = ${result.rowsLoaded}")
+      assert(actions.get == 1,
+        s"expected ONE action for the run stage (the loader write), " +
+          s"saw ${actions.get}")
+    } finally spark.listenerManager.unregister(tap)
+    assert(spark.read.parquet(out).count() == 24)
+  }
+
   test("pretraining funnel composes through Registry stages (== p4 stage counts)") {
     // The p4 query proves the COMPOSITE; this proves the STAGES compose
     // identically: exact_dedup -> near_dedup (the d8/d10 minhash-LSH
