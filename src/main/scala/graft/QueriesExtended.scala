@@ -510,7 +510,7 @@ object QueriesExtended {
   // --- st4: native session-window streaming sessionization -------------
 
   private def st4StreamSession(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.EventStreaming.sessionStats(s, dir)
+    graft.streaming.EventStreaming.sessionStatsClosed(s, dir)
       .orderBy("user_id", "session_start")
 
   // --- q25: window frames (rolling rows + time-range) ------------------
@@ -1755,10 +1755,19 @@ object QueriesExtended {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS session_id
         |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+        |    count(*) AS n_events, round(sum(value), 6) AS session_value
+        |  FROM sessions GROUP BY user_id, session_id
         |)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
-        |  count(*) AS n_events, round(sum(value), 6) AS session_value
-        |FROM sessions GROUP BY user_id, session_id
+        |-- CLOSED sessions only, in lockstep with the engine's append-
+        |-- mode emission: the final watermark is floor-to-ms(max event
+        |-- time) - 2h delay, and a session emits when its close (last
+        |-- event + 30min gap) is at or below it
+        |SELECT * FROM agg
+        |WHERE session_last + INTERVAL 30 MINUTE <=
+        |  (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR
+        |   FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
     "x10_winnowing" ->
       s"""WITH base AS (

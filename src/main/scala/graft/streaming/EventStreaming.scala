@@ -40,6 +40,58 @@ object EventStreaming {
       spark: SparkSession, dir: String, queryName: String,
       outputMode: String = "complete")(
       transform: DataFrame => DataFrame): DataFrame = {
+    val (stream, hint) = eventsStream(spark, dir)
+    drainToMemorySink(spark, queryName, outputMode, hint)(transform(stream))
+  }
+
+  /** [[runToMemorySink]]'s sibling for APPEND-mode queries whose
+    * output is data-proportional: drain through the real parquet FILE
+    * sink (exactly-once via the sink's commit log) and read the result
+    * back — rows land executor-parallel on disk, never in a
+    * driver-side memory table. This is the sink a production
+    * sessionization job uses; the memory sink stays for the
+    * complete-mode and small-output gates.
+    */
+  private def runToFileSink(
+      spark: SparkSession, dir: String, tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val (stream, hint) = eventsStream(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_ckpt").toString
+    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", hint.toString))
+    val query =
+      try {
+        transform(stream).writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+      }
+    try {
+      query.processAllAvailable()
+      val tap = lastPlanTap.get
+      if (tap != null)
+        tap(org.apache.spark.sql.GraftShims.lastExecutedPlan(query))
+    } finally {
+      query.stop()
+      query.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
+  /** The shared events file-stream source (schema probed from the
+    * actual file, ts normalized) plus the input-sized state-partition
+    * hint both drains use.
+    */
+  private def eventsStream(
+      spark: SparkSession, dir: String): (DataFrame, Int) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Size the stateful-shuffle partition count by INPUT volume (~2 MB
     // of source parquet per state partition, clamped to [8, cores]):
@@ -77,7 +129,7 @@ object EventStreaming {
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-    drainToMemorySink(spark, queryName, outputMode, hint)(transform(stream))
+    (stream, hint)
   }
 
   /** Generic drain harness for ANY streaming DataFrame (the shared
@@ -206,18 +258,42 @@ object EventStreaming {
           col("n_events"), col("session_value"))
     }
 
+  /** [[sessionStats]] in the PRODUCTION shape, runnable at the gate:
+    * append output mode behind the event-time watermark, drained with
+    * the engine's final no-data micro-batch. After the file source's
+    * data batches, the watermark advances to max(ts) - delay and the
+    * no-data batch (spark.sql.streaming.noDataMicroBatches, on by
+    * default) emits-and-EVICTS every session whose close (last event +
+    * gap) the watermark passed — so the result is the deterministic
+    * set of CLOSED sessions, each emitted exactly once, independent of
+    * how the source split batches. The only sessions never emitted are
+    * the stream-tail ones the watermark hasn't passed (the oracle
+    * bounds itself to the same closed set). This replaces the r15 gate
+    * form (complete mode), whose per-batch re-emission of EVERY
+    * session was the suite's one linear-in-total-state output at scale
+    * (r15 verdict item 3).
+    *
+    * Drained through a PARQUET sink, not the memory sink: append mode
+    * unlocks the real file sink (exactly-once via the sink's commit
+    * log), so session rows land executor-parallel on disk instead of
+    * being collected into a driver-side memory table — at sf3 the
+    * memory drain of 2.85M session rows was most of the gate's cost,
+    * and at production volume a driver-held result is a non-starter.
+    */
+  def sessionStatsClosed(spark: SparkSession, dir: String): DataFrame =
+    runToFileSink(spark, dir, "st4") { stream =>
+      sessionizedStream(stream)
+    }
+
   /** PRODUCTION-shape sessionization — the default entry point for an
     * unbounded stream: the same session_window aggregate behind an
     * event-time watermark in APPEND output mode, so each session row
     * is emitted exactly ONCE (when the watermark passes its close =
-    * last event + gap) and its state-store entry is evicted. st4's
-    * complete-mode form re-emits EVERY session each micro-batch —
-    * linear-in-total-sessions per batch, honest only because the gate
-    * delivers one micro-batch; at production volume the re-emission
-    * alone would dwarf the input. Per-batch output here is bounded by
-    * sessions CLOSED in that batch (spec-verified across three
-    * micro-batches); the gate query keeps the complete form because a
-    * single micro-batch never advances the watermark past any session.
+    * last event + gap) and its state-store entry is evicted. The
+    * complete-mode [[sessionStats]] re-emits EVERY session each
+    * micro-batch — linear-in-total-sessions per batch; it survives as
+    * the replayable-full-table form for batch-parity checks, while the
+    * st4 gate runs [[sessionStatsClosed]] above.
     */
   def sessionizedStream(
       stream: DataFrame, gap: String = "30 minutes",

@@ -304,7 +304,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("append-mode sessionization emits each closed session once, bounded per batch") {
-    // the production posture vs st4's complete-mode gate form: a
+    // the production posture, and since r16 the st4 gate form too: a
     // session row appears exactly when the watermark passes its close,
     // never again — per-batch output is bounded by sessions CLOSED in
     // that batch, not by total sessions so far
