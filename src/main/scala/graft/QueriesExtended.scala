@@ -862,6 +862,56 @@ object QueriesExtended {
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, Seq[(Int, Array[Double])], Seq[Seq[(Int, Array[Double])]])]()
 
+  /** PQ shortlist-depth S-curve — the measured backing for s10/s11's
+    * rerankDepth knob (r15 verdict item 6): recall@5 of the two-stage
+    * PQ search (ADC shortlist -> exact rerank) against brute-force
+    * truth, at shortlist depths 8/16/32/64. ONE ADC ranking pass
+    * (depth 64) serves every depth — a depth-d search's shortlist is
+    * exactly the ADC top-d, so each depth only re-windows the same
+    * <= 64 rows per query. Reported like s9's nprobe S-curve:
+    * integer-micro recall (no double ULP in the gate hash), one row
+    * per depth. The ScaleSpec asserts recall is monotone in depth and
+    * that depth 32 (the s10/s11 default) clears the 0.6 floor the PQ
+    * lesson established (seeded codebooks + ADC-only ranking sit near
+    * 0.3; the rerank is what makes them usable).
+    */
+  private def s13PqTuning(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 20)
+    val depths = Seq(8, 16, 32, 64)
+    val cbs = operators.Similarity.pqCodebooks(e, nSub = 16, codebookSize = 16)
+    val sl = operators.Similarity
+      .pqAdcShortlist(e, q, cbs, rerankDepth = depths.max)
+    // depth fan-out rides an exploded literal array (no join, no
+    // BroadcastNestedLoop against a 4-row local relation)
+    val withDepth = sl
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("adc_rank"),
+        explode(typedlit(depths)).as("rerank_depth"))
+      .where(col("adc_rank") <= col("rerank_depth"))
+    val wExact = Window.partitionBy("rerank_depth", "query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val top = withDepth
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= 5)
+      .select(col("rerank_depth"), col("query_id"), col("neighbor_id"),
+        lit(true).as("_hit"))
+    val truth = operators.Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        explode(typedlit(depths)).as("rerank_depth"))
+    truth
+      .join(top, Seq("rerank_depth", "query_id", "neighbor_id"), "left")
+      .groupBy("rerank_depth")
+      .agg(sum(when(col("_hit"), 1L).otherwise(0L)).as("n_hits"),
+        count(lit(1)).as("n_true"))
+      .select(col("rerank_depth"), col("n_hits"), col("n_true"),
+        when(col("n_true") > 0,
+          floor(col("n_hits").cast("double") * 1e6 /
+            col("n_true").cast("double")).cast("long"))
+          .otherwise(0L).as("recall_micro"))
+      .orderBy("rerank_depth")
+  }
+
   private def s11IvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val (ixDir, cents, cbs) = ivfPqIndexCache.computeIfAbsent(s"$dir:16:16:16", { _ =>
@@ -1032,7 +1082,8 @@ object QueriesExtended {
     "s8_ivf_recall" -> (s8IvfRecall(_, _)),
     "s9_ivf_tuning" -> (s9IvfTuning(_, _)),
     "s11_ivfpq" -> (s11IvfPq(_, _)),
-    "s12_margin_mining" -> (s12MarginMining(_, _)))
+    "s12_margin_mining" -> (s12MarginMining(_, _)),
+    "s13_pq_tuning" -> (s13PqTuning(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -1520,6 +1571,64 @@ object QueriesExtended {
          |SELECT c.vec_id, c.cell,
          |  (c.vec_id NOT IN (SELECT b_id FROM dup)) AS kept
          |FROM cellassign c ORDER BY c.vec_id""".stripMargin,
+    "s13_pq_tuning" -> {
+      val depthCtes = Seq(8, 16, 32, 64).map { d =>
+        s"""top_$d AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |    FROM sl WHERE adc_rank <= $d
+           |  ) WHERE rank <= 5
+           |), row_$d AS (
+           |  SELECT $d AS rerank_depth,
+           |    sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_hits,
+           |    count(*)::BIGINT AS n_true
+           |  FROM exact e LEFT JOIN top_$d t
+           |    ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.pqCtes},
+         |adcscored AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 17),
+         |      j -> q.luts[j][n.codes[j] + 1])), 6) AS approx_cos
+         |  FROM luts q JOIN codes n ON q.query_id <> n.vec_id
+         |), sl AS (
+         |  SELECT query_id, neighbor_id, adc_rank,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> qe.en[i] * ne.en[i])), 6) AS cos_sim
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_cos DESC, neighbor_id) AS adc_rank
+         |    FROM adcscored
+         |  ) s
+         |  JOIN vn qe ON qe.vec_id = s.query_id
+         |  JOIN vn ne ON ne.vec_id = s.neighbor_id
+         |  WHERE adc_rank <= 64
+         |), escored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM vn q JOIN vn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM escored
+         |  ) WHERE rank <= 5
+         |),
+         |$depthCtes
+         |SELECT rerank_depth, n_hits, n_true,
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(floor(n_hits::DOUBLE * 1000000 / n_true::DOUBLE) AS BIGINT)
+         |    ELSE 0 END AS recall_micro
+         |FROM (
+         |  SELECT * FROM row_8 UNION ALL SELECT * FROM row_16
+         |  UNION ALL SELECT * FROM row_32 UNION ALL SELECT * FROM row_64
+         |) ORDER BY rerank_depth""".stripMargin
+    },
     "s11_ivfpq" ->
       s"""WITH ${OracleFragments.normVecCte},
          |${OracleFragments.ivfCellsCte(16)},

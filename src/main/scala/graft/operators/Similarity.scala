@@ -421,12 +421,18 @@ object Similarity {
       zip_with(codes, luts, (cd, l) => element_at(l, cd + 1)),
       lit(0.0), (acc, x) => acc + x)
 
-  def pqTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
+  /** The ADC stage of [[pqTopK]] alone: the rerankDepth-deep per-query
+    * shortlist with its ADC rank and the exact cosine already computed
+    * — shared by pqTopK and the s13 shortlist-depth S-curve, which
+    * derives EVERY depth <= rerankDepth from one ranking pass (the
+    * depth only gates which candidates reach the exact window).
+    */
+  def pqAdcShortlist(
+      corpus: DataFrame, queries: DataFrame,
       codebooks: Seq[Seq[(Int, Array[Double])]],
-      rerankDepth: Int = 32,
+      rerankDepth: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    requireBroadcastableQueries(queries, "pqTopK")
+    requireBroadcastableQueries(queries, "pqAdcShortlist")
     val en = normalized(col(vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), en.as("n_en"),
       pqCodes(en, codebooks).as("codes"))
@@ -439,12 +445,22 @@ object Similarity {
         round(adc, 6).as("approx_cos"), col("q_en"), col("n_en"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    val shortlist = scored
-      .withColumn("_adc_rank", row_number().over(wAdc))
-      .where(col("_adc_rank") <= rerankDepth)
+    scored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= rerankDepth)
       // exact math only for the shortlist
       .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
-        round(dot(col("q_en"), col("n_en")), 6).as("cos_sim"))
+        round(dot(col("q_en"), col("n_en")), 6).as("cos_sim"),
+        col("adc_rank"))
+  }
+
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Seq[Seq[(Int, Array[Double])]],
+      rerankDepth: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val shortlist =
+      pqAdcShortlist(corpus, queries, codebooks, rerankDepth, idCol, vecCol)
     val wExact = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     shortlist

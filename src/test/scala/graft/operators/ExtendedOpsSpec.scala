@@ -122,6 +122,32 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(rMulti > 0.6, s"multi-probe recall $rMulti too low")
   }
 
+  test("PQ two-stage search clears the recall floor; S-curve monotone in depth") {
+    // the s10/s11 default (rerankDepth = 32) must hold recall@5 >= 0.6
+    // against brute force — seeded (non-Lloyd) codebooks with ADC-only
+    // ranking sit near 0.3, and the exact rerank of the ADC shortlist
+    // is exactly what buys the rest (the r15 PQ lesson, now pinned);
+    // deeper shortlists may only help
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val queries = e.where($"vec_id" < 10)
+    val cbs = Similarity.pqCodebooks(e, nSub = 16, codebookSize = 16)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(8, 32, 64).map { depth =>
+      val pq = Similarity.pqTopK(e, queries, k = 5, cbs, rerankDepth = depth)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      depth -> (exact & pq).size.toDouble / exact.size
+    }
+    val byDepth = recalls.toMap
+    assert(byDepth(32) >= 0.6,
+      s"PQ recall@5 at the default shortlist depth collapsed: $recalls")
+    assert(recalls.map(_._2).sliding(2).forall(p => p.head <= p.last + 1e-9),
+      s"recall not monotone in shortlist depth: $recalls")
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(
