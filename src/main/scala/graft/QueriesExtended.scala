@@ -926,6 +926,42 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** Graph ANN through a persisted neighbor-graph index
+    * (Clustering.writeGraphIndex + graphTopKFromIndex — the NSW/HNSW
+    * family flattened to one deterministic layer, the fifth index
+    * family next to brute force, LSH, IVF and IVF-PQ): every vector
+    * stores its M=6 nearest within-cell neighbors; a query enters each
+    * probed cell at its min-id vector and runs 2 rounds of beam-8
+    * expansion, scoring only the nodes the walk touches —
+    * O(rounds·beam·M) per query, independent of cell SIZE, which is
+    * what a graph buys over the IVF cell scan at 100 TB cells. Same
+    * coarse cells as s3/s11 (shared centroid cache), partition-pruned
+    * read, every step id-tie-broken so DuckDB replays the walk CTE for
+    * CTE.
+    */
+  private val graphIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Seq[(Int, Array[Double])])]()
+
+  private def s14GraphAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // cells scale ~sqrt(n/2) floored at 16 (the d13/s12 sizing, same
+    // argument: graph construction pays within-cell pairs Σ|cell|² ≈
+    // n²/k — a FIXED k is a quadratic build; measured 159 s at sf1
+    // before this formula, and the sf0.01 gate still yields exactly
+    // the frozen 16-cell oracle CTE)
+    val nCells = math.max(16, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
+    val (ixDir, cents) = graphIndexCache.computeIfAbsent(s"$dir:$nCells:8", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val ix = TempDirs.fresh("graft_graph")
+      Clustering.writeGraphIndex(e, c, m = 8, ix)
+      (ix, c)
+    })
+    Clustering.graphTopKFromIndex(s, ixDir, e.where(col("vec_id") < 20),
+        cents, k = 5, nprobe = 4, beam = 12, rounds = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** Margin-based bitext-style pair mining (Similarity.marginMining —
     * Artetxe & Schwenk 2019's ratio margin): the corpus split by
     * vec_id parity into a src and a tgt side, candidates blocked by
@@ -1083,7 +1119,8 @@ object QueriesExtended {
     "s9_ivf_tuning" -> (s9IvfTuning(_, _)),
     "s11_ivfpq" -> (s11IvfPq(_, _)),
     "s12_margin_mining" -> (s12MarginMining(_, _)),
-    "s13_pq_tuning" -> (s13PqTuning(_, _)))
+    "s13_pq_tuning" -> (s13PqTuning(_, _)),
+    "s14_graph_ann" -> (s14GraphAnn(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -1571,6 +1608,80 @@ object QueriesExtended {
          |SELECT c.vec_id, c.cell,
          |  (c.vec_id NOT IN (SELECT b_id FROM dup)) AS kept
          |FROM cellassign c ORDER BY c.vec_id""".stripMargin,
+    "s14_graph_ann" -> {
+      // one CTE pair (frontier, expansion+union) per beam round — the
+      // walk is bounded and deterministic, so fixed-depth SQL replays
+      // it exactly (beam 12, M = 8 neighbors, 3 rounds, entry = the
+      // smallest non-query id of each probed cell)
+      val rounds = (1 to 3).map { r =>
+        val prev = s"v${r - 1}"
+        s"""f$r AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos_sim DESC, vec_id) AS rn
+           |    FROM $prev) WHERE rn <= 12
+           |), e$r AS (
+           |  SELECT DISTINCT f.query_id, g.nbr_id AS vec_id
+           |  FROM f$r f JOIN graphn g USING (vec_id)
+           |  WHERE g.nbr_id <> f.query_id
+           |    AND NOT EXISTS (SELECT 1 FROM $prev v
+           |      WHERE v.query_id = f.query_id AND v.vec_id = g.nbr_id)
+           |), v$r AS (
+           |  SELECT * FROM $prev
+           |  UNION ALL
+           |  SELECT e.query_id, e.vec_id,
+           |    round(list_sum(list_transform(range(1, 65),
+           |      i -> q.en[i] * n.en[i])), 6) AS cos_sim
+           |  FROM e$r e
+           |  JOIN vn q ON q.vec_id = e.query_id
+           |  JOIN vn n ON n.vec_id = e.vec_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |gpairs AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> va.en[i] * vb.en[i])), 6) AS cs
+         |  FROM cellassign a JOIN cellassign b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  JOIN vn va ON va.vec_id = a.vec_id
+         |  JOIN vn vb ON vb.vec_id = b.vec_id
+         |), graphn AS (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, nbr_id) AS r
+         |    FROM gpairs) WHERE r <= 8
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), low2 AS (
+         |  SELECT cell, vec_id FROM (
+         |    SELECT cell, vec_id,
+         |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS r
+         |    FROM cellassign) WHERE r <= 2
+         |), entries AS (
+         |  SELECT DISTINCT p.query_id, min(l.vec_id) AS vec_id
+         |  FROM probes p JOIN low2 l USING (cell)
+         |  WHERE l.vec_id <> p.query_id
+         |  GROUP BY p.query_id, p.cell
+         |), v0 AS (
+         |  SELECT e.query_id, e.vec_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> q.en[i] * n.en[i])), 6) AS cos_sim
+         |  FROM entries e
+         |  JOIN vn q ON q.vec_id = e.query_id
+         |  JOIN vn n ON n.vec_id = e.vec_id
+         |),
+         |$rounds
+         |SELECT query_id, vec_id AS neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM v3) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "s13_pq_tuning" -> {
       val depthCtes = Seq(8, 16, 32, 64).map { d =>
         s"""top_$d AS (

@@ -54,7 +54,7 @@ object Similarity {
     * not a tunable; the corpus-scale paths are [[lshTopK]] and
     * `Clustering.ivfTopK`.
     */
-  private def requireBroadcastableQueries(queries: DataFrame, op: String): Unit = {
+  private[operators] def requireBroadcastableQueries(queries: DataFrame, op: String): Unit = {
     val conf = queries.sparkSession.conf
     val threshold =
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

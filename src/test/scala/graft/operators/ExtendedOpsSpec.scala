@@ -148,6 +148,35 @@ class ExtendedOpsSpec extends SparkSpec {
       s"recall not monotone in shortlist depth: $recalls")
   }
 
+  test("graph ANN beam search: recall floor, bounded visits, valid entries") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val queries = e.where($"vec_id" < 10)
+    val cents = Clustering.trainCentroids(e, nCells = 8, iterations = 1)
+    val ix = java.nio.file.Files.createTempDirectory("graph_ix").toString
+    Clustering.writeGraphIndex(e, cents, m = 8, ix)
+    val (nprobe, beam, rounds, m) = (4, 12, 3, 8)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res = Clustering.graphTopKFromIndex(spark, ix, queries, cents,
+      k = 5, nprobe, beam, rounds)
+    val got = res.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists { case (q, n) => q == n })
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall > 0.5, s"graph-ANN recall $recall collapsed")
+    // the walk's cost bound: visited <= entries + rounds * beam * M —
+    // independent of CELL SIZE, which is what a graph index buys over
+    // an IVF cell scan
+    val visited = Clustering.graphTopKFromIndex(spark, ix, queries, cents,
+      k = Int.MaxValue, nprobe, beam, rounds)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    val bound = nprobe + rounds * beam * m
+    assert(visited.forall(_ <= bound),
+      s"walk visited ${visited.max} nodes > bound $bound")
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(

@@ -43,6 +43,29 @@ class ScaleSpec extends SparkSpec {
       "bucketed two-pass lag diverged from the plain window")
   }
 
+  test("persisted graph index is cell-partitioned and prunes like IVF") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graph_idx").toString
+    val embs = graft.Tables(spark, dir, "embeddings")
+    val cents = Clustering.seedCentroids(embs, k = 8)
+    Clustering.writeGraphIndex(embs, cents, m = 4, out)
+    val cellDirs = new java.io.File(out).listFiles().count(_.getName.startsWith("cell="))
+    assert(cellDirs == 8, s"expected 8 cell partitions, found $cellDirs")
+    val probe = Clustering.readIvfCells(spark, out, Seq(0, 2))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"cell predicate not a partition filter:\n$plan")
+    // neighbor lists are within-cell and capped at M
+    val g = spark.read.parquet(out)
+    import org.apache.spark.sql.functions._
+    assert(g.where(size(col("nbrs")) > 4).count() == 0, "nbrs exceed M")
+    val cellOf = g.select(col("vec_id").as("nbr_id"), col("cell").as("nbr_cell"))
+    val crossCell = g.select(col("cell"), explode(col("nbrs")).as("nbr_id"))
+      .join(cellOf, "nbr_id")
+      .where(col("cell") =!= col("nbr_cell"))
+    assert(crossCell.count() == 0, "graph edge crosses a cell boundary")
+  }
+
   test("persisted IVF index prunes unprobed cells at the file level") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("ivf_idx").toString
