@@ -96,8 +96,11 @@ object SkewBench {
       "d2_ngram_jaccard" -> (d => operators.Dedup.ngramJaccardPairs(
         d, n = 3, threshold = 0.05, blockCol = "source", maxDfFraction = Some(0.01))),
       "d4_lsh_pairs" -> { d =>
-        val st = operators.Dedup.shingleTable(d, 3)
-        val sigs = operators.Dedup.minhashFromShingles(st, numHashes = 8)
+        // the r16 kernel path — the harness must measure the shape
+        // the registry queries actually run, not the retired window
+        // form
+        val sigs = operators.Dedup.minhashSignatures(
+          d, numHashes = 8, shingleSize = 3)
         operators.Dedup.lshCandidates(sigs, rowsPerBand = 2)
       },
       "d6_simhash_pairs" -> (d => operators.Dedup.simhashPairs(
