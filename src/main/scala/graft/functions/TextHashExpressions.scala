@@ -130,6 +130,16 @@ object TextHashOps {
   * derivable from these values as `(h >>> 28) % P` — hex digits 1-8
   * are bits 59..28 of the 60-bit value — so one long per gram serves
   * the whole dedup family (see `Dedup.baseHashFromH60`).
+  *
+  * Memory bound, stated honestly: the kernel materializes one long
+  * per gram PER DOCUMENT (8 bytes/token), where the r15 explode
+  * streamed gram rows. For LLM-pipeline corpora documents are
+  * chunk-bounded (a 10 MB doc is a 12 MB array — fine; the exchange
+  * and sort this replaced buffered far more), but a pathological
+  * single-document input (a 1 GB "doc") would allocate ~1.2 GB in one
+  * task; such inputs must be pre-chunked (the x17 chunking stage)
+  * before the dedup family — the same requirement every per-doc
+  * signature algorithm (minhash, simhash) already imposes.
   */
 object TokenGramOps {
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
