@@ -193,6 +193,47 @@ object TokenGramOps {
   def tokenGramHash60sDistinct(s: UTF8String, n: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(sortedDistinct(tokenGramHash60Array(s, n)))
 
+  /** Per-TOKEN seeded hashes: `Dedup.seededHash` (hash60 of
+    * "seed:token") for every whitespace token of the (normalized)
+    * input, in position order; empty array when the input has no
+    * tokens (simhash's semantics — a token-less doc contributes no
+    * hash rows, with NO whole-text fallback). One digest per token
+    * over the seed-prefix bytes plus the token's byte range in place —
+    * replaces a per-token concat + md5-hex + conv expression chain.
+    */
+  def tokenSeededHash60s(s: UTF8String, seed: Int): ArrayData = {
+    val b = s.getBytes
+    val md = md5Local.get()
+    val digest = new Array[Byte](16)
+    val prefix = (seed.toString + ":").getBytes("UTF-8")
+    var nToks = 0
+    var i = 0
+    while (i < b.length) {
+      if (!isWs(b(i))) {
+        nToks += 1
+        while (i < b.length && !isWs(b(i))) i += 1
+      } else i += 1
+    }
+    if (nToks == 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](nToks)
+    var k = 0
+    i = 0
+    while (i < b.length) {
+      if (!isWs(b(i))) {
+        val start = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        md.reset()
+        md.update(prefix)
+        md.update(b, start, i - start)
+        md.digest(digest, 0, 16)
+        out(k) = h60(digest)
+        k += 1
+      } else i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   private def tokenGramHash60Array(s: UTF8String, n: Int): Array[Long] = {
     val b = s.getBytes
     val md = md5Local.get()
@@ -283,6 +324,42 @@ case class TokenGramHash60s(child: Expression, n: Int,
       if (!${c.isNull}) {
         ${ev.value} = graft.functions.TokenGramOps.$fn(
           ${c.value}, $n);
+      }
+      boolean ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+/** token_seeded_hash60s(text, seed) -> array<long>: one
+  * `Dedup.seededHash`-compatible 60-bit hash per whitespace token
+  * (explode for token-hash rows; empty array for token-less docs).
+  */
+case class TokenSeededHash60s(child: Expression, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_seeded_hash60s needs a string column, got ${child.dataType}")
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TokenGramOps.tokenSeededHash60s(v.asInstanceOf[UTF8String], seed)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.TokenGramOps.tokenSeededHash60s(
+          ${c.value}, $seed);
       }
       boolean ${ev.isNull} = (${ev.value} == null);
     """)
@@ -411,4 +488,7 @@ object TextHashExpressions {
 
   def slidingWindowMins(arr: Column, w: Int): Column =
     column(SlidingWindowMins(expression(arr), w))
+
+  def tokenSeededHash60s(text: Column, seed: Int): Column =
+    column(TokenSeededHash60s(expression(text), seed))
 }

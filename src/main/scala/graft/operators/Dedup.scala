@@ -1042,9 +1042,16 @@ object Dedup {
     */
   def simhashTable(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // per-token seeded hashes from the linear kernel (one digest per
+    // token in place of a concat + md5-hex + conv chain per token);
+    // OUTER explode of the projected attribute, as everywhere — a
+    // token-less doc yields the empty array, emits no rows, and keeps
+    // signature 0 via the left join exactly as before
     val toks = docs
-      .select(col(idCol), explode(TextAnalysis.wsTokens(normalize(col(textCol)))).as("t"))
-      .select(col(idCol), seededHash(col("t"), 0).as("h"))
+      .select(col(idCol), graft.functions.TextHashExpressions
+        .tokenSeededHash60s(TextAnalysis.normalize(col(textCol)), 0).as("arr"))
+      .select(col(idCol), explode_outer(col("arr")).as("h"))
+      .where(col("h").isNotNull)
     val oneAggs = (0 until 48).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"o$b")
     }

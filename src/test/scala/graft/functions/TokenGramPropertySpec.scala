@@ -70,6 +70,16 @@ object TokenGramPropertySpec extends Properties("token-gram-kernel") {
       got == (if (toks < n) 1 else toks - n + 1)
     }
 
+  property("seeded token hashes == hash60 of 'seed:token' per token") =
+    Prop.forAll(textGen, Gen.choose(0, 5)) { (raw, seed) =>
+      val s = norm(raw)
+      val got = TokenGramOps.tokenSeededHash60s(UTF8String.fromString(s), seed)
+        .toLongArray().toSeq
+      val want = s.split("\\s+").filter(_.nonEmpty).toSeq
+        .map(t => refH60(s"$seed:$t"))
+      got == want
+    }
+
   private val arrGen: Gen[List[Long]] = for {
     n <- Gen.choose(0, 60)
     vs <- Gen.listOfN(n, Gen.choose(0L, 9L)) // ties exercise the deque
