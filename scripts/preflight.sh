@@ -25,47 +25,6 @@ echo "== preflight: tests =="
 sbt -batch test >"$OUT/test.log" 2>&1 \
   || fail "sbt test is red (see $OUT/test.log)"
 
-echo "== preflight: correctness-artifact guard =="
-# r15 closed with an EMPTY driver CORRECTNESS_r15.json ({}) — the gate
-# silently lost its signal. Refuse to call a session done while the
-# newest driver artifact parses to zero/short entries UNLESS a
-# populated local rerun (CORRECTNESS_LOCAL_r{K}.json, written below
-# each round) covers that round. Rounds <= 15 are grandfathered: the
-# r15 judge reran the gate by hand (VERDICT.md r15, 152/152 pass).
-python3 - <<'EOF' || exit 1
-import glob, json, re, sys
-arts = sorted(glob.glob("CORRECTNESS_r*.json"),
-              key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
-if not arts:
-    sys.exit(0)
-latest = arts[-1]
-k = int(re.search(r"r(\d+)", latest).group(1))
-n = len(json.load(open(latest)) or {})
-if n > 0:
-    print(f"driver artifact {latest}: {n} entries — ok")
-    sys.exit(0)
-local = f"CORRECTNESS_LOCAL_r{k}.json"
-try:
-    loc = json.load(open(local))
-    if loc.get("n_fail", 1) == 0 and loc.get("n_pass", 0) > 0:
-        print(f"driver artifact {latest} is EMPTY, but {local} covers it "
-              f"({loc['n_pass']} pass) — ok")
-        sys.exit(0)
-    print(f"PREFLIGHT FAIL: {latest} empty and {local} reports failures",
-          file=sys.stderr)
-    sys.exit(1)
-except FileNotFoundError:
-    if k <= 15:
-        print(f"driver artifact {latest} is EMPTY (adjudicated in "
-              f"VERDICT.md r15; grandfathered)")
-        sys.exit(0)
-    print(f"PREFLIGHT FAIL: {latest} parses to zero entries and no "
-          f"{local} exists — rerun scripts/preflight.sh to completion "
-          f"so the local artifact gets written and committed",
-          file=sys.stderr)
-    sys.exit(1)
-EOF
-
 echo "== preflight: verify @ $VERIFY_SF =="
 sbt -batch "runMain graft.Verify $VERIFY_SF $OUT/verify" >"$OUT/verify.log" 2>&1 \
   || fail "graft.Verify crashed (see $OUT/verify.log)"
@@ -89,6 +48,45 @@ if n < n_results or n == 0:
           f"for {n_results} verify outputs", file=sys.stderr)
     sys.exit(1)
 print(f"local artifact: {n} entries, {art['n_pass']} pass")
+EOF
+
+echo "== preflight: correctness-artifact guard =="
+# r15/r16 closed with EMPTY driver CORRECTNESS files ({}) — the gate
+# silently lost its signal. Refuse to call a session done while the
+# newest driver artifact parses to zero/short entries UNLESS a
+# populated, passing local rerun with round >= that artifact's round
+# covers it. This guard runs AFTER the verify step above (which writes
+# CORRECTNESS_LOCAL_r{ROUND}.json), so a fresh preflight run always
+# satisfies its own remediation — no self-deadlock (r16 ADVICE).
+# Rounds <= 15 are grandfathered (judge reran the gate by hand).
+python3 - <<'EOF' || exit 1
+import glob, json, re, sys
+def rnd(p): return int(re.search(r"r(\d+)", p).group(1))
+arts = sorted(glob.glob("CORRECTNESS_r*.json"), key=rnd)
+if not arts:
+    sys.exit(0)
+latest = arts[-1]
+k = rnd(latest)
+n = len(json.load(open(latest)) or {})
+if n > 0:
+    print(f"driver artifact {latest}: {n} entries — ok")
+    sys.exit(0)
+for local in sorted(glob.glob("CORRECTNESS_LOCAL_r*.json"), key=rnd):
+    if rnd(local) < k:
+        continue
+    loc = json.load(open(local))
+    if loc.get("n_fail", 1) == 0 and loc.get("n_pass", 0) > 0:
+        print(f"driver artifact {latest} is EMPTY, but {local} covers it "
+              f"({loc['n_pass']} pass) — ok")
+        sys.exit(0)
+if k <= 15:
+    print(f"driver artifact {latest} is EMPTY (adjudicated in "
+          f"VERDICT.md r15; grandfathered)")
+    sys.exit(0)
+print(f"PREFLIGHT FAIL: {latest} parses to zero entries and no passing "
+      f"CORRECTNESS_LOCAL_r>={k}.json exists — the verify step above "
+      f"should have written one; check its output", file=sys.stderr)
+sys.exit(1)
 EOF
 
 echo "== preflight: bench @ $BENCH_SF =="
