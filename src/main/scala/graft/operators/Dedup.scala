@@ -1112,12 +1112,26 @@ object Dedup {
       col(idCol).as("a_id"), col("simhash").as("a_sig"))
     val b = segs.select(col("block"), col("seg"), col("segval"),
       col(idCol).as("b_id"), col("simhash").as("b_sig"))
+    // A pair colliding in c segments would reach the output c times; the
+    // r16 shape collapsed that with a pair-level distinct — an exchange
+    // carrying every (pair x colliding-segment) duplicate (10.2M rows at
+    // sf3, the d6 floor). Both full signatures ride the joined row, so
+    // instead keep only the FIRST colliding segment: for the row at
+    // segment `seg`, every earlier segment must differ between a_sig and
+    // b_sig. Each qualifying pair then survives in exactly one segment's
+    // row (each doc has one row per segment, and block is a join key),
+    // and the distinct exchange disappears. Cost: numSegments-1 codegen'd
+    // shift/mask compares per joined row — cheaper than shuffling the row.
+    val firstCollision = offsets.zip(widths).zipWithIndex.map {
+      case ((off, w), j) =>
+        val mask = lit((1L << w) - 1L)
+        when(col("seg") > j,
+          shiftright(col("a_sig"), off).bitwiseAND(mask) =!=
+            shiftright(col("b_sig"), off).bitwiseAND(mask))
+          .otherwise(lit(true))
+    }.reduce(_ && _)
     a.join(b, Seq("block", "seg", "segval"))
-      .where(col("a_id") < col("b_id"))
-      // sig is functionally dependent on id, so distinct cardinality
-      // is the same as on the id pair alone
-      .select("a_id", "b_id", "a_sig", "b_sig")
-      .distinct()
+      .where(col("a_id") < col("b_id") && firstCollision)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
