@@ -56,24 +56,21 @@ object EventStreaming {
       spark: SparkSession, dir: String, tag: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     val (stream, hint) = eventsStream(spark, dir)
-    val out = java.nio.file.Files
-      .createTempDirectory(s"graft_${tag}_sink").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_${tag}_ckpt").toString
-    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", hint.toString))
-    val query =
-      try {
-        transform(stream).writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .start()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
-      }
+    // TempDirs.fresh, not raw createTempDirectory: sink + checkpoint die
+    // with the JVM like every other scratch path (r16 ADVICE — they used
+    // to accumulate in /tmp across sessions)
+    val out = graft.TempDirs.fresh(s"graft_${tag}_sink")
+    val ckpt = graft.TempDirs.fresh(s"graft_${tag}_ckpt")
+    val result = transform(stream)
+    val query = withStreamConfs(spark,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", hint.toString)) {
+      result.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    }
     try {
       query.processAllAvailable()
       val tap = lastPlanTap.get
@@ -83,7 +80,50 @@ object EventStreaming {
       query.stop()
       query.awaitTermination()
     }
-    spark.read.parquet(out)
+    // If the watermark never closed a single session (short-timeline
+    // inputs — e.g. an sf0.001 iteration dataset), the sink directory
+    // has no data files and spark.read.parquet would die on schema
+    // inference. The correct answer there is the empty result with the
+    // query's own schema.
+    val hasData = {
+      val d = new java.io.File(out)
+      Option(d.listFiles).exists(_.exists(f =>
+        f.isFile && f.getName.endsWith(".parquet")))
+    }
+    if (hasData) spark.read.parquet(out)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], result.schema)
+  }
+
+  /** Confs a stateful streaming query captures at start(): shuffle
+    * partitions (= state-store instance count) and the state-store
+    * provider. Set around `start`, restored immediately after — the
+    * rest of the shared session keeps the batch settings.
+    *
+    * SPARK_GRAFT_STATE_STORE=rocksdb switches to the in-box
+    * RocksDBStateStoreProvider (rocksdbjni ships with Spark). Default
+    * stays the HDFS-backed in-memory provider: at our gate scales the
+    * state fits comfortably in memory and RocksDB's per-batch
+    * checkpoint/compaction overhead only pays off when state exceeds
+    * executor memory — measured on st2/st4/st7 at sf1/sf3, see
+    * SCALE.md r17.
+    */
+  private def withStreamConfs[T](
+      spark: SparkSession, partitions: String)(start: => T): T = {
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedProvider = spark.conf.getOption(providerConf)
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      spark.conf.set(providerConf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try start finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+      savedProvider match {
+        case Some(p) => spark.conf.set(providerConf, p)
+        case None    => spark.conf.unset(providerConf)
+      }
+    }
   }
 
   /** The shared events file-stream source (schema probed from the
@@ -151,22 +191,15 @@ object EventStreaming {
     // per-query scoping we want; answers are partitioning-independent.
     // At production stream volumes this knob rises with throughput —
     // runToMemorySink sizes it from the source file (see hint there).
-    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
+    val query = withStreamConfs(spark,
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS",
-        statePartitions.toString))
-    val query =
-      try {
-        streamed.writeStream
-          .format("memory")
-          .queryName(queryName)
-          .outputMode(outputMode)
-          .start()
-      } finally {
-        // the plan captured the setting at start(); restore for the
-        // rest of the (shared) session immediately
-        spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
-      }
+        statePartitions.toString)) {
+      streamed.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .start()
+    }
     try {
       query.processAllAvailable()
       val tap = lastPlanTap.get
