@@ -926,39 +926,71 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** s14's walk constants, shared by the QUERY, its fixed-depth ORACLE
+    * SQL (one CTE pair per round; beam/M/nprobe inlined into the text)
+    * and ExtendedOpsSpec's visited-cost bound — one definition, so the
+    * config and the spec's O(rounds·beam·M) assertion cannot drift.
+    */
+  private[graft] object GraphAnnParams {
+    val M = 8
+    val Beam = 12
+    val Rounds = 3
+    val Nprobe = 4
+    /** The frozen oracle CTE is pinned to 16 coarse cells; the engine's
+      * formula max(16, ceil(sqrt(n/2))) yields the same 16 only while
+      * the verify SF has <= 512 embeddings (sf0.01: n = 500). A larger
+      * verify SF would mismatch BY CONSTRUCTION — s14GraphAnn shouts
+      * the divergence to stderr so it reads as a config drift, not a
+      * value-level engine bug.
+      */
+    val OracleCells = 16
+    val OracleMaxVectors = 512L
+  }
+
   /** Graph ANN through a persisted neighbor-graph index
     * (Clustering.writeGraphIndex + graphTopKFromIndex — the NSW/HNSW
     * family flattened to one deterministic layer, the fifth index
     * family next to brute force, LSH, IVF and IVF-PQ): every vector
-    * stores its M=6 nearest within-cell neighbors; a query enters each
-    * probed cell at its min-id vector and runs 2 rounds of beam-8
+    * stores its M=8 nearest within-cell neighbors; a query enters each
+    * probed cell at the cell's smallest NON-query id (entering at the
+    * bare min id orphans the query's own cell and cost recall
+    * 0.13 → 0.81 — the rule and its derivation live at
+    * Clustering.graphTopKFromIndex) and runs 3 rounds of beam-12
     * expansion, scoring only the nodes the walk touches —
     * O(rounds·beam·M) per query, independent of cell SIZE, which is
     * what a graph buys over the IVF cell scan at 100 TB cells. Same
     * coarse cells as s3/s11 (shared centroid cache), partition-pruned
     * read, every step id-tie-broken so DuckDB replays the walk CTE for
-    * CTE.
+    * CTE. All four walk knobs come from [[GraphAnnParams]].
     */
   private val graphIndexCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, Seq[(Int, Array[Double])])]()
 
   private def s14GraphAnn(s: SparkSession, dir: String): DataFrame = {
+    import GraphAnnParams._
     val e = t(s, dir, "embeddings")
+    val n = e.count()
     // cells scale ~sqrt(n/2) floored at 16 (the d13/s12 sizing, same
     // argument: graph construction pays within-cell pairs Σ|cell|² ≈
     // n²/k — a FIXED k is a quadratic build; measured 159 s at sf1
     // before this formula, and the sf0.01 gate still yields exactly
     // the frozen 16-cell oracle CTE)
-    val nCells = math.max(16, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
-    val (ixDir, cents) = graphIndexCache.computeIfAbsent(s"$dir:$nCells:8", { _ =>
+    val nCells = math.max(OracleCells, math.ceil(math.sqrt(n / 2.0)).toInt)
+    if (n > OracleMaxVectors)
+      System.err.println(
+        s"s14_graph_ann: n=$n embeddings -> $nCells cells; the frozen " +
+          s"$OracleCells-cell DuckDB oracle only replays this walk at " +
+          s"verify SFs with <= $OracleMaxVectors vectors (bench SFs are " +
+          "fine — no oracle runs there)")
+    val (ixDir, cents) = graphIndexCache.computeIfAbsent(s"$dir:$nCells:$M", { _ =>
       val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
       val ix = TempDirs.fresh("graft_graph")
-      Clustering.writeGraphIndex(e, c, m = 8, ix)
+      Clustering.writeGraphIndex(e, c, m = M, ix)
       (ix, c)
     })
     Clustering.graphTopKFromIndex(s, ixDir, e.where(col("vec_id") < 20),
-        cents, k = 5, nprobe = 4, beam = 12, rounds = 3)
+        cents, k = 5, nprobe = Nprobe, beam = Beam, rounds = Rounds)
       .orderBy("query_id", "rank")
   }
 
@@ -1611,15 +1643,15 @@ object QueriesExtended {
     "s14_graph_ann" -> {
       // one CTE pair (frontier, expansion+union) per beam round — the
       // walk is bounded and deterministic, so fixed-depth SQL replays
-      // it exactly (beam 12, M = 8 neighbors, 3 rounds, entry = the
-      // smallest non-query id of each probed cell)
-      val rounds = (1 to 3).map { r =>
+      // it exactly (beam/M/rounds/nprobe from GraphAnnParams, entry =
+      // the smallest non-query id of each probed cell)
+      val rounds = (1 to GraphAnnParams.Rounds).map { r =>
         val prev = s"v${r - 1}"
         s"""f$r AS (
            |  SELECT query_id, vec_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY query_id
            |      ORDER BY cos_sim DESC, vec_id) AS rn
-           |    FROM $prev) WHERE rn <= 12
+           |    FROM $prev) WHERE rn <= ${GraphAnnParams.Beam}
            |), e$r AS (
            |  SELECT DISTINCT f.query_id, g.nbr_id AS vec_id
            |  FROM f$r f JOIN graphn g USING (vec_id)
@@ -1638,7 +1670,7 @@ object QueriesExtended {
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCte(GraphAnnParams.OracleCells)},
          |gpairs AS (
          |  SELECT a.vec_id, b.vec_id AS nbr_id,
          |    round(list_sum(list_transform(range(1, 65),
@@ -1651,12 +1683,12 @@ object QueriesExtended {
          |  SELECT vec_id, nbr_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cs DESC, nbr_id) AS r
-         |    FROM gpairs) WHERE r <= 8
+         |    FROM gpairs) WHERE r <= ${GraphAnnParams.M}
          |), probes AS (
          |  SELECT vec_id AS query_id, cid AS cell FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= ${GraphAnnParams.Nprobe}
          |), low2 AS (
          |  SELECT cell, vec_id FROM (
          |    SELECT cell, vec_id,
@@ -1679,7 +1711,7 @@ object QueriesExtended {
          |SELECT query_id, vec_id AS neighbor_id, cos_sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, vec_id) AS rank
-         |  FROM v3) WHERE rank <= 5
+         |  FROM v${GraphAnnParams.Rounds}) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
     "s13_pq_tuning" -> {

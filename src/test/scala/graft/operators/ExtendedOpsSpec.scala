@@ -154,8 +154,12 @@ class ExtendedOpsSpec extends SparkSpec {
     val queries = e.where($"vec_id" < 10)
     val cents = Clustering.trainCentroids(e, nCells = 8, iterations = 1)
     val ix = java.nio.file.Files.createTempDirectory("graph_ix").toString
-    Clustering.writeGraphIndex(e, cents, m = 8, ix)
-    val (nprobe, beam, rounds, m) = (4, 12, 3, 8)
+    // the SAME constants the s14 query and its oracle run with — the
+    // visited bound below is a claim about the shipped config, not a
+    // spec-local copy that could drift (r16 verdict item 4)
+    val p = graft.QueriesExtended.GraphAnnParams
+    val (nprobe, beam, rounds, m) = (p.Nprobe, p.Beam, p.Rounds, p.M)
+    Clustering.writeGraphIndex(e, cents, m = m, ix)
     val exact = Similarity.bruteForceTopK(e, queries, k = 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
