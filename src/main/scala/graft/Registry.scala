@@ -785,12 +785,22 @@ object Registry {
       val text = str(c, "text_column").getOrElse("text")
       val n = int(c, "ngram").getOrElse(3)
       requireFree(df, "eval_overlap", "n_grams", "n_overlap", "overlap_frac")
-      val grams = operators.Dedup.hashedShingleTable(df, n, id, text)
+      // hashedShingleTable's in-kernel dedup equals distinct-on-(id,h)
+      // only when each doc id appears once in the input. That holds for
+      // every framework-generated table, but this df is USER-SUPPLIED —
+      // a duplicated id would inflate n_overlap/n_shared silently, so
+      // the overlap fractions this stage reports are kept honest with
+      // an explicit distinct here (the exchange-free path stays the
+      // default for the trusted query pipelines).
+      val grams = operators.Dedup.hashedShingleTable(df, n, id, text).distinct()
       val report = str(c, "eval_flag_column") match {
         case Some(flagCol) =>
           // flag lives on df, not the gram table: tag the grams first
+          // (dropDuplicates on the id projection so a duplicate-id df
+          // can't multiply posting rows through this join either)
           val tagged = grams.join(
-            df.select(col(id), coalesce(col(flagCol), lit(false)).as("_ev")), id)
+            df.select(col(id), coalesce(col(flagCol), lit(false)).as("_ev"))
+              .dropDuplicates(id), id)
           operators.Dedup.evalOverlapFromHashes(tagged, col("_ev"), id)
         case None =>
           val m = int(c, "eval_modulus").getOrElse(20)

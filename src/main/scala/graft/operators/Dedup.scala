@@ -95,7 +95,17 @@ object Dedup {
     * the dedup done INSIDE the kernel (sorted per-doc distinct) — the
     * id is part of the key, so doc-local dedup IS the global
     * distinct-on-(id, h), and the posting stream leaves this operator
-    * having never entered an Exchange. This is the r16 posture shift
+    * having never entered an Exchange.
+    *
+    * PRECONDITION: each doc id appears at most ONCE in `docs`. Every
+    * framework-generated table satisfies this; a duplicate-id input
+    * yields duplicate (id, h) postings, inflating any count built on
+    * the table. Registry transformers that accept user DataFrames and
+    * read set COUNTS off this table (eval_overlap) re-apply an
+    * explicit distinct at their boundary — min-aggregates (minhash)
+    * are duplicate-insensitive and need nothing.
+    *
+    * This is the r16 posture shift
     * for the whole shingle family: r15 paid a corpus-wide distinct
     * shuffle to build every set-shape gram table; now the first
     * exchange any dedup plan pays is its own aggregation/join — the

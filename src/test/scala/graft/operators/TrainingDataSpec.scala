@@ -1442,6 +1442,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.where(col("overlap_frac") < 0 || col("overlap_frac") > 1).count() == 0)
   }
 
+  test("registry eval_overlap tolerates duplicate-id input (counts not inflated)") {
+    // the gram kernel's in-kernel dedup equals a global distinct only
+    // for unique doc ids; the stage accepts USER DataFrames, so it
+    // re-applies an explicit distinct at its boundary — a duplicated
+    // row must not change any eval doc's overlap numbers (r16 ADVICE)
+    import org.json4s.jackson.JsonMethods.parse
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60).localCheckpoint(true)
+    def report(df: org.apache.spark.sql.DataFrame) =
+      graft.Registry.transformers("eval_overlap")(
+          parse("""{"eval_modulus": 5}"""))(df)
+        .where(col("overlap_frac").isNotNull)
+        .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
+        .distinct()   // dup input yields dup annotated rows; values must match
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val clean = report(docs)
+    assert(clean.nonEmpty, "fixture has eval docs")
+    val withDups = report(docs.union(docs.limit(10)))
+    assert(withDups == clean,
+      s"duplicate-id rows changed overlap counts: ${withDups.toSeq.diff(clean.toSeq)}")
+  }
+
   test("range-search report is exactly the per-vector reduction of the LSH pair graph") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Similarity.cosineDupPairsLsh(embs, threshold = 0.3,
