@@ -112,9 +112,11 @@ EOF
 python3 - "$OUT/bench.json" <<'EOF'
 import json, sys
 try:
-    base = json.load(open("BASELINE_QUERIES.json"))["queries"]
+    baseline = json.load(open("BASELINE_QUERIES.json"))
+    base = baseline["queries"]
 except FileNotFoundError:
     sys.exit(0)
+floor = baseline.get("floor_s", 0.0)
 cur = json.load(open(sys.argv[1])).get("queries", {})
 if cur and not (set(cur) & set(base)):
     # the compact line carries PREFIX keys (keys:"prefix"); the
@@ -124,13 +126,21 @@ if cur and not (set(cur) & set(base)):
                              .get("queries_file", "BENCH_LAST.json")))["queries"]
     except FileNotFoundError:
         pass
-regs = sorted(((k, v, base[k], v / base[k]) for k, v in cur.items()
-               if k in base and base[k] > 0 and v > 0),
+# floor-bound entries (frozen AND current under floor_s) are scheduler
+# noise, not plan ratios — report them separately so the top-5 list is
+# real regressions only
+pairs = [(k, v, base[k], v / base[k]) for k, v in cur.items()
+         if k in base and base[k] > 0 and v > 0]
+floor_bound = sorted(k for k, v, b, _ in pairs if v < floor and b < floor)
+regs = sorted((t for t in pairs if t[0] not in floor_bound),
               key=lambda t: -t[3])[:5]
 print("top-5 vs frozen baseline (query, now, baseline, ratio):")
 for k, v, b, r in regs:
     flag = "  <-- check with ProfQuery" if r > 2.0 and v > 1.0 else ""
     print(f"  {k}: {v:.2f}s vs {b:.2f}s = {r:.2f}x{flag}")
+if floor_bound:
+    print(f"  (floor-bound, both sides < {floor}s — ratios are job-launch "
+          f"noise: {', '.join(floor_bound)})")
 new = sorted(k for k in cur if k not in base)
 if new:
     print(f"  (no baseline yet: {', '.join(new)})")

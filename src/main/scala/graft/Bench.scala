@@ -331,11 +331,26 @@ object Bench {
         .takeWhile(_ != null)
         .find(d => new java.io.File(d, "build.sbt").isFile)
         .getOrElse(new java.io.File(".").getCanonicalFile)
-    val frozen: Map[String, Double] = if (!atBaselineSf) Map.empty else try {
-      parseFrozen(new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(repoRoot, "BASELINE_QUERIES.json").toPath), "UTF-8"),
-        results.map(_._1).toSet)
-    } catch { case _: Throwable => Map.empty }
+    val baselineTxt: String = if (!atBaselineSf) "" else try {
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(repoRoot, "BASELINE_QUERIES.json").toPath), "UTF-8")
+    } catch { case _: Throwable => "" }
+    val frozen: Map[String, Double] =
+      try parseFrozen(baselineTxt, results.map(_._1).toSet)
+      catch { case _: Throwable => Map.empty }
+    // Job-floor threshold (r16 verdict item 6): the baseline file's
+    // "floor_s" names the wall time below which a query's measurement
+    // on this box is dominated by job-launch/scheduler overhead, not by
+    // its plan (observed 0.2-0.55 s at local[32]; t7/x22/t5/q9 read
+    // 1.5-1.7x frozen every round with the repoll guard confirming
+    // identical fresh-region times). Entries where BOTH the frozen
+    // value and this run's value sit under the floor are emitted in a
+    // "floor_bound" list so ratio reports can separate scheduler noise
+    // from real regressions. A regression that climbs ABOVE the floor
+    // is never masked (its current value disqualifies it).
+    val floorS: Double =
+      """"floor_s"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(baselineTxt)
+        .map(_.group(1).toDouble).getOrElse(0.0)
     // Round-over-round guard (r13 verdict item 2): a regression that
     // stays under a LOOSE frozen entry sails through the frozen-only
     // guard unexamined (r13's t3 0.67 -> 1.59 s was still 0.54x
@@ -416,6 +431,11 @@ object Bench {
     val repolledJson = repolled.map { case (k, (o, f)) =>
       s""""$k":{"official":${trim(o, 3)},"fresh":${trim(f, 3)}}"""
     }.mkString("{", ",", "}")
+    val floorBoundJson = finalResults.collect {
+      case (name, (v, _, _, _))
+        if floorS > 0 && v >= 0 && v < floorS &&
+          frozen.get(name).exists(_ < floorS) => s""""$name""""
+    }.mkString("[", ",", "]")
     // full JSON string escaping: exception messages carry newlines and
     // other control characters (plan fragments), which would otherwise
     // make the artifact unparseable exactly when it matters most
@@ -477,6 +497,7 @@ object Bench {
         s""""sf":"$sfDir","runs_per_query":"2+1-on-disagreement",""" +
         s""""staging":$stagingJson,"staging_total":${trim(stagingTotal, 3)},""" +
         s""""repolled":$repolledJson,""" +
+        s""""floor_s":$floorS,"floor_bound":$floorBoundJson,""" +
         s""""correctness_artifact":$corrArtJson,""" +
         s""""errors":$errJson,"shuffle":$sh}"""
     try {
