@@ -945,6 +945,8 @@ object QueriesExtended {
       */
     val OracleCells = 16
     val OracleMaxVectors = 512L
+    /** Beam sweep for the s15 S-curve; includes the s14 default. */
+    val TuningBeams = Seq(2, 4, 8, 12)
   }
 
   /** Graph ANN through a persisted neighbor-graph index
@@ -992,6 +994,36 @@ object QueriesExtended {
     Clustering.graphTopKFromIndex(s, ixDir, e.where(col("vec_id") < 20),
         cents, k = 5, nprobe = Nprobe, beam = Beam, rounds = Rounds)
       .orderBy("query_id", "rank")
+  }
+
+  /** Beam-width S-curve for the graph index — the s9/s13 treatment
+    * applied to the graph's own knob: recall@5 against brute-force
+    * truth plus the visited-set size (the walk's actual cost) at each
+    * beam in [[GraphAnnParams.TuningBeams]], same persisted index,
+    * cells and probe discipline as s14 (shared cache). Gives the
+    * shipped beam default the same measured backing IVF's nprobe got
+    * from s9 and PQ's shortlist depth from s13 (r16 verdict stretch
+    * item). One bounded walk per swept beam — a narrow beam's frontier
+    * is NOT a prefix of a wider one's (the frontier feeds every later
+    * round's expansion), so the sweep can't reuse one ranked list the
+    * way s13's shortlist depths could.
+    */
+  private def s15GraphTuning(s: SparkSession, dir: String): DataFrame = {
+    import GraphAnnParams._
+    val e = t(s, dir, "embeddings")
+    val n = e.count()
+    val nCells = math.max(OracleCells, math.ceil(math.sqrt(n / 2.0)).toInt)
+    val (ixDir, cents) = graphIndexCache.computeIfAbsent(s"$dir:$nCells:$M", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val ix = TempDirs.fresh("graft_graph")
+      Clustering.writeGraphIndex(e, c, m = M, ix)
+      (ix, c)
+    })
+    val q = e.where(col("vec_id") < 20)
+    val truth = operators.Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    Clustering.graphTuningReport(s, ixDir, q, cents, truth, k = 5,
+      nprobe = Nprobe, beams = TuningBeams, rounds = Rounds)
   }
 
   /** Margin-based bitext-style pair mining (Similarity.marginMining —
@@ -1152,9 +1184,88 @@ object QueriesExtended {
     "s11_ivfpq" -> (s11IvfPq(_, _)),
     "s12_margin_mining" -> (s12MarginMining(_, _)),
     "s13_pq_tuning" -> (s13PqTuning(_, _)),
-    "s14_graph_ann" -> (s14GraphAnn(_, _)))
+    "s14_graph_ann" -> (s14GraphAnn(_, _)),
+    "s15_graph_tuning" -> (s15GraphTuning(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
+
+  /** Shared DuckDB text for the graph-ANN oracles: per-cell top-M
+    * neighbor lists (the persisted graph), probe cells, entry points
+    * and the scored round-0 visited set — everything before the beam
+    * rounds. s14 (single walk at the default beam) and s15 (one walk
+    * per swept beam) both build on this, so the two replays cannot
+    * drift. Expects vn/cellassign/d1 from normVecCte + ivfCellsCte.
+    */
+  private def graphOracleBaseSql: String = {
+    import GraphAnnParams._
+    s"""gpairs AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> va.en[i] * vb.en[i])), 6) AS cs
+       |  FROM cellassign a JOIN cellassign b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN vn va ON va.vec_id = a.vec_id
+       |  JOIN vn vb ON vb.vec_id = b.vec_id
+       |), graphn AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, nbr_id) AS r
+       |    FROM gpairs) WHERE r <= $M
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1 WHERE vec_id < 20) WHERE rn <= $Nprobe
+       |), low2 AS (
+       |  SELECT cell, vec_id FROM (
+       |    SELECT cell, vec_id,
+       |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS r
+       |    FROM cellassign) WHERE r <= 2
+       |), entries AS (
+       |  SELECT DISTINCT p.query_id, min(l.vec_id) AS vec_id
+       |  FROM probes p JOIN low2 l USING (cell)
+       |  WHERE l.vec_id <> p.query_id
+       |  GROUP BY p.query_id, p.cell
+       |), v0 AS (
+       |  SELECT e.query_id, e.vec_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> q.en[i] * n.en[i])), 6) AS cos_sim
+       |  FROM entries e
+       |  JOIN vn q ON q.vec_id = e.query_id
+       |  JOIN vn n ON n.vec_id = e.vec_id
+       |)""".stripMargin
+  }
+
+  /** One beam walk as fixed-depth CTE chains — GraphAnnParams.Rounds
+    * rounds of (frontier, expansion, visited-union). `p` prefixes the
+    * CTE names so several walks coexist in one statement; round 0 is
+    * always the shared `v0`.
+    */
+  private def graphWalkSql(p: String, beam: Int): String =
+    (1 to GraphAnnParams.Rounds).map { r =>
+      val prev = if (r == 1) "v0" else s"${p}v${r - 1}"
+      s"""${p}f$r AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rn
+         |    FROM $prev) WHERE rn <= $beam
+         |), ${p}e$r AS (
+         |  SELECT DISTINCT f.query_id, g.nbr_id AS vec_id
+         |  FROM ${p}f$r f JOIN graphn g USING (vec_id)
+         |  WHERE g.nbr_id <> f.query_id
+         |    AND NOT EXISTS (SELECT 1 FROM $prev v
+         |      WHERE v.query_id = f.query_id AND v.vec_id = g.nbr_id)
+         |), ${p}v$r AS (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT e.query_id, e.vec_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> q.en[i] * n.en[i])), 6) AS cos_sim
+         |  FROM ${p}e$r e
+         |  JOIN vn q ON q.vec_id = e.query_id
+         |  JOIN vn n ON n.vec_id = e.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
 
   private val toksSql = OracleFragments.toksSql
 
@@ -1644,75 +1755,61 @@ object QueriesExtended {
       // one CTE pair (frontier, expansion+union) per beam round — the
       // walk is bounded and deterministic, so fixed-depth SQL replays
       // it exactly (beam/M/rounds/nprobe from GraphAnnParams, entry =
-      // the smallest non-query id of each probed cell)
-      val rounds = (1 to GraphAnnParams.Rounds).map { r =>
-        val prev = s"v${r - 1}"
-        s"""f$r AS (
-           |  SELECT query_id, vec_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY query_id
-           |      ORDER BY cos_sim DESC, vec_id) AS rn
-           |    FROM $prev) WHERE rn <= ${GraphAnnParams.Beam}
-           |), e$r AS (
-           |  SELECT DISTINCT f.query_id, g.nbr_id AS vec_id
-           |  FROM f$r f JOIN graphn g USING (vec_id)
-           |  WHERE g.nbr_id <> f.query_id
-           |    AND NOT EXISTS (SELECT 1 FROM $prev v
-           |      WHERE v.query_id = f.query_id AND v.vec_id = g.nbr_id)
-           |), v$r AS (
-           |  SELECT * FROM $prev
-           |  UNION ALL
-           |  SELECT e.query_id, e.vec_id,
-           |    round(list_sum(list_transform(range(1, 65),
-           |      i -> q.en[i] * n.en[i])), 6) AS cos_sim
-           |  FROM e$r e
-           |  JOIN vn q ON q.vec_id = e.query_id
-           |  JOIN vn n ON n.vec_id = e.vec_id
-           |)""".stripMargin
-      }.mkString(",\n")
+      // the smallest non-query id of each probed cell). Graph
+      // construction + entry CTEs and the walk generator are shared
+      // with the s15 beam sweep (graphOracleBaseSql/graphWalkSql).
       s"""WITH ${OracleFragments.normVecCte},
          |${OracleFragments.ivfCellsCte(GraphAnnParams.OracleCells)},
-         |gpairs AS (
-         |  SELECT a.vec_id, b.vec_id AS nbr_id,
-         |    round(list_sum(list_transform(range(1, 65),
-         |      i -> va.en[i] * vb.en[i])), 6) AS cs
-         |  FROM cellassign a JOIN cellassign b
-         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
-         |  JOIN vn va ON va.vec_id = a.vec_id
-         |  JOIN vn vb ON vb.vec_id = b.vec_id
-         |), graphn AS (
-         |  SELECT vec_id, nbr_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cs DESC, nbr_id) AS r
-         |    FROM gpairs) WHERE r <= ${GraphAnnParams.M}
-         |), probes AS (
-         |  SELECT vec_id AS query_id, cid AS cell FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d1 WHERE vec_id < 20) WHERE rn <= ${GraphAnnParams.Nprobe}
-         |), low2 AS (
-         |  SELECT cell, vec_id FROM (
-         |    SELECT cell, vec_id,
-         |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS r
-         |    FROM cellassign) WHERE r <= 2
-         |), entries AS (
-         |  SELECT DISTINCT p.query_id, min(l.vec_id) AS vec_id
-         |  FROM probes p JOIN low2 l USING (cell)
-         |  WHERE l.vec_id <> p.query_id
-         |  GROUP BY p.query_id, p.cell
-         |), v0 AS (
-         |  SELECT e.query_id, e.vec_id,
-         |    round(list_sum(list_transform(range(1, 65),
-         |      i -> q.en[i] * n.en[i])), 6) AS cos_sim
-         |  FROM entries e
-         |  JOIN vn q ON q.vec_id = e.query_id
-         |  JOIN vn n ON n.vec_id = e.vec_id
-         |),
-         |$rounds
+         |$graphOracleBaseSql,
+         |${graphWalkSql("", GraphAnnParams.Beam)}
          |SELECT query_id, vec_id AS neighbor_id, cos_sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, vec_id) AS rank
          |  FROM v${GraphAnnParams.Rounds}) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+    },
+    "s15_graph_tuning" -> {
+      import GraphAnnParams._
+      val walks = TuningBeams.map { b =>
+        s"""${graphWalkSql(s"b${b}_", b)},
+           |top_$b AS (
+           |  SELECT query_id, vec_id AS neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos_sim DESC, vec_id) AS rank
+           |    FROM b${b}_v$Rounds) WHERE rank <= 5
+           |), row_$b AS (
+           |  SELECT $b AS beam,
+           |    (SELECT count(*) FROM b${b}_v$Rounds)::BIGINT AS n_visited,
+           |    sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_hits,
+           |    count(*)::BIGINT AS n_true
+           |  FROM exact e LEFT JOIN top_$b t
+           |    ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(OracleCells)},
+         |$graphOracleBaseSql,
+         |escored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM vn q JOIN vn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM escored
+         |  ) WHERE rank <= 5
+         |),
+         |$walks
+         |SELECT beam, n_visited, n_hits, n_true,
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(floor(n_hits::DOUBLE * 1000000 / n_true::DOUBLE) AS BIGINT)
+         |    ELSE 0 END AS recall_micro
+         |FROM (${TuningBeams.map(b => s"SELECT * FROM row_$b")
+                  .mkString(" UNION ALL ")})
+         |ORDER BY beam""".stripMargin
     },
     "s13_pq_tuning" -> {
       val depthCtes = Seq(8, 16, 32, 64).map { d =>

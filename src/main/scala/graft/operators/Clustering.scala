@@ -611,4 +611,46 @@ object Clustering {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos_sim"), col("rank"))
   }
+
+  /** Beam-width S-curve for the persisted neighbor-graph index: for
+    * each beam, run the [[graphTopKFromIndex]] walk once and report
+    * recall@k against `truth` plus the visited-set size (the walk's
+    * actual cost, O(rounds·beam·M) rows per query) — the measured
+    * backing for the beam knob, as ivfTuningReport gives nprobe. One
+    * walk per beam: a narrow beam's frontier is NOT a prefix of a
+    * wider one's (the frontier feeds every later round's expansion),
+    * so the beams cannot share one ranked list the way a shortlist
+    * sweep can.
+    */
+  def graphTuningReport(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], truth: DataFrame,
+      k: Int, nprobe: Int, beams: Seq[Int], rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(beams.nonEmpty && beams.forall(_ >= 1),
+      "graphTuningReport: every beam must be >= 1")
+    val truthTagged = truth
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("_t"))
+    beams.map { b =>
+      val all = graphTopKFromIndex(spark, indexDir, queries, centroids,
+        k = Int.MaxValue, nprobe, b, rounds, idCol, vecCol)
+        .localCheckpoint()
+      val annK = all.where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("_h"))
+      val visited = all.groupBy().agg(count(lit(1)).as("n_visited"))
+      val hit = truthTagged
+        .join(annK, Seq("query_id", "neighbor_id"), "left")
+        .groupBy().agg(count(lit(1)).as("n_true"),
+          sum(when(col("_h"), 1L).otherwise(0L)).as("n_hits"))
+      // bounded one-row x one-row combine (the allowlisted crossJoin
+      // shape, as in ivfTuningReport)
+      visited.crossJoin(hit)
+        .select(lit(b).as("beam"), col("n_visited"), col("n_hits"),
+          col("n_true"),
+          when(col("n_true") > 0,
+            floor(col("n_hits").cast("double") * 1e6 /
+              col("n_true").cast("double")).cast("long"))
+            .otherwise(0L).as("recall_micro"))
+    }.reduce(_ unionByName _).orderBy("beam")
+  }
 }

@@ -181,6 +181,31 @@ class ExtendedOpsSpec extends SparkSpec {
       s"walk visited ${visited.max} nodes > bound $bound")
   }
 
+  test("graph ANN beam S-curve: swept beams from the shared constants, default at floor") {
+    val rows = graft.SparkEntry.queries("s15_graph_tuning")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val p = graft.QueriesExtended.GraphAnnParams
+    assert(rows.map(_._1).toSeq == p.TuningBeams,
+      s"beams in the report: ${rows.map(_._1).toSeq}")
+    val byBeam = rows.map(r => r._1 -> r).toMap
+    // the shipped default keeps the s14 spec's recall floor
+    assert(byBeam(p.Beam)._5 >= 500000L,
+      s"default-beam recall collapsed: ${byBeam(p.Beam)}")
+    // the cost axis is real: a wider beam never visits fewer nodes on
+    // this deterministic fixture, and never loses recall end to end
+    assert(rows.map(_._2).sliding(2).forall(w => w.head <= w.last),
+      s"visited not monotone in beam: $rows")
+    assert(byBeam(p.TuningBeams.max)._5 >= byBeam(p.TuningBeams.min)._5,
+      s"recall fell from narrowest to widest beam: $rows")
+    // every swept walk respects the O(rounds*beam*M) visited bound
+    rows.foreach { case (b, nv, _, _, _) =>
+      val bound = 20L * (p.Nprobe + p.Rounds.toLong * b * p.M)
+      assert(nv <= bound, s"beam $b visited $nv > bound $bound")
+    }
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(
