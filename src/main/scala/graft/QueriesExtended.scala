@@ -1026,6 +1026,37 @@ object QueriesExtended {
       nprobe = Nprobe, beams = TuningBeams, rounds = Rounds)
   }
 
+  /** Filtered ANN through a label-partitioned persisted IVF index
+    * (Clustering.writeLabeledIvfIndex + ivfTopKFromIndexFiltered):
+    * top-5 by cosine among the vectors sharing the QUERY'S label —
+    * the "retrieve within this language / source / tenant" shape
+    * production filtered vector search takes. The label is a second
+    * partition column of the index, so the ~10%-selective predicate
+    * prunes at PLANNING time: the scan lists only the probed
+    * (cell, label) directories instead of scanning whole cells and
+    * discarding 90% of the scored rows (a post-filter would also
+    * starve below k survivors exactly when the filter matters).
+    * Same 16 coarse cells / nprobe 4 / Lloyd-1 quantizer as s3, so
+    * the oracle reuses the frozen ivfCellsCte replay with a label
+    * equi-join added.
+    */
+  private val labeledIvfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Seq[(Int, Array[Double])])]()
+
+  private def s16FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (ixDir, cents) = labeledIvfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+      val ix = TempDirs.fresh("graft_ivf_labeled")
+      Clustering.writeLabeledIvfIndex(e, c, ix)
+      (ix, c)
+    })
+    Clustering.ivfTopKFromIndexFiltered(s, ixDir, e.where(col("vec_id") < 20),
+        cents, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Margin-based bitext-style pair mining (Similarity.marginMining —
     * Artetxe & Schwenk 2019's ratio margin): the corpus split by
     * vec_id parity into a src and a tgt side, candidates blocked by
@@ -1185,7 +1216,8 @@ object QueriesExtended {
     "s12_margin_mining" -> (s12MarginMining(_, _)),
     "s13_pq_tuning" -> (s13PqTuning(_, _)),
     "s14_graph_ann" -> (s14GraphAnn(_, _)),
-    "s15_graph_tuning" -> (s15GraphTuning(_, _)))
+    "s15_graph_tuning" -> (s15GraphTuning(_, _)),
+    "s16_filtered_ann" -> (s16FilteredAnn(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -1970,6 +2002,36 @@ object QueriesExtended {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
          |    AS rank
          |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s16_filtered_ann" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16)},
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), cands AS (
+         |  -- the label equi-join IS the filter: only probed-cell
+         |  -- vectors sharing the query's label are ever scored,
+         |  -- mirroring the engine's (cell, label) partition pruning
+         |  SELECT p.query_id, q.label, ix.vec_id AS neighbor_id
+         |  FROM probes p
+         |  JOIN vn q ON q.vec_id = p.query_id
+         |  JOIN cellassign ix ON ix.cell = p.cell
+         |  JOIN vn c ON c.vec_id = ix.vec_id AND c.label = q.label
+         |  WHERE ix.vec_id <> p.query_id
+         |), fscored AS (
+         |  SELECT cand.query_id, cand.neighbor_id, cand.label,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM cands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, label, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank
+         |  FROM fscored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s8_ivf_recall" ->
       s"""WITH ${OracleFragments.normVecCte},

@@ -173,6 +173,75 @@ object Clustering {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Persist a metadata-FILTERED IVF index: cell-partitioned like
+    * [[writeIvfIndex]], but with the per-vector label as a SECOND
+    * partition column. Filtered vector search ("top-k among the
+    * vectors with this language / source / tenant") is the production
+    * shape most retrieval over training corpora takes, and a
+    * post-filter over an unfiltered probe is the wrong plan at scale:
+    * it pays the full probed-cell scan and then starves (k survivors
+    * of a 10%-selective filter need a 10x deeper probe). Laying the
+    * filter key INTO the index layout instead makes the predicate a
+    * partition predicate — a probe reads only the (cell, label)
+    * directories it can use, so a 10%-selective filter reads ~10% of
+    * the probed cells' bytes rather than scanning and discarding.
+    */
+  def writeLabeledIvfIndex(
+      corpus: DataFrame, centroids: Seq[(Int, Array[Double])], dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): Unit =
+    corpus.select(
+        col(idCol).as("neighbor_id"),
+        nearestCentroid(col(vecCol), centroids).as("cell"),
+        col(labelCol).as("label"),
+        Similarity.normalized(col(vecCol)).as("c_vec"))
+      .write.partitionBy("cell", "label").mode("overwrite").parquet(dir)
+
+  /** Query a PERSISTED [[writeLabeledIvfIndex]] index under a
+    * same-label constraint: each query probes its nprobe nearest
+    * cells and exact-ranks by cosine among the probed vectors WHOSE
+    * LABEL EQUALS THE QUERY'S — the filter is applied before any
+    * scoring, as an `(cell = c AND label = l)` disjunction over the
+    * probed pairs on the TWO partition columns, so planning-time
+    * partition pruning keeps the unusable (cell, label) directories'
+    * files unlisted and unread (plan-asserted in ScaleSpec). The
+    * driver-side pair collect is O(|queries| x nprobe), the same
+    * bound as [[ivfTopKFromIndex]]'s probed-cell collect.
+    */
+  def ivfTopKFromIndexFiltered(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    Similarity.requireBroadcastableQueries(queries, "ivfTopKFromIndexFiltered")
+    val probeCells = {
+      val scored = centroids.map { case (cid, c) =>
+        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
+      }
+      slice(array_sort(array(scored: _*)), 1, nprobe)
+    }
+    val probes = queries.select(
+        col(idCol).as("query_id"),
+        col(labelCol).as("label"),
+        Similarity.normalized(col(vecCol)).as("q_vec"),
+        explode(probeCells).as("pc"))
+      .select(col("query_id"), col("label"), col("q_vec"),
+        col("pc.cid").as("cell"))
+    val pairs = probes.select("cell", "label").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    val pruned = spark.read.parquet(indexDir).where(
+      pairs.map { case (c, l) => col("cell") === c && col("label") === l }
+        .reduce(_ || _))
+    val scored = pruned
+      .join(broadcast(probes), Seq("cell", "label"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        round(Similarity.dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Persist an IVF-PQ index (Jégou 2011's production composition —
     * FAISS's IndexIVFPQ): cell-partitioned like [[writeIvfIndex]], but
     * each row carries the vector's PQ `codes` NEXT TO the float
@@ -544,6 +613,23 @@ object Clustering {
       centroids: Seq[(Int, Array[Double])], k: Int, nprobe: Int,
       beam: Int, rounds: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (graph, qSide, visited0) =
+      graphWalkPrep(spark, indexDir, queries, centroids, nprobe, idCol, vecCol)
+    graphWalkRounds(graph, qSide, visited0, k, beam, rounds)
+  }
+
+  /** The beam-INDEPENDENT prefix of a [[graphTopKFromIndex]] walk:
+    * probe-cell selection, the one partition-pruned graph read, the
+    * entry-point election and the scored V₀ — everything before the
+    * first frontier is cut. Split out so a beam sweep
+    * ([[graphTuningReport]]) pays the index read and entry scoring
+    * once, not once per swept beam (only the expansion loop below
+    * depends on the beam width).
+    */
+  private def graphWalkPrep(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], nprobe: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
     Similarity.requireBroadcastableQueries(queries, "graphTopKFromIndex")
     val probeCells = {
       val scored = centroids.map { case (cid, c) =>
@@ -563,13 +649,6 @@ object Clustering {
       .select(col("cell"), col("vec_id"), col("en"), col("nbrs"))
       .localCheckpoint()
     val qSide = probes.select("query_id", "q_en").distinct()
-    // score a (query_id, vec_id) candidate set by exact cosine
-    def score(cand: DataFrame): DataFrame = cand
-      .join(graph.select(col("vec_id"), col("en")), "vec_id")
-      .join(broadcast(qSide), "query_id")
-      .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(Similarity.dot(col("q_en"), col("en")), 6).as("cos_sim"))
     // entry point = the smallest-id node of the probed cell THAT IS
     // NOT THE QUERY: a bare per-cell min orphans any cell whose min-id
     // node is the query itself — score() rightly refuses to score
@@ -587,7 +666,30 @@ object Clustering {
       .where(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "cell").agg(min("vec_id").as("vec_id"))
       .select("query_id", "vec_id").distinct()
-    var visited = score(entries).localCheckpoint()
+    (graph, qSide, scoreAgainst(graph, qSide)(entries).localCheckpoint())
+  }
+
+  /** Score a (query_id, vec_id) candidate set by exact cosine against
+    * the probed-cell graph rows (the query itself never scored).
+    */
+  private def scoreAgainst(graph: DataFrame, qSide: DataFrame)(
+      cand: DataFrame): DataFrame = cand
+    .join(graph.select(col("vec_id"), col("en")), "vec_id")
+    .join(broadcast(qSide), "query_id")
+    .where(col("query_id") =!= col("vec_id"))
+    .select(col("query_id"), col("vec_id"),
+      round(Similarity.dot(col("q_en"), col("en")), 6).as("cos_sim"))
+
+  /** The beam-DEPENDENT expansion loop of a [[graphTopKFromIndex]]
+    * walk over a [[graphWalkPrep]] result: `rounds` rounds of cut
+    * frontier / expand neighbors / score unseen, then the top-k of
+    * the visited set.
+    */
+  private def graphWalkRounds(
+      graph: DataFrame, qSide: DataFrame, visited0: DataFrame,
+      k: Int, beam: Int, rounds: Int): DataFrame = {
+    val score = scoreAgainst(graph, qSide) _
+    var visited = visited0
     (1 to rounds).foreach { _ =>
       val wBeam = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -631,9 +733,14 @@ object Clustering {
       "graphTuningReport: every beam must be >= 1")
     val truthTagged = truth
       .select(col("query_id"), col("neighbor_id"), lit(true).as("_t"))
+    // one prep for the whole sweep: the partition-pruned graph read,
+    // entry election and scored V₀ are beam-independent — only the
+    // expansion loop differs per swept beam
+    val (graph, qSide, visited0) =
+      graphWalkPrep(spark, indexDir, queries, centroids, nprobe, idCol, vecCol)
     beams.map { b =>
-      val all = graphTopKFromIndex(spark, indexDir, queries, centroids,
-        k = Int.MaxValue, nprobe, b, rounds, idCol, vecCol)
+      val all = graphWalkRounds(graph, qSide, visited0,
+        k = Int.MaxValue, beam = b, rounds = rounds)
         .localCheckpoint()
       val annK = all.where(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), lit(true).as("_h"))

@@ -69,6 +69,21 @@ class PlanChecksSpec extends SparkSpec {
       s"cell not in partition filters:\n$plan")
   }
 
+  test("s16 filtered ANN prunes the index on BOTH partition columns") {
+    val plan = planOf("s16_filtered_ann")
+    // the same-label constraint must reach the scan as a partition
+    // predicate next to the probed cells: a label filter evaluated
+    // after the read is the post-filter plan that scans whole cells
+    // and discards ~90% of the rows at 10% selectivity
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"cell not in partition filters:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*label""".r.findFirstIn(plan).isDefined,
+      s"label not in partition filters:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      "filtered probe degraded to an unblocked product")
+  }
+
   test("d6 simhash candidates join on bit segments, not the block alone") {
     val plan = planOf("d6_simhash_pairs")
     // the candidate equi-join must carry the segment value in its keys:

