@@ -670,11 +670,17 @@ object Clustering {
   }
 
   /** Score a (query_id, vec_id) candidate set by exact cosine against
-    * the probed-cell graph rows (the query itself never scored).
+    * the probed-cell graph rows (the query itself never scored). The
+    * candidate set is per-query bounded by construction (entries <=
+    * |queries| x nprobe, an expansion <= |queries| x beam x M), so it
+    * is ALWAYS the broadcast side: the probed-cell graph — the only
+    * corpus-scale frame in the walk — is never exchanged, each round
+    * is one broadcast-hash pass over the checkpointed graph rows.
     */
   private def scoreAgainst(graph: DataFrame, qSide: DataFrame)(
-      cand: DataFrame): DataFrame = cand
-    .join(graph.select(col("vec_id"), col("en")), "vec_id")
+      cand: DataFrame): DataFrame = graph
+    .select(col("vec_id"), col("en"))
+    .join(broadcast(cand), "vec_id")
     .join(broadcast(qSide), "query_id")
     .where(col("query_id") =!= col("vec_id"))
     .select(col("query_id"), col("vec_id"),
@@ -697,12 +703,13 @@ object Clustering {
         .withColumn("_r", row_number().over(wBeam))
         .where(col("_r") <= beam)
         .select("query_id", "vec_id")
-      val expanded = frontier
-        .join(graph.select(col("vec_id"), col("nbrs")), "vec_id")
+      val expanded = graph
+        .select(col("vec_id"), col("nbrs"))
+        .join(broadcast(frontier), "vec_id")
         .select(col("query_id"), explode(col("nbrs")).as("vec_id"))
         .distinct()
-        .join(visited.select("query_id", "vec_id"), Seq("query_id", "vec_id"),
-          "left_anti")
+        .join(broadcast(visited.select("query_id", "vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
       visited = visited.unionByName(score(expanded)).localCheckpoint()
     }
     val wK = Window.partitionBy("query_id")
