@@ -189,7 +189,15 @@ object QueriesTrainingData {
     * rule would be vacuously true — the x12 PII pattern).
     */
   private def c4LineDf(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.wsTokens(lower(col("text")))
+    // tokenize ONCE into an attribute before the per-line transform:
+    // referencing the wsTokens EXPRESSION inside the lambda would
+    // re-inline it, re-tokenizing the whole document for every line
+    // it yields — O(tokens²) per doc (the r16 explode re-inlining
+    // trap, Generate's Project cousin). _toks is consumed many times
+    // below, so CollapseProject keeps the boundary.
+    val base = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.wsTokens(lower(col("text"))).as("_toks"))
+    val toks = col("_toks")
     val nContent = ceil(size(toks) / lit(8.0)).cast("int")
     val punctCycle = array(lit("."), lit("!"), lit("?"), lit(""))
     val content = when(nContent > lit(0),
@@ -204,7 +212,7 @@ object QueriesTrainingData {
     def marker(mod: Int, line: String) =
       when(col("doc_id") % mod === 0, array(lit(line)))
         .otherwise(array().cast("array<string>"))
-    docs(s, dir).select(col("doc_id"),
+    base.select(col("doc_id"),
       concat(content,
         marker(11, "lorem ipsum dolor sit amet."),
         marker(13, "var page = { config: true };"),

@@ -773,21 +773,43 @@ object TextAnalysis {
       minWordsPerLine: Int = 5, minKeptLines: Int = 3,
       badwords: Seq[String] = c4Badwords,
       idCol: String = "doc_id", linesCol: String = "lines"): DataFrame = {
-    val badRe = badwords.map(java.util.regex.Pattern.quote).mkString("|")
+    // every per-line predicate below is value-identical to the C4 rule
+    // it replaces but regex-free where a string op suffices: the line
+    // rules run once per line of the corpus, and higher-order array
+    // functions are interpreted (no codegen, no common-subexpression
+    // elimination), so per-line regex cost is paid in full
+    //   - terminal punctuation: last-char membership, not `[.!?"]$`
+    //     (Java's $ also matches before a trailing newline, but lines
+    //     are newline-free by construction — split products)
+    //   - word count: split-by-space yields n_spaces+1 elements
+    //     unconditionally, so compare space COUNT via length arithmetic
+    //     instead of materializing a throwaway array per line
+    //   - blocklist: the quoted alternation `b1|b2` unanchored is
+    //     exactly contains-any; test each literal
     def lineKept(l: Column): Column =
-      l.rlike("[.!?\"]$") &&
-        size(split(l, " ")) >= minWordsPerLine &&
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        length(l) - length(translate(l, " ", "")) + 1 >= minWordsPerLine &&
         !lower(l).rlike("\\bjavascript\\b")
     val keptLines = filter(col(linesCol), lineKept _)
     docsLines.select(
         col(idCol),
+        col(linesCol),
+        // one projection boundary: keptLines is consumed TWICE below
+        // (size + array_join); as its own attribute the filter pass
+        // runs once per row — CollapseProject keeps multi-use non-cheap
+        // aliases, so the optimizer cannot re-inline it
+        keptLines.as("_kept_lines"))
+      .select(
+        col(idCol),
         size(col(linesCol)).cast("long").as("n_lines"),
-        size(keptLines).cast("long").as("n_kept"),
+        size(col("_kept_lines")).cast("long").as("n_kept"),
         exists(col(linesCol), l => lower(l).contains("lorem ipsum"))
           .as("has_lorem"),
         exists(col(linesCol), l => l.contains("{")).as("has_brace"),
-        exists(col(linesCol), l => lower(l).rlike(badRe)).as("has_badword"),
-        array_join(keptLines, "\n").as("clean_text"))
+        exists(col(linesCol), l =>
+          badwords.map(b => lower(l).contains(b.toLowerCase))
+            .reduce(_ || _)).as("has_badword"),
+        array_join(col("_kept_lines"), "\n").as("clean_text"))
       .withColumn("kept",
         col("n_kept") >= minKeptLines &&
           !col("has_lorem") && !col("has_brace") && !col("has_badword"))
