@@ -145,14 +145,24 @@ private[graft] object OracleFragments {
     * Clustering.trainCentroids(iterations = 1) + assign. Requires the
     * `ve` CTE from [[normVecCte]] in scope; leaves `d1` (per-cell
     * distances) visible for probe-style consumers.
+    *
+    * `trainPred` (an SQL predicate over unqualified `vec_id`, empty =
+    * no restriction) limits the TRAINING corpus — seeds and the Lloyd
+    * step — while the final assignment (`d1`/`cellassign`) still
+    * covers every vector: the replay of an index whose quantizer was
+    * trained before a batch was appended (s17).
     */
-  def ivfCellsCte(nCells: Int): String =
-    s"""seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < $nCells),
+  def ivfCellsCte(nCells: Int, trainPred: String = ""): String = {
+    val seedAnd = if (trainPred.isEmpty) "" else s" AND ($trainPred)"
+    val trainSrc =
+      if (trainPred.isEmpty) "ve"
+      else s"(SELECT * FROM ve WHERE ($trainPred))"
+    s"""seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < $nCells$seedAnd),
        |d0 AS (
        |  SELECT v.vec_id, s.cid,
        |    list_sum(list_transform(range(1, 65),
        |      i -> (v.e[i] - s.ce[i]) * (v.e[i] - s.ce[i]))) AS dist
-       |  FROM ve v CROSS JOIN seeds s
+       |  FROM $trainSrc v CROSS JOIN seeds s
        |), a0 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
@@ -178,6 +188,7 @@ private[graft] object OracleFragments {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM d1) WHERE rn = 1
        |)""".stripMargin
+  }
 
   /** CTEs sub..luts: product quantization — `Similarity.pqCodebooks` /
     * `pqCodes` / `pqLuts`' exact math: 16 subspaces × 4 dims, 16

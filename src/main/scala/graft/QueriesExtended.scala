@@ -1057,6 +1057,41 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental IVF index maintenance (Clustering.appendToIvfIndex):
+    * 80% of the corpus (vec_id % 5 != 4 — scale-free split) builds
+    * the index and trains its coarse quantizer; the remaining 20%
+    * batch is then APPENDED against the frozen centroids —
+    * assignment is a map-only pass, the write adds batch-sized files
+    * inside the existing cell directories and touches nothing else.
+    * The probe then serves old and new rows through one
+    * partition-pruned read (several of the vec_id < 20 queries are
+    * themselves batch rows, and batch vectors surface as neighbors).
+    * This is the freshness path of a 100 TB index: rebuilds re-read
+    * the world for a 0.1% delta, appends cost the delta; the spec
+    * pins probe equality against a from-scratch rebuild at the same
+    * centroids, so the append path cannot silently diverge. Oracle:
+    * the frozen ivfCellsCte with its TRAINING corpus restricted to
+    * the base split while assignment still covers every vector.
+    */
+  private val appendIvfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Seq[(Int, Array[Double])])]()
+
+  private def s17IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (ixDir, cents) = appendIvfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
+      val base = e.where(col("vec_id") % 5 =!= 4)
+      val c = Clustering.trainCentroids(base, nCells = 16, iterations = 1)
+      val ix = TempDirs.fresh("graft_ivf_append")
+      Clustering.writeIvfIndex(base, c, ix)
+      Clustering.appendToIvfIndex(e.where(col("vec_id") % 5 === 4), c, ix)
+      (ix, c)
+    })
+    Clustering.ivfTopKFromIndex(s, ixDir, e.where(col("vec_id") < 20),
+        cents, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Margin-based bitext-style pair mining (Similarity.marginMining —
     * Artetxe & Schwenk 2019's ratio margin): the corpus split by
     * vec_id parity into a src and a tgt side, candidates blocked by
@@ -1217,7 +1252,8 @@ object QueriesExtended {
     "s13_pq_tuning" -> (s13PqTuning(_, _)),
     "s14_graph_ann" -> (s14GraphAnn(_, _)),
     "s15_graph_tuning" -> (s15GraphTuning(_, _)),
-    "s16_filtered_ann" -> (s16FilteredAnn(_, _)))
+    "s16_filtered_ann" -> (s16FilteredAnn(_, _)),
+    "s17_ivf_append" -> (s17IvfAppend(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -2032,6 +2068,30 @@ object QueriesExtended {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
          |    AS rank
          |  FROM fscored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s17_ivf_append" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCte(16, "vec_id % 5 <> 4")},
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), cands AS (
+         |  SELECT p.query_id, ix.vec_id AS neighbor_id
+         |  FROM probes p JOIN cellassign ix ON ix.cell = p.cell
+         |  WHERE ix.vec_id <> p.query_id
+         |), ascored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM cands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank
+         |  FROM ascored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s8_ivf_recall" ->
       s"""WITH ${OracleFragments.normVecCte},

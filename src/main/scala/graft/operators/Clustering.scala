@@ -114,6 +114,32 @@ object Clustering {
         Similarity.normalized(col(vecCol)).as("c_vec"))
       .write.partitionBy("cell").mode("overwrite").parquet(dir)
 
+  /** Append a batch to a PERSISTED IVF index without rebuilding it:
+    * the batch is assigned against the index's FROZEN coarse
+    * quantizer and written `mode("append")` into the same
+    * cell-partitioned layout, so each appended row lands as a new
+    * file inside its cell's directory and every existing file is
+    * untouched. This is how a 100 TB index stays fresh — a rebuild
+    * re-reads and re-writes the whole corpus for a 0.1% delta, an
+    * append costs exactly the batch (assignment is a map-only pass,
+    * the write is batch-sized). The price is quantizer staleness:
+    * centroids drift as the corpus grows, so production re-trains on
+    * a cadence and rebuilds THEN — between rebuilds, probes serve
+    * old and new rows through the same partition-pruned read with no
+    * code path caring which file a row came from
+    * ([[ivfTopKFromIndex]] over an appended index is spec-pinned
+    * equal to the same probe over a from-scratch rebuild at the same
+    * centroids).
+    */
+  def appendToIvfIndex(
+      batch: DataFrame, centroids: Seq[(Int, Array[Double])], dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    batch.select(
+        col(idCol).as("neighbor_id"),
+        nearestCentroid(col(vecCol), centroids).as("cell"),
+        Similarity.normalized(col(vecCol)).as("c_vec"))
+      .write.partitionBy("cell").mode("append").parquet(dir)
+
   /** Read only the probed cells of a persisted IVF index. The `isin`
     * predicate on the partition column prunes at planning time — the
     * scan never lists, opens or reads the other cells' files.

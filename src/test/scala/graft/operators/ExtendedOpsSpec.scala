@@ -234,6 +234,32 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(hitsPerQ.values.forall(_ <= 5))
   }
 
+  test("IVF append: probe over an appended index equals a from-scratch rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val base = e.where($"vec_id" % 5 =!= 4)
+    val batch = e.where($"vec_id" % 5 === 4)
+    // quantizer trained on the BASE only — appends never retrain
+    val cents = Clustering.trainCentroids(base, nCells = 8, iterations = 1)
+    val ixApp = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    Clustering.writeIvfIndex(base, cents, ixApp)
+    Clustering.appendToIvfIndex(batch, cents, ixApp)
+    val ixReb = java.nio.file.Files.createTempDirectory("ivf_reb").toString
+    Clustering.writeIvfIndex(e, cents, ixReb)
+    val q = e.where($"vec_id" < 10)
+    def probe(ix: String) =
+      Clustering.ivfTopKFromIndex(spark, ix, q, cents, k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val app = probe(ixApp)
+    // the append path cannot diverge from a rebuild at the same
+    // centroids: same rows in the same cells, just in more files
+    assert(app == probe(ixReb), "appended-index probe != rebuilt-index probe")
+    // and the appended rows are actually served by the probe
+    assert(app.exists(_._2 % 5 == 4), "no batch vector surfaced as a neighbor")
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(
