@@ -69,16 +69,22 @@ class PlanChecksSpec extends SparkSpec {
       s"cell not in partition filters:\n$plan")
   }
 
-  test("s16 filtered ANN prunes the index on BOTH partition columns") {
+  test("s16 filtered ANN: bounded partition pruning + pushed exact-label filter") {
     val plan = planOf("s16_filtered_ann")
-    // the same-label constraint must reach the scan as a partition
-    // predicate next to the probed cells: a label filter evaluated
-    // after the read is the post-filter plan that scans whole cells
-    // and discards ~90% of the rows at 10% selectivity
+    // the same-label constraint reaches the scan in two layers: the
+    // (cell, label_bucket) disjunction prunes DIRECTORIES at planning
+    // time (bounded by cells x LabelBuckets at any label cardinality —
+    // partitioning by the raw label measured 4,800 dirs and an 11 s
+    // FileIndex build at sf3), and the exact-label isin pushes into
+    // the parquet row groups. A label filter evaluated after the read
+    // would be the post-filter plan that scans whole cells and
+    // discards ~90% of the rows at 10% selectivity.
     assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
       s"cell not in partition filters:\n$plan")
-    assert("""PartitionFilters: \[[^\]]*label""".r.findFirstIn(plan).isDefined,
-      s"label not in partition filters:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*label_bucket""".r.findFirstIn(plan).isDefined,
+      s"label_bucket not in partition filters:\n$plan")
+    assert("""PushedFilters: \[[^\]]*In\(label""".r.findFirstIn(plan).isDefined,
+      s"exact-label isin not pushed to the scan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
       "filtered probe degraded to an unblocked product")
