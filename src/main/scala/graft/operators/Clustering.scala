@@ -777,15 +777,17 @@ object Clustering {
         col("cos_sim"), col("rank"))
   }
 
-  /** Beam-width S-curve for the persisted neighbor-graph index: for
-    * each beam, run the [[graphTopKFromIndex]] walk once and report
-    * recall@k against `truth` plus the visited-set size (the walk's
-    * actual cost, O(rounds·beam·M) rows per query) — the measured
-    * backing for the beam knob, as ivfTuningReport gives nprobe. One
-    * walk per beam: a narrow beam's frontier is NOT a prefix of a
-    * wider one's (the frontier feeds every later round's expansion),
-    * so the beams cannot share one ranked list the way a shortlist
-    * sweep can.
+  /** Beam-width S-curve for the persisted neighbor-graph index: one
+    * [[graphWalkPrep]] for the whole sweep (the partition-pruned
+    * graph read, entry election and scored V₀ are beam-independent),
+    * then one [[graphWalkRounds]] expansion loop per swept beam,
+    * reporting recall@k against `truth` plus the visited-set size
+    * (the walk's actual cost, O(rounds·beam·M) rows per query) — the
+    * measured backing for the beam knob, as ivfTuningReport gives
+    * nprobe. The ROUNDS must still run once per beam: a narrow beam's
+    * frontier is NOT a prefix of a wider one's (the frontier feeds
+    * every later round's expansion), so the beams cannot share one
+    * ranked list the way a shortlist sweep can.
     */
   def graphTuningReport(
       spark: SparkSession, indexDir: String, queries: DataFrame,
