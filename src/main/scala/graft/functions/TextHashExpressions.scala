@@ -234,6 +234,44 @@ object TokenGramOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Hashing-trick classifier stats in one pass: [n_tokens, sum of
+    * per-token integer milli-weights], where a token's weight is
+    * `h60(md5("clsw:" || (h60(md5(token)) % dim))) % 2001 - 1000` —
+    * byte-for-byte the TextAnalysis.classifierScore expression chain
+    * (md5 of the token's UTF-8 bytes, bucket id rendered in decimal).
+    * The expression form paid two md5-hex round-trips, a string
+    * concat and a base-16 `conv` PARSE per token inside an
+    * interpreted `aggregate` lambda; here it is two digests over
+    * reused buffers. Same values, so the DuckDB oracles that replay
+    * the chain are untouched.
+    */
+  def classifierStatsMilli(s: UTF8String, dim: Int): ArrayData = {
+    val b = s.getBytes
+    val md = md5Local.get()
+    val digest = new Array[Byte](16)
+    val prefix = "clsw:".getBytes("UTF-8")
+    var nToks = 0L
+    var sum = 0L
+    var i = 0
+    while (i < b.length) {
+      if (!isWs(b(i))) {
+        val start = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        nToks += 1
+        md.reset()
+        md.update(b, start, i - start)
+        md.digest(digest, 0, 16)
+        val bucket = h60(digest) % dim
+        md.reset()
+        md.update(prefix)
+        md.update(java.lang.Long.toString(bucket).getBytes("UTF-8"))
+        md.digest(digest, 0, 16)
+        sum += h60(digest) % 2001 - 1000
+      } else i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(nToks, sum))
+  }
+
   private def tokenGramHash60Array(s: UTF8String, n: Int): Array[Long] = {
     val b = s.getBytes
     val md = md5Local.get()
@@ -474,6 +512,44 @@ case class RollingWindowHashes(child: Expression, winLen: Int)
     copy(newChild)
 }
 
+/** classifier_stats_milli(text, dim) -> array<long> of
+  * [n_tokens, sum_milli] — [[TokenGramOps.classifierStatsMilli]] as a
+  * codegen'd kernel (whitespace tokens of the already-normalized
+  * input; one element pair per DOCUMENT, so the downstream projection
+  * is two cheap element_at's on an attribute).
+  */
+case class ClassifierStatsMilli(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"classifier_stats_milli needs a string column, got ${child.dataType}")
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TokenGramOps.classifierStatsMilli(v.asInstanceOf[UTF8String], dim)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.TokenGramOps.classifierStatsMilli(
+          ${c.value}, $dim);
+      }
+      boolean ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
 object TextHashExpressions {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
@@ -491,4 +567,7 @@ object TextHashExpressions {
 
   def tokenSeededHash60s(text: Column, seed: Int): Column =
     column(TokenSeededHash60s(expression(text), seed))
+
+  def classifierStatsMilli(text: Column, dim: Int): Column =
+    column(ClassifierStatsMilli(expression(text), dim))
 }

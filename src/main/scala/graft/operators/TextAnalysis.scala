@@ -971,24 +971,22 @@ object TextAnalysis {
   def classifierScore(
       docs: DataFrame, dim: Int = 1 << 16, threshold: Double = 0.0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = wsTokens(normalize(coalesce(col(textCol), lit(""))))
-    def h60(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
-    val weightMilli = (t: Column) =>
-      h60(concat(lit("clsw:"), (h60(t) % dim).cast("string"))) % 2001 - 1000
-    // staged like charEntropy: the weight fold is not subexpression-
-    // eliminable, so alias it once and derive score/kept from the
-    // aliased attributes
-    val n = col("_n_toks")
+    // one codegen'd kernel pass per document (r17): the former
+    // expression form paid, PER TOKEN inside an interpreted
+    // `aggregate` lambda, two md5-hex round-trips, a string concat
+    // and a base-16 `conv` parse. ClassifierStatsMilli digests the
+    // same bytes over reused buffers and returns [n_tokens,
+    // sum_milli] — value-identical (same md5 chain), so the x34/x40
+    // oracles that replay the chain in SQL are untouched.
+    val stats = graft.functions.TextHashExpressions.classifierStatsMilli(
+      normalize(coalesce(col(textCol), lit(""))), dim)
+    val n = col("_cs").getItem(0)
     docs
-      .select(col(idCol), toks.as("_toks"))
-      .select(col(idCol), size(col("_toks")).as("_n_toks"),
-        aggregate(col("_toks"), lit(0L), (acc, t) => acc + weightMilli(t))
-          .as("_sum_milli"))
-      .select(col(idCol), n.cast("long").as("n_tokens"),
+      .select(col(idCol), stats.as("_cs"))
+      .select(col(idCol), n.as("n_tokens"),
         when(n <= 0, 0.0)
-          .otherwise(round(col("_sum_milli").cast("double")
-            / (n.cast("long") * lit(1000.0)), 6)).as("clf_score"))
+          .otherwise(round(col("_cs").getItem(1).cast("double")
+            / (n * lit(1000.0)), 6)).as("clf_score"))
       .withColumn("kept", col("n_tokens") > 0 && col("clf_score") > threshold)
   }
 }
