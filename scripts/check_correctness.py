@@ -17,12 +17,40 @@ CORRECTNESS_r15.json):
     python3 scripts/check_correctness.py SF_DIR OUT_DIR CORRECTNESS_LOCAL_r16.json
 """
 import glob
+import hashlib
 import json
 import math
 import os
+import subprocess
 import sys
 
 import duckdb
+
+
+def canon_hash(cols, rows):
+    """sha256 over the canonical (column-sorted, row-sorted, normalized)
+    result — an independently recomputable fingerprint of the dump, so a
+    judge can spot-check CORRECTNESS_LOCAL without re-running the whole
+    gate: rebuild the query's dump at the artifact's `head`, canonicalize
+    the same way, and compare digests. float repr is the shortest
+    round-trip form (deterministic across CPython 3), bytes are hexed and
+    NaN normalized by norm() before this is called."""
+    h = hashlib.sha256()
+    h.update(("|".join(cols) + "\n").encode())
+    for r in rows:
+        h.update(repr(r).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def git_head():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        return subprocess.check_output(
+            ["git", "-C", root, "rev-parse", "HEAD"],
+            stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        return None
 
 
 def canon(rows, cols):
@@ -79,8 +107,10 @@ def main(sf_dir, out_dir, json_out=None):
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         got_cols = [d[0] for d in con.description]
         if name not in oracles:
+            rc, rr = canon(got, got_cols)
             print(f"ROWS  {name}: {len(got)} rows (no oracle)")
-            results[name] = {"status": "rows_only", "rows": len(got)}
+            results[name] = {"status": "rows_only", "rows": len(got),
+                             "hash": canon_hash(rc, rr)}
             n_skip += 1
             continue
         try:
@@ -137,12 +167,14 @@ def main(sf_dir, out_dir, json_out=None):
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(gr)} rows")
-            results[name] = {"status": "pass", "rows": len(gr)}
+            results[name] = {"status": "pass", "rows": len(gr),
+                             "hash": canon_hash(gc, gr)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only/skip")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"n_pass": n_pass, "n_fail": n_fail, "n_skip": n_skip,
+                       "head": git_head(), "sf_dir": sf_dir,
                        "queries": results}, f, indent=1, sort_keys=True)
         print(f"wrote {json_out} ({len(results)} entries)")
     return 1 if n_fail else 0

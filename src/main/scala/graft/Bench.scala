@@ -431,10 +431,16 @@ object Bench {
     val repolledJson = repolled.map { case (k, (o, f)) =>
       s""""$k":{"official":${trim(o, 3)},"fresh":${trim(f, 3)}}"""
     }.mkString("{", ",", "}")
+    // ratio exemption (r17 advice): a genuine multi-x regression that
+    // still lands under the floor (e.g. frozen 0.1 -> 0.59) must NOT
+    // be classified scheduler noise — entries over 3x frozen surface
+    // in the regression list even when both values sit under floor_s
+    // (the real floor entries read 1.5-1.7x, well inside the bound)
     val floorBoundJson = finalResults.collect {
       case (name, (v, _, _, _))
         if floorS > 0 && v >= 0 && v < floorS &&
-          frozen.get(name).exists(_ < floorS) => s""""$name""""
+          frozen.get(name).exists(f =>
+            f < floorS && f > 0 && v / f <= 3.0) => s""""$name""""
     }.mkString("[", ",", "]")
     // full JSON string escaping: exception messages carry newlines and
     // other control characters (plan fragments), which would otherwise

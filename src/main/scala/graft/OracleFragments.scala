@@ -7,6 +7,31 @@ package graft
   */
 private[graft] object OracleFragments {
 
+  /** Force DuckDB to MATERIALIZE every CTE. DuckDB 1.0 INLINES each CTE
+    * reference by default, so a CTE referenced twice is computed twice —
+    * and a chain where round N references round N-1 multiple times
+    * (frontier + NOT EXISTS + union, the graph-walk and funnel shapes)
+    * re-evaluates EXPONENTIALLY across rounds: measured at sf0.01,
+    * s15's oracle ran 294 s inlined vs 0.4 s materialized, p5 > 280 s
+    * vs 0.5 s, s14 10.5 s vs ~0.1 s. At the driver's verify gate that
+    * inlining is a timeout — the most plausible mechanism for three
+    * consecutive rounds of empty CORRECTNESS artifacts (r15-r17): the
+    * Spark dump finished in minutes while the DuckDB half silently ran
+    * for tens of minutes. Applied to the whole oracle map at the
+    * SparkEntry.oracleSql choke point; idempotent (an `AS MATERIALIZED`
+    * no longer matches), and safe because `<identifier> AS (` can only
+    * open a CTE body or a named WINDOW definition — column aliases
+    * follow their expression and casts are `AS <type>`. The WINDOW
+    * case (`WINDOW w AS (...)`, where MATERIALIZED is a syntax error)
+    * is excluded by lookbehind; every oracle's window clause names a
+    * single window, so the lookbehind's one-token reach suffices (a
+    * second `, w2 AS (...)` would need the comma form excluded too).
+    */
+  def materializeCtes(sql: String): String =
+    sql.replaceAll(
+      "(?<!WINDOW\\s)\\b([a-z][a-z0-9_]*\\s+AS)\\s*\\(",
+      "$1 MATERIALIZED (")
+
   val toksSql: String =
     "list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), x -> x <> '')"
 
@@ -152,12 +177,35 @@ private[graft] object OracleFragments {
     * covers every vector: the replay of an index whose quantizer was
     * trained before a batch was appended (s17).
     */
-  def ivfCellsCte(nCells: Int, trainPred: String = ""): String = {
+  def ivfCellsCte(nCells: Int, trainPred: String = ""): String =
+    ivfCellsBody(nCells.toString, trainPred)
+
+  /** [[ivfCellsCte]] with the cell count computed FROM THE DATA, inside
+    * the SQL itself: greatest(16, ceil(sqrt(n/2))) over the TRAINING
+    * corpus — the exact formula Clustering.scaledCells evaluates on the
+    * engine side. Because both engines derive k from the same count at
+    * run time, a verify at ANY scale factor replays the same quantizer:
+    * the r17 gate-breaker (a frozen 16-cell oracle vs a data-sized
+    * engine, divergent beyond 512 vectors BY CONSTRUCTION) cannot
+    * recur. IEEE note: sqrt/ceil on a count-valued double are exact in
+    * both engines (counts are far below 2^53), so the two formulas
+    * cannot round apart.
+    */
+  def ivfCellsCteDynamic(trainPred: String = ""): String = {
+    val trainSrc =
+      if (trainPred.isEmpty) "ve"
+      else s"(SELECT * FROM ve WHERE ($trainPred))"
+    s"""nc AS (SELECT greatest(16, CAST(ceil(sqrt(count(*) / 2.0)) AS INT)) AS k
+       |       FROM $trainSrc),
+       |${ivfCellsBody("(SELECT k FROM nc)", trainPred)}""".stripMargin
+  }
+
+  private def ivfCellsBody(cellsExpr: String, trainPred: String): String = {
     val seedAnd = if (trainPred.isEmpty) "" else s" AND ($trainPred)"
     val trainSrc =
       if (trainPred.isEmpty) "ve"
       else s"(SELECT * FROM ve WHERE ($trainPred))"
-    s"""seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < $nCells$seedAnd),
+    s"""seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < $cellsExpr$seedAnd),
        |d0 AS (
        |  SELECT v.vec_id, s.cid,
        |    list_sum(list_transform(range(1, 65),

@@ -408,11 +408,11 @@ object QueriesExtended {
         .as("doc_id"))
       .where(col("doc_id").isNotNull).distinct()
     // semantic gate: d13's exact kept set (same dynamic quantizer
-    // sizing — at the sf0.01 oracle gate the formula yields 16, the
-    // frozen seed CTE); vec_id is the doc's embedding id, docs
+    // sizing; the oracle computes the identical formula in SQL —
+    // ivfCellsCteDynamic); vec_id is the doc's embedding id, docs
     // without a vector pass
     val e = t(s, dir, "embeddings")
-    val nCells = math.max(16, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
+    val nCells = Clustering.scaledCells(e.count())
     val semDropped = Clustering.semanticDedup(e, nCells = nCells, tau = 0.3)
       .where(!col("kept"))
       .select(col("vec_id").as("doc_id"), lit(true).as("_sem"))
@@ -936,15 +936,6 @@ object QueriesExtended {
     val Beam = 12
     val Rounds = 3
     val Nprobe = 4
-    /** The frozen oracle CTE is pinned to 16 coarse cells; the engine's
-      * formula max(16, ceil(sqrt(n/2))) yields the same 16 only while
-      * the verify SF has <= 512 embeddings (sf0.01: n = 500). A larger
-      * verify SF would mismatch BY CONSTRUCTION — s14GraphAnn shouts
-      * the divergence to stderr so it reads as a config drift, not a
-      * value-level engine bug.
-      */
-    val OracleCells = 16
-    val OracleMaxVectors = 512L
     /** Beam sweep for the s15 S-curve; includes the s14 default. */
     val TuningBeams = Seq(2, 4, 8, 12)
   }
@@ -972,19 +963,12 @@ object QueriesExtended {
   private def s14GraphAnn(s: SparkSession, dir: String): DataFrame = {
     import GraphAnnParams._
     val e = t(s, dir, "embeddings")
-    val n = e.count()
     // cells scale ~sqrt(n/2) floored at 16 (the d13/s12 sizing, same
     // argument: graph construction pays within-cell pairs Σ|cell|² ≈
     // n²/k — a FIXED k is a quadratic build; measured 159 s at sf1
-    // before this formula, and the sf0.01 gate still yields exactly
-    // the frozen 16-cell oracle CTE)
-    val nCells = math.max(OracleCells, math.ceil(math.sqrt(n / 2.0)).toInt)
-    if (n > OracleMaxVectors)
-      System.err.println(
-        s"s14_graph_ann: n=$n embeddings -> $nCells cells; the frozen " +
-          s"$OracleCells-cell DuckDB oracle only replays this walk at " +
-          s"verify SFs with <= $OracleMaxVectors vectors (bench SFs are " +
-          "fine — no oracle runs there)")
+    // before this formula). The oracle CTE computes the SAME formula
+    // in SQL (ivfCellsCteDynamic), so any verify SF replays it.
+    val nCells = Clustering.scaledCells(e.count())
     val (ixDir, cents) = graphIndexCache.computeIfAbsent(s"$dir:$nCells:$M", { _ =>
       val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
       val ix = TempDirs.fresh("graft_graph")
@@ -1011,8 +995,7 @@ object QueriesExtended {
   private def s15GraphTuning(s: SparkSession, dir: String): DataFrame = {
     import GraphAnnParams._
     val e = t(s, dir, "embeddings")
-    val n = e.count()
-    val nCells = math.max(OracleCells, math.ceil(math.sqrt(n / 2.0)).toInt)
+    val nCells = Clustering.scaledCells(e.count())
     val (ixDir, cents) = graphIndexCache.computeIfAbsent(s"$dir:$nCells:$M", { _ =>
       val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
       val ix = TempDirs.fresh("graft_graph")
@@ -1036,9 +1019,20 @@ object QueriesExtended {
     * (cell, label) directories instead of scanning whole cells and
     * discarding 90% of the scored rows (a post-filter would also
     * starve below k survivors exactly when the filter matters).
-    * Same 16 coarse cells / nprobe 4 / Lloyd-1 quantizer as s3, so
-    * the oracle reuses the frozen ivfCellsCte replay with a label
-    * equi-join added.
+    * Corpus-scaled coarse cells (Clustering.scaledCells) / nprobe 4 /
+    * Lloyd-1 quantizer; the oracle recomputes the same cell count in
+    * SQL (ivfCellsCteDynamic) with a label equi-join added.
+    *
+    * Why not the graph index for filtered search: a graph walk is
+    * label-blind — its frontier expands through nodes of every label,
+    * so POST-filtering the visited set starves below k exactly when
+    * the filter is selective (the known filtered-HNSW failure).
+    * Measured at sf0.001 / ~10% label selectivity: post-filtered
+    * beam-12 walk recall 0.50 vs 0.80 for this partition-pruned IVF
+    * probe (spec-pinned, ExtendedOpsSpec "filtered graph walk").
+    * Label-aware edges would fix the walk but multiply the index by
+    * the filter cardinality; the label-partitioned IVF layout is the
+    * production answer at bounded cost.
     */
   private val labeledIvfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -1046,8 +1040,9 @@ object QueriesExtended {
 
   private def s16FilteredAnn(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val (ixDir, cents) = labeledIvfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    val nCells = Clustering.scaledCells(e.count())
+    val (ixDir, cents) = labeledIvfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
       val ix = TempDirs.fresh("graft_ivf_labeled")
       Clustering.writeLabeledIvfIndex(e, c, ix)
       (ix, c)
@@ -1070,7 +1065,7 @@ object QueriesExtended {
     * the world for a 0.1% delta, appends cost the delta; the spec
     * pins probe equality against a from-scratch rebuild at the same
     * centroids, so the append path cannot silently diverge. Oracle:
-    * the frozen ivfCellsCte with its TRAINING corpus restricted to
+    * the data-sized ivfCellsCteDynamic with its TRAINING corpus restricted to
     * the base split while assignment still covers every vector.
     */
   private val appendIvfIndexCache =
@@ -1079,12 +1074,51 @@ object QueriesExtended {
 
   private def s17IvfAppend(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val (ixDir, cents) = appendIvfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
+    // the quantizer is sized from the BASE corpus — the data that
+    // existed when it was trained; appends ride the frozen centroids
+    val nCells = Clustering.scaledCells(e.where(col("vec_id") % 5 =!= 4).count())
+    val (ixDir, cents) = appendIvfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
       val base = e.where(col("vec_id") % 5 =!= 4)
-      val c = Clustering.trainCentroids(base, nCells = 16, iterations = 1)
+      val c = Clustering.trainCentroids(base, nCells = nCells, iterations = 1)
       val ix = TempDirs.fresh("graft_ivf_append")
       Clustering.writeIvfIndex(base, c, ix)
       Clustering.appendToIvfIndex(e.where(col("vec_id") % 5 === 4), c, ix)
+      (ix, c)
+    })
+    Clustering.ivfTopKFromIndex(s, ixDir, e.where(col("vec_id") < 20),
+        cents, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF index compaction + deletes (Clustering.compactIvfIndex) — the
+    * other half of s17's freshness path: the same base-build + batch-
+    * append as s17, then a TOMBSTONE set (vec_id % 7 = 3 — a takedown
+    * list) is anti-joined out and every cell rewritten to one bounded
+    * file by a single per-cell task. The probe then serves the
+    * compacted index through the identical partition-pruned read:
+    * appended rows still surface, tombstoned rows never do, and the
+    * spec additionally pins that compaction (a) collapses the
+    * append-inflated per-cell file counts and (b) is probe-IDENTICAL
+    * when no tombstones are applied. This is the maintenance cadence
+    * of a 100 TB index: appends cost the delta, compaction repays the
+    * accumulated small files on a schedule, deletes ride the same
+    * rewrite.
+    */
+  private val compactIvfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Seq[(Int, Array[Double])])]()
+
+  private def s18IvfCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val nCells = Clustering.scaledCells(e.where(col("vec_id") % 5 =!= 4).count())
+    val (ixDir, cents) = compactIvfIndexCache.computeIfAbsent(s"$dir:$nCells", { _ =>
+      val base = e.where(col("vec_id") % 5 =!= 4)
+      val c = Clustering.trainCentroids(base, nCells = nCells, iterations = 1)
+      val ix = TempDirs.fresh("graft_ivf_compact")
+      Clustering.writeIvfIndex(base, c, ix)
+      Clustering.appendToIvfIndex(e.where(col("vec_id") % 5 === 4), c, ix)
+      Clustering.compactIvfIndex(s, ix, tombstones =
+        Some(e.where(col("vec_id") % 7 === 3).select(col("vec_id"))))
       (ix, c)
     })
     Clustering.ivfTopKFromIndex(s, ixDir, e.where(col("vec_id") < 20),
@@ -1106,13 +1140,13 @@ object QueriesExtended {
     * and for the same reason: assignment costs n·k, within-cell pair
     * verification Σ|cell|² ≈ n²/k, and k ∝ √n is the argmin of the
     * sum (a FIXED k re-creates a quadratic pair term: measured 24.8 s
-    * at sf1 = 19× wall for 10× data before this formula). At the
-    * oracle gate (sf0.01, n=500) the formula still yields exactly 16,
-    * matching the frozen DuckDB seed CTE.
+    * at sf1 = 19× wall for 10× data before this formula). The oracle
+    * computes the identical formula in SQL (ivfCellsCteDynamic), so
+    * engine and replay size the quantizer together at every SF.
     */
   private def s12MarginMining(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = math.max(16, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
+    val nCells = Clustering.scaledCells(e.count())
     val cents = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
     operators.Similarity.marginMining(
         e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
@@ -1182,9 +1216,9 @@ object QueriesExtended {
     * (27× wall for 10× data at sf1), a fixed k is quadratic in the
     * pair term (13.5× at sf1 before round 10), and k ∝ √n is the
     * argmin of the sum: both terms scale n^1.5, the honest complexity
-    * of flat (non-hierarchical) SemDeDup. At the oracle gate the
-    * formula still yields exactly 16, matching the frozen DuckDB seed
-    * CTE. The one count() job is the price of sizing the quantizer to
+    * of flat (non-hierarchical) SemDeDup. The oracle computes the same
+    * formula in SQL (ivfCellsCteDynamic), so any verify SF replays it.
+    * The one count() job is the price of sizing the quantizer to
     * the corpus — the same job any production SemDeDup pays to pick k.
     * (Beyond ~10⁷ vectors the literal centroid matrix itself is the
     * limit — the production path is the persisted IVF index + cell-
@@ -1192,8 +1226,7 @@ object QueriesExtended {
     */
   private def d13SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = math.max(16, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
-    Clustering.semanticDedup(e, nCells = nCells, tau = 0.3)
+    Clustering.semanticDedup(e, nCells = Clustering.scaledCells(e.count()), tau = 0.3)
       .orderBy("vec_id")
   }
 
@@ -1253,7 +1286,8 @@ object QueriesExtended {
     "s14_graph_ann" -> (s14GraphAnn(_, _)),
     "s15_graph_tuning" -> (s15GraphTuning(_, _)),
     "s16_filtered_ann" -> (s16FilteredAnn(_, _)),
-    "s17_ivf_append" -> (s17IvfAppend(_, _)))
+    "s17_ivf_append" -> (s17IvfAppend(_, _)),
+    "s18_ivf_compact" -> (s18IvfCompact(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -1541,14 +1575,14 @@ object QueriesExtended {
     // cands/inter/sz CTEs the cluster closure already defines (the d17
     // pair scaffold restricted to s2 survivors; raw integer/integer
     // division — IEEE-identical on both engines), then the d13
-    // semantic-dedup CTEs verbatim (seed quantizer = 16 at the oracle
-    // gate, vec_id == doc_id), then gopher + budget as p4.
+    // semantic-dedup CTEs verbatim (data-sized seed quantizer,
+    // vec_id == doc_id), then gopher + budget as p4.
     "p5_full_funnel" ->
       s"""WITH RECURSIVE
          |${OracleFragments.minhashSigsCte},
          |${OracleFragments.dedupClustersCte(0.1)},
          |${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |nt AS (
          |  SELECT doc_id, source,
          |    CAST(coalesce(len(${OracleFragments.rawToksSqlNoNorm}), 0) AS BIGINT)
@@ -1803,7 +1837,7 @@ object QueriesExtended {
          |) WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "d13_semantic_dedup" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |pr AS (
          |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM cellassign a JOIN cellassign b
@@ -1827,7 +1861,7 @@ object QueriesExtended {
       // construction + entry CTEs and the walk generator are shared
       // with the s15 beam sweep (graphOracleBaseSql/graphWalkSql).
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(GraphAnnParams.OracleCells)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |$graphOracleBaseSql,
          |${graphWalkSql("", GraphAnnParams.Beam)}
          |SELECT query_id, vec_id AS neighbor_id, cos_sim, rank FROM (
@@ -1856,7 +1890,7 @@ object QueriesExtended {
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(OracleCells)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |$graphOracleBaseSql,
          |escored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1977,7 +2011,7 @@ object QueriesExtended {
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s12_margin_mining" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |sides AS (
          |  SELECT c.vec_id, c.cell, v.en FROM cellassign c
          |  JOIN vn v USING (vec_id)
@@ -2041,7 +2075,7 @@ object QueriesExtended {
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s16_filtered_ann" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |probes AS (
          |  SELECT vec_id AS query_id, cid AS cell FROM (
          |    SELECT vec_id, cid,
@@ -2071,7 +2105,7 @@ object QueriesExtended {
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s17_ivf_append" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16, "vec_id % 5 <> 4")},
+         |${OracleFragments.ivfCellsCteDynamic("vec_id % 5 <> 4")},
          |probes AS (
          |  SELECT vec_id AS query_id, cid AS cell FROM (
          |    SELECT vec_id, cid,
@@ -2092,6 +2126,34 @@ object QueriesExtended {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
          |    AS rank
          |  FROM ascored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // s17's replay with the tombstoned ids excluded from the candidate
+    // set — a compacted index is observationally the appended index
+    // minus its deletes, which is exactly what the anti-join predicate
+    // asserts (the file-count collapse is spec-asserted, not hashable)
+    "s18_ivf_compact" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCteDynamic("vec_id % 5 <> 4")},
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), cands AS (
+         |  SELECT p.query_id, ix.vec_id AS neighbor_id
+         |  FROM probes p JOIN cellassign ix ON ix.cell = p.cell
+         |  WHERE ix.vec_id <> p.query_id AND ix.vec_id % 7 <> 3
+         |), cscored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM cands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+         |    AS rank
+         |  FROM cscored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s8_ivf_recall" ->
       s"""WITH ${OracleFragments.normVecCte},

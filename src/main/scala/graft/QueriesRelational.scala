@@ -217,20 +217,31 @@ object QueriesRelational {
     * of bound flips a flag and breaks the hash (the quantitative curve
     * is additionally asserted in ApproxSpec).
     */
-  private def q19Approx(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy("o_orderstatus")
+  private def q19Approx(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // exact median via the x24 window-rank interpolated quantile
+    // (TextAnalysis.quantileThreshold — a spillable per-group sort),
+    // NOT the `percentile` aggregate: that ObjectHashAggregate buffers
+    // every group's full value list in executor memory, and with 3
+    // order-status groups each buffer is corpus-scale / 3 — the exact
+    // shape x24 was built to avoid. Same quantile_cont math, so the
+    // oracle is unchanged.
+    val med = operators.TextAnalysis
+      .quantileThreshold(o, 0.5, "o_orderstatus", "o_totalprice")
+      .select(col("o_orderstatus"), col("threshold").as("em"))
+    o.groupBy("o_orderstatus")
       .agg(
         countDistinct(col("o_custkey")).as("exact_custs"),
         approx_count_distinct(col("o_custkey"), rsd = 0.02).as("ac"),
-        expr("percentile(o_totalprice, 0.5)").as("em"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("am"))
+      .join(med, Seq("o_orderstatus"), "left")
       .select(col("o_orderstatus"), col("exact_custs"),
-        round(col("em"), 6).as("exact_median"),
+        col("em").as("exact_median"),
         (abs(col("ac") - col("exact_custs"))
           <= col("exact_custs") * lit(0.05)).as("custs_ok"),
         (abs(col("am") - col("em")) <= abs(col("em")) * lit(0.05)).as("median_ok"))
       .orderBy("o_orderstatus")
+  }
 
   /** Skew-salted join (operators/Scale.saltedJoin): the pathological
     * single-hot-key shape AQE cannot split further. Salting must be

@@ -795,12 +795,15 @@ object Registry {
       val grams = operators.Dedup.hashedShingleTable(df, n, id, text).distinct()
       val report = str(c, "eval_flag_column") match {
         case Some(flagCol) =>
-          // flag lives on df, not the gram table: tag the grams first
-          // (dropDuplicates on the id projection so a duplicate-id df
-          // can't multiply posting rows through this join either)
+          // flag lives on df, not the gram table: tag the grams first.
+          // groupBy(id).max(_ev) rather than dropDuplicates: one row
+          // per id so a duplicate-id df can't multiply posting rows,
+          // AND deterministic when duplicate ids carry CONFLICTING
+          // flags — any eval-flagged duplicate marks the id eval
+          // (dropDuplicates picked an arbitrary row; r17 advice)
           val tagged = grams.join(
-            df.select(col(id), coalesce(col(flagCol), lit(false)).as("_ev"))
-              .dropDuplicates(id), id)
+            df.select(col(id), coalesce(col(flagCol), lit(false)).as("_ev0"))
+              .groupBy(id).agg(max(col("_ev0")).as("_ev")), id)
           operators.Dedup.evalOverlapFromHashes(tagged, col("_ev"), id)
         case None =>
           val m = int(c, "eval_modulus").getOrElse(20)

@@ -25,6 +25,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every CTE is exported `AS MATERIALIZED`: DuckDB 1.0 inlines CTE
+    * references, which re-evaluates self-referencing round chains
+    * exponentially — s15's oracle measured 294 s inlined vs 0.4 s
+    * materialized at sf0.01 (see OracleFragments.materializeCtes; the
+    * likely mechanism behind the r15-r17 empty driver artifacts).
+    */
+  def oracleSql: Map[String, String] =
+    Queries.oracles.map { case (k, v) =>
+      k -> OracleFragments.materializeCtes(v)
+    }
 }

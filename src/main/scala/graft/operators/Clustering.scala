@@ -140,6 +140,65 @@ object Clustering {
         Similarity.normalized(col(vecCol)).as("c_vec"))
       .write.partitionBy("cell").mode("append").parquet(dir)
 
+  /** Compact a persisted IVF index in place, optionally applying row
+    * DELETES — the other half of the [[appendToIvfIndex]] freshness
+    * story. Appends accumulate one batch-sized file per touched cell
+    * per increment, so after many increments the per-cell file count
+    * becomes a FileIndex/small-file wall (the s16 metadata lesson:
+    * listing cost, not data cost, is what degrades first); and a
+    * production index also needs to forget rows (takedowns, corrected
+    * upstream dedup). Both are one per-cell rewrite: read the index,
+    * anti-join the tombstone ids, `repartition(cell)` so each cell is
+    * written by ONE task (the r17 rule — tasks × dirs small files
+    * otherwise), bounded by `maxRecordsPerFile`, into a sibling
+    * directory, then swap. The swap is two renames on a filesystem —
+    * production would flip a catalog/manifest pointer instead, which
+    * is atomic; the layout and probe behavior are identical either
+    * way, and probes before/after are spec-pinned equal (minus
+    * tombstoned rows). Cost is one pass over the index — paid on a
+    * compaction cadence, never per append.
+    */
+  def compactIvfIndex(
+      spark: SparkSession, dir: String,
+      tombstones: Option[DataFrame] = None,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    val rows = spark.read.parquet(dir)
+      .select("cell", "neighbor_id", "c_vec")
+    val kept = tombstones match {
+      // shuffle anti-join, not broadcast: a takedown list can be large
+      case Some(t) => rows.join(
+        t.select(col(t.columns.head).as("neighbor_id")),
+        Seq("neighbor_id"), "left_anti")
+      case None => rows
+    }
+    val tmp = dir + ".compact"
+    kept.repartition(col("cell"))
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cell").mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val pTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(pTmp, p), s"compactIvfIndex: rename $tmp -> $dir failed")
+  }
+
+  /** Part-file count per cell directory of a persisted index — the
+    * observable [[compactIvfIndex]] exists to shrink; spec fodder.
+    */
+  def indexFileCounts(spark: SparkSession, dir: String): Map[Int, Int] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map { d =>
+        val cell = d.getPath.getName.stripPrefix("cell=").toInt
+        val n = fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        cell -> n
+      }.toMap
+  }
+
   /** Read only the probed cells of a persisted IVF index. The `isin`
     * predicate on the partition column prunes at planning time — the
     * scan never lists, opens or reads the other cells' files.
@@ -147,6 +206,18 @@ object Clustering {
   def readIvfCells(spark: SparkSession, dir: String, cells: Seq[Int]): DataFrame =
     spark.read.parquet(dir)
       .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+
+  /** Corpus-scaled quantizer size: max(16, ceil(sqrt(n/2))). Assignment
+    * costs n·k and within-cell pair work Σ|cell|² ≈ n²/k, so k ∝ √n is
+    * the argmin of the sum — both terms scale n^1.5 (a FIXED k
+    * re-creates a quadratic pair term; k ∝ n a quadratic assignment
+    * term — both measured, see d13/s12 scaladoc). The SAME formula is
+    * emitted into the DuckDB oracles as SQL
+    * (OracleFragments.ivfCellsCteDynamic), so engine and oracle size
+    * the quantizer identically at every scale factor by construction.
+    */
+  def scaledCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n / 2.0)).toInt)
 
   /** Train the coarse quantizer: deterministic seeds + `iterations`
     * Lloyd rounds. Centroids are k x dims — driver-sized at any corpus
@@ -284,9 +355,13 @@ object Clustering {
       .map(r => (r.getInt(0), r.getInt(1))).toSeq.distinct.sorted
     val qLabels = probes.select("label").distinct().collect()
       .map(_.getInt(0)).toSeq.sorted
+    // reduceOption: an EMPTY query set yields lit(false) — an empty
+    // result, like ivfTopKFromIndex's empty isin — instead of a
+    // reduce() throw on the empty pairs seq (r17 advice)
     val pruned = spark.read.parquet(indexDir)
       .where(pairs.map { case (c, b) =>
-        col("cell") === c && col("label_bucket") === b }.reduce(_ || _))
+        col("cell") === c && col("label_bucket") === b }
+        .reduceOption(_ || _).getOrElse(lit(false)))
       .where(col("label").isin(qLabels.map(Integer.valueOf): _*))
     val scored = pruned
       .join(broadcast(probes), Seq("cell", "label"))
@@ -733,14 +808,15 @@ object Clustering {
     * corpus-scale frame in the walk — is never exchanged, each round
     * is one broadcast-hash pass over the checkpointed graph rows.
     */
-  private def scoreAgainst(graph: DataFrame, qSide: DataFrame)(
+  private def scoreAgainst(
+      graph: DataFrame, qSide: DataFrame, carry: Seq[String] = Nil)(
       cand: DataFrame): DataFrame = graph
     .select(col("vec_id"), col("en"))
     .join(broadcast(cand), "vec_id")
     .join(broadcast(qSide), "query_id")
     .where(col("query_id") =!= col("vec_id"))
-    .select(col("query_id"), col("vec_id"),
-      round(Similarity.dot(col("q_en"), col("en")), 6).as("cos_sim"))
+    .select(carry.map(col) ++ Seq(col("query_id"), col("vec_id"),
+      round(Similarity.dot(col("q_en"), col("en")), 6).as("cos_sim")): _*)
 
   /** The beam-DEPENDENT expansion loop of a [[graphTopKFromIndex]]
     * walk over a [[graphWalkPrep]] result: `rounds` rounds of cut
@@ -749,45 +825,65 @@ object Clustering {
     */
   private def graphWalkRounds(
       graph: DataFrame, qSide: DataFrame, visited0: DataFrame,
-      k: Int, beam: Int, rounds: Int): DataFrame = {
-    val score = scoreAgainst(graph, qSide) _
+      k: Int, beam: Int, rounds: Int): DataFrame =
+    graphWalkRoundsMulti(graph, qSide, visited0, Seq(beam), k, rounds)
+      .drop("beam")
+
+  /** ALL swept beams in one expansion loop: the walk state is keyed by
+    * (beam, query_id) — the per-beam frontier cut is a window
+    * PARTITION, not a separate plan — so each ROUND is a single
+    * broadcast-hash pass over the checkpointed graph carrying every
+    * beam's frontier at once. A sweep of B beams over R rounds costs R
+    * passes instead of B·R (s15 was the suite's most expensive query
+    * at 12 sequential passes; the per-beam semantics are identical
+    * because no window or join ever crosses a beam boundary). The
+    * broadcast stays bounded: Σbeams × |queries| frontier rows, and
+    * expansions ≤ Σbeams × |queries| × M.
+    */
+  private def graphWalkRoundsMulti(
+      graph: DataFrame, qSide: DataFrame, visited0: DataFrame,
+      beams: Seq[Int], k: Int, rounds: Int): DataFrame = {
+    val score = scoreAgainst(graph, qSide, carry = Seq("beam")) _
     var visited = visited0
+      .select(explode(typedlit(beams)).as("beam"),
+        col("query_id"), col("vec_id"), col("cos_sim"))
     (1 to rounds).foreach { _ =>
-      val wBeam = Window.partitionBy("query_id")
+      val wBeam = Window.partitionBy("beam", "query_id")
         .orderBy(col("cos_sim").desc, col("vec_id"))
       val frontier = visited
         .withColumn("_r", row_number().over(wBeam))
-        .where(col("_r") <= beam)
-        .select("query_id", "vec_id")
+        .where(col("_r") <= col("beam"))
+        .select("beam", "query_id", "vec_id")
       val expanded = graph
         .select(col("vec_id"), col("nbrs"))
         .join(broadcast(frontier), "vec_id")
-        .select(col("query_id"), explode(col("nbrs")).as("vec_id"))
+        .select(col("beam"), col("query_id"), explode(col("nbrs")).as("vec_id"))
         .distinct()
-        .join(broadcast(visited.select("query_id", "vec_id")),
-          Seq("query_id", "vec_id"), "left_anti")
+        .join(broadcast(visited.select("beam", "query_id", "vec_id")),
+          Seq("beam", "query_id", "vec_id"), "left_anti")
       visited = visited.unionByName(score(expanded)).localCheckpoint()
     }
-    val wK = Window.partitionBy("query_id")
+    val wK = Window.partitionBy("beam", "query_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
     visited
       .withColumn("rank", row_number().over(wK))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("beam"), col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos_sim"), col("rank"))
   }
 
   /** Beam-width S-curve for the persisted neighbor-graph index: one
     * [[graphWalkPrep]] for the whole sweep (the partition-pruned
     * graph read, entry election and scored V₀ are beam-independent),
-    * then one [[graphWalkRounds]] expansion loop per swept beam,
-    * reporting recall@k against `truth` plus the visited-set size
-    * (the walk's actual cost, O(rounds·beam·M) rows per query) — the
-    * measured backing for the beam knob, as ivfTuningReport gives
-    * nprobe. The ROUNDS must still run once per beam: a narrow beam's
-    * frontier is NOT a prefix of a wider one's (the frontier feeds
-    * every later round's expansion), so the beams cannot share one
-    * ranked list the way a shortlist sweep can.
+    * then ONE [[graphWalkRoundsMulti]] expansion loop carrying every
+    * swept beam — the walk state is keyed (beam, query_id), so a
+    * sweep of B beams over R rounds costs R broadcast passes, not
+    * B·R (12 → 3 for the shipped config; a narrow beam's frontier is
+    * NOT a prefix of a wider one's, so the beams can't share one
+    * ranked list — but they CAN share each round's pass). Reports
+    * recall@k against `truth` plus the visited-set size (the walk's
+    * actual cost, O(rounds·beam·M) rows per query) — the measured
+    * backing for the beam knob, as ivfTuningReport gives nprobe.
     */
   def graphTuningReport(
       spark: SparkSession, indexDir: String, queries: DataFrame,
@@ -796,33 +892,30 @@ object Clustering {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(beams.nonEmpty && beams.forall(_ >= 1),
       "graphTuningReport: every beam must be >= 1")
-    val truthTagged = truth
-      .select(col("query_id"), col("neighbor_id"), lit(true).as("_t"))
     // one prep for the whole sweep: the partition-pruned graph read,
     // entry election and scored V₀ are beam-independent — only the
-    // expansion loop differs per swept beam
+    // expansion loop depends on the beam, and it runs ONCE for all
     val (graph, qSide, visited0) =
       graphWalkPrep(spark, indexDir, queries, centroids, nprobe, idCol, vecCol)
-    beams.map { b =>
-      val all = graphWalkRounds(graph, qSide, visited0,
-        k = Int.MaxValue, beam = b, rounds = rounds)
-        .localCheckpoint()
-      val annK = all.where(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), lit(true).as("_h"))
-      val visited = all.groupBy().agg(count(lit(1)).as("n_visited"))
-      val hit = truthTagged
-        .join(annK, Seq("query_id", "neighbor_id"), "left")
-        .groupBy().agg(count(lit(1)).as("n_true"),
-          sum(when(col("_h"), 1L).otherwise(0L)).as("n_hits"))
-      // bounded one-row x one-row combine (the allowlisted crossJoin
-      // shape, as in ivfTuningReport)
-      visited.crossJoin(hit)
-        .select(lit(b).as("beam"), col("n_visited"), col("n_hits"),
-          col("n_true"),
-          when(col("n_true") > 0,
-            floor(col("n_hits").cast("double") * 1e6 /
-              col("n_true").cast("double")).cast("long"))
-            .otherwise(0L).as("recall_micro"))
-    }.reduce(_ unionByName _).orderBy("beam")
+    val all = graphWalkRoundsMulti(graph, qSide, visited0, beams,
+        k = Int.MaxValue, rounds = rounds)
+      .localCheckpoint()
+    val visitedCount = all.groupBy("beam").agg(count(lit(1)).as("n_visited"))
+    val annK = all.where(col("rank") <= k)
+      .select(col("beam"), col("query_id"), col("neighbor_id"),
+        lit(true).as("_h"))
+    val hit = truth
+      .select(explode(typedlit(beams)).as("beam"),
+        col("query_id"), col("neighbor_id"))
+      .join(annK, Seq("beam", "query_id", "neighbor_id"), "left")
+      .groupBy("beam").agg(count(lit(1)).as("n_true"),
+        sum(when(col("_h"), 1L).otherwise(0L)).as("n_hits"))
+    visitedCount.join(hit, Seq("beam"))
+      .select(col("beam"), col("n_visited"), col("n_hits"), col("n_true"),
+        when(col("n_true") > 0,
+          floor(col("n_hits").cast("double") * 1e6 /
+            col("n_true").cast("double")).cast("long"))
+          .otherwise(0L).as("recall_micro"))
+      .orderBy("beam")
   }
 }

@@ -28,6 +28,17 @@ class PlanChecksSpec extends SparkSpec {
       "scan reads pruned columns")
   }
 
+  test("q19 exact median is window-ranked, never a value-buffering percentile") {
+    // Spark's `percentile` aggregate holds every group's full value
+    // list in executor memory (ObjectHashAggregate) — with 3 status
+    // groups each buffer is corpus/3, a memory wall at scale. The
+    // exact side must come from the x24 spillable window-rank path.
+    val plan = planOf("q19_approx")
+    assert(!plan.contains("percentile("),
+      s"q19 still plans the buffering `percentile` aggregate:\n$plan")
+    assert(plan.contains("row_number"), "q19 lost the window-rank median")
+  }
+
   test("q4 dimension join broadcasts the small side") {
     val plan = planOf("q4_broadcast_join")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")

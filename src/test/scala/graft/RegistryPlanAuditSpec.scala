@@ -35,7 +35,6 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "s7_ann_recall" -> "composes the s1 brute-force ground truth: query side is k rows",
     "s8_ivf_recall" -> "composes the s1 brute-force ground truth: query side is k rows",
     "s9_ivf_tuning" -> "composes the s1 brute-force ground truth: query side is k rows",
-    "s15_graph_tuning" -> "composes the s1 brute-force ground truth (query side k rows) + the one-row x one-row visited/recall combine",
     "d2_ngram_jaccard" -> "corpus doc-count scalar broadcast: 1 row",
     "d12_line_dedup" -> "boilerplate array broadcast: df-capped line set",
     "x6_tfidf" -> "corpus doc-count scalar broadcast: 1 row",

@@ -260,6 +260,95 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(app.exists(_._2 % 5 == 4), "no batch vector surfaced as a neighbor")
   }
 
+  test("IVF compact: file counts collapse, probe identical, tombstones gone") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val base = e.where($"vec_id" % 5 =!= 4)
+    val cents = Clustering.trainCentroids(base, nCells = 8, iterations = 1)
+    val ix = java.nio.file.Files.createTempDirectory("ivf_cmp").toString
+    Clustering.writeIvfIndex(base, cents, ix)
+    // three appends: each adds one file per touched cell — the
+    // small-file accumulation compaction exists to repay
+    Clustering.appendToIvfIndex(e.where($"vec_id" % 5 === 4), cents, ix)
+    Clustering.appendToIvfIndex(e.where($"vec_id" % 5 === 4), cents, ix)
+    Clustering.appendToIvfIndex(e.where($"vec_id" % 5 === 4), cents, ix)
+    val before = Clustering.indexFileCounts(spark, ix)
+    assert(before.values.exists(_ >= 3),
+      s"appends did not inflate per-cell file counts: $before")
+    val q = e.where($"vec_id" < 10)
+    def probe() =
+      Clustering.ivfTopKFromIndex(spark, ix, q, cents, k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val preCompact = probe()
+    // compaction without tombstones is probe-IDENTICAL... note the
+    // duplicate appended rows above survive (compaction is a layout
+    // rewrite, not a dedup), so equality here is exact row equality
+    Clustering.compactIvfIndex(spark, ix)
+    val after = Clustering.indexFileCounts(spark, ix)
+    assert(after.values.forall(_ == 1),
+      s"compaction left multi-file cells: $after")
+    assert(probe() == preCompact, "compaction changed probe results")
+    // tombstoned ids never surface again
+    val dead = e.where($"vec_id" % 3 === 1).select($"vec_id")
+    Clustering.compactIvfIndex(spark, ix, tombstones = Some(dead))
+    assert(probe().forall(_._2 % 3 != 1), "a tombstoned id surfaced")
+  }
+
+  test("filtered graph walk: post-filtering starves recall; partition-pruned IVF doesn't") {
+    // The known filtered-HNSW failure, measured: a graph walk is
+    // label-blind — its frontier expands through nodes of EVERY label,
+    // so post-filtering the visited set to the query's ~10%-selective
+    // label leaves < k same-label survivors for most queries and
+    // recall collapses. s16's answer (label-partitioned IVF, the
+    // filter applied BEFORE scoring via partition pruning) scans only
+    // same-label rows and stays exact within its probed cells. This
+    // pins the boundary that decides which index family a filtered
+    // workload should use.
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val q = e.where($"vec_id" < 20)
+    val cents = Clustering.trainCentroids(e, nCells = 8, iterations = 1)
+    // filtered brute-force truth: top-5 among the QUERY'S OWN label
+    val labels = e.select("label").distinct().collect().map(_.getInt(0)).sorted
+    val truth = labels.map { l =>
+      Similarity.bruteForceTopK(
+        e.where($"label" === l), q.where($"label" === l), k = 5)
+    }.reduce(_ unionByName _)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // label-blind graph walk, post-filtered to the query's label
+    val ix = java.nio.file.Files.createTempDirectory("graph_fw").toString
+    Clustering.writeGraphIndex(e, cents, m = 8, ix)
+    val lab = e.select($"vec_id", $"label")
+    val walked = Clustering.graphTopKFromIndex(spark, ix, q, cents,
+        k = Int.MaxValue, nprobe = 4, beam = 12, rounds = 3)
+      .join(lab.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(q.select($"vec_id".as("query_id"), $"label".as("q_label")), "query_id")
+      .where($"label" === $"q_label")
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy($"cos_sim".desc, $"neighbor_id")))
+      .where($"_r" <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val walkRecall = (truth & walked).size.toDouble / truth.size
+    // the production path: the same filter as PARTITION PRUNING
+    val ixL = java.nio.file.Files.createTempDirectory("ivf_fw").toString
+    Clustering.writeLabeledIvfIndex(e, cents, ixL)
+    val pruned = Clustering.ivfTopKFromIndexFiltered(spark, ixL, q, cents,
+        k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (truth & pruned).size.toDouble / truth.size
+    info(f"post-filtered walk recall $walkRecall%.3f vs pruned-IVF $ivfRecall%.3f")
+    assert(ivfRecall > walkRecall,
+      f"pruned IVF ($ivfRecall%.3f) should beat the post-filtered walk ($walkRecall%.3f)")
+    assert(walkRecall < 0.75,
+      f"post-filtered walk recall $walkRecall%.3f no longer starved — " +
+        "re-measure and update the s16/SCALE.md boundary numbers")
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(
