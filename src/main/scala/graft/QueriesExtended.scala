@@ -16,6 +16,28 @@ import graft.operators.{Clustering, Dedup, Graph, RangeJoin, TextAnalysis}
   * total-order ORDER BY, and no oracle column is HUGEINT/DECIMAL
   * (cast to BIGINT/DOUBLE — the driver compare mangles those).
   */
+/** Session-scoped cache of the shared ANN ground truth: brute-force
+  * top-5 for the vec_id < 20 query set over the full embeddings corpus
+  * — the (query_id, neighbor_id) set s7/s8/s9/s13/s15 all judge their
+  * index against. Each consumer used to recompute it (~4 s at sf3 per
+  * query = the single largest shared cost in the similarity suite);
+  * one localCheckpointed copy per (session, dir) serves them all, the
+  * same deterministic-derived-artifact justification as the persisted
+  * index caches. s1 deliberately does NOT use it — s1 IS the
+  * brute-force baseline, and serving it from cache would unmeasure it.
+  */
+private[graft] object AnnTruth {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def topK5(s: SparkSession, dir: String, e: DataFrame): DataFrame =
+    cache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", { _ =>
+      operators.Similarity
+        .bruteForceTopK(e, e.where(col("vec_id") < 20), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+    })
+}
+
 object QueriesExtended {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -779,8 +801,9 @@ object QueriesExtended {
 
   private def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    val nCells = Clustering.scaledCells(e.count())
+    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
       val ix = TempDirs.fresh("graft_ivf")
       Clustering.writeIvfIndex(e, c, ix)
       (ix, c)
@@ -790,7 +813,8 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
-  /** Recall@5 of the IVF index (s3's exact config: 16 cells, nprobe 4)
+  /** Recall@5 of the IVF index (s3's exact config: corpus-scaled
+    * cells, nprobe 4)
     * against brute-force ground truth — s7's eval harness applied to
     * the second index family, so BOTH ANN paths carry a pinned,
     * hash-checked recall contract (an IVF centroid/probe regression is
@@ -800,10 +824,10 @@ object QueriesExtended {
   private def s8IvfRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.where(col("vec_id") < 20)
-    val exact = operators.Similarity.bruteForceTopK(e, q, k = 5)
-      .select(col("query_id"), col("neighbor_id"))
-    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    val exact = AnnTruth.topK5(s, dir, e)
+    val nCells = Clustering.scaledCells(e.count())
+    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
       val ix = TempDirs.fresh("graft_ivf")
       Clustering.writeIvfIndex(e, c, ix)
       (ix, c)
@@ -825,23 +849,24 @@ object QueriesExtended {
     * session-cached persisted index: recall@5 vs exact ground truth
     * plus candidate volume and cells-read at nprobe in {1, 2, 4, 8} —
     * the d19 analog for the ANN family, the table behind s3/s8's
-    * nprobe=4 choice. Ground truth is computed once (localCheckpoint)
-    * and shared across the four swept configs; each config pays one
-    * partition-pruned index scan (file-level pruning asserted per
-    * swept nprobe in ScaleSpec).
+    * nprobe=4 choice. Ground truth comes from the shared AnnTruth
+    * cache, and since r18 the WHOLE sweep pays ONE partition-pruned
+    * index scan at max(nprobe): each query's scored rows carry their
+    * probed cell's RANK, and a swept config is a probe_rank <= p cut —
+    * the s13 shortlist trick on the probe axis (pruning plan-asserted
+    * in ScaleSpec).
     */
   private def s9IvfTuning(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.where(col("vec_id") < 20)
-    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:16:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    val nCells = Clustering.scaledCells(e.count())
+    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
       val ix = TempDirs.fresh("graft_ivf")
       Clustering.writeIvfIndex(e, c, ix)
       (ix, c)
     })
-    val truth = operators.Similarity.bruteForceTopK(e, q, k = 5)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+    val truth = AnnTruth.topK5(s, dir, e)
     Clustering.ivfTuningReport(s, ixDir, q, cents, truth,
         k = 5, nprobes = Seq(1, 2, 4, 8))
       .orderBy("nprobe")
@@ -896,7 +921,7 @@ object QueriesExtended {
       .where(col("rank") <= 5)
       .select(col("rerank_depth"), col("query_id"), col("neighbor_id"),
         lit(true).as("_hit"))
-    val truth = operators.Similarity.bruteForceTopK(e, q, k = 5)
+    val truth = AnnTruth.topK5(s, dir, e)
       .select(col("query_id"), col("neighbor_id"),
         explode(typedlit(depths)).as("rerank_depth"))
     truth
@@ -914,8 +939,9 @@ object QueriesExtended {
 
   private def s11IvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val (ixDir, cents, cbs) = ivfPqIndexCache.computeIfAbsent(s"$dir:16:16:16", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    val nCells = Clustering.scaledCells(e.count())
+    val (ixDir, cents, cbs) = ivfPqIndexCache.computeIfAbsent(s"$dir:$nCells:16:16", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
       val cb = operators.Similarity.pqCodebooks(e, nSub = 16, codebookSize = 16)
       val ix = TempDirs.fresh("graft_ivfpq")
       Clustering.writeIvfPqIndex(e, c, cb, ix)
@@ -1003,8 +1029,7 @@ object QueriesExtended {
       (ix, c)
     })
     val q = e.where(col("vec_id") < 20)
-    val truth = operators.Similarity.bruteForceTopK(e, q, k = 5)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truth = AnnTruth.topK5(s, dir, e)
     Clustering.graphTuningReport(s, ixDir, q, cents, truth, k = 5,
       nprobe = Nprobe, beams = TuningBeams, rounds = Rounds)
   }
@@ -1189,7 +1214,8 @@ object QueriesExtended {
     */
   private def e3ClusterQuality(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cents = Clustering.trainCentroids(e, nCells = 16, iterations = 1)
+    val cents = Clustering.trainCentroids(
+      e, nCells = Clustering.scaledCells(e.count()), iterations = 1)
     val arr = array_sort(array(cents.map { case (cid, c) =>
       struct(Clustering.sqDist(col("embedding"), typedlit(c.toSeq)).as("dist"),
         lit(cid).as("cid"))
@@ -1809,7 +1835,7 @@ object QueriesExtended {
          |ORDER BY src_a, src_b""".stripMargin,
     "e3_cluster_quality" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |rk AS (
          |  SELECT vec_id, cid, dist,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -1973,7 +1999,7 @@ object QueriesExtended {
     },
     "s11_ivfpq" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |${OracleFragments.pqCtes},
          |probes AS (
          |  SELECT vec_id AS query_id, cid AS cell FROM (
@@ -2051,7 +2077,7 @@ object QueriesExtended {
          |ORDER BY r.src_id, r.f_rank""".stripMargin,
     "s3_ann_ivf" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |probes AS (
          |  SELECT vec_id AS query_id, cid AS cell FROM (
          |    SELECT vec_id, cid,
@@ -2157,7 +2183,7 @@ object QueriesExtended {
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s8_ivf_recall" ->
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |escored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
@@ -2231,7 +2257,7 @@ object QueriesExtended {
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${OracleFragments.normVecCte},
-         |${OracleFragments.ivfCellsCte(16)},
+         |${OracleFragments.ivfCellsCteDynamic()},
          |escored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim

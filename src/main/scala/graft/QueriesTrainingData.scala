@@ -398,8 +398,7 @@ object QueriesTrainingData {
   private def s7AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val q = e.where(col("vec_id") < 20)
-    val exact = Similarity.bruteForceTopK(e, q, k = 5)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = AnnTruth.topK5(s, dir, e)
     val ann = Similarity.lshTopK(e, q, k = 5, planesPerTable = 4, numTables = 8)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("_hit"))
     exact

@@ -485,48 +485,75 @@ object Clustering {
     require(nprobes.nonEmpty &&
       nprobes.forall(p => p >= 1 && p <= centroids.size),
       s"ivfTuningReport: each nprobe must be in [1, ${centroids.size}]")
-    val truthTagged = truth
-      .select(col("query_id"), col("neighbor_id"), lit(true).as("_t"))
-    nprobes.map { p =>
-      val probeCells = {
-        val scored = centroids.map { case (cid, c) =>
-          struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"),
-            lit(cid).as("cid"))
-        }
-        slice(array_sort(array(scored: _*)), 1, p)
+    // ONE partition-pruned index scan at max(nprobes) serves every
+    // swept config: a query's candidates at nprobe = p are exactly its
+    // scored rows whose probed cell RANKS <= p (the s13 shortlist-depth
+    // trick applied to the probe axis). The sweep used to re-list and
+    // re-scan the index once per swept p — 4 scans, each paying the
+    // FileIndex listing that grows with the corpus-scaled cell count.
+    val pMax = nprobes.max
+    val probeCells = {
+      val scored = centroids.map { case (cid, c) =>
+        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"),
+          lit(cid).as("cid"))
       }
-      val probes = queries.select(
-          col(idCol).as("query_id"),
-          Similarity.normalized(col(vecCol)).as("q_vec"),
-          explode(probeCells).as("pc"))
-        .select(col("query_id"), col("q_vec"), col("pc.cid").as("cell"))
-      val cells = probes.select("cell").distinct().collect()
-        .map(_.getInt(0)).toSeq.sorted
-      val scored = readIvfCells(spark, indexDir, cells)
-        .join(broadcast(probes), Seq("cell"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(Similarity.dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      val annK = scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"), lit(true).as("_h"))
-      val cand = scored.groupBy().agg(count(lit(1)).as("n_candidates"))
-      val hit = truthTagged
-        .join(annK, Seq("query_id", "neighbor_id"), "left")
-        .groupBy().agg(count(lit(1)).as("n_true"),
-          sum(when(col("_h"), 1L).otherwise(0L)).as("n_hits"))
-      // bounded one-row x one-row combine (the allowlisted crossJoin
-      // shape), then the d19-style floored micro-recall
-      cand.crossJoin(hit)
-        .select(lit(p).as("nprobe"), lit(cells.size.toLong).as("n_cells_read"),
-          col("n_candidates"), col("n_hits"), col("n_true"),
-          when(col("n_true") > 0,
-            floor(col("n_hits").cast("double") * 1e6 /
-              col("n_true").cast("double")).cast("long"))
-            .otherwise(lit(0L)).as("recall_micro"))
-    }.reduce(_.unionByName(_))
+      slice(array_sort(array(scored: _*)), 1, pMax)
+    }
+    val probes = queries.select(
+        col(idCol).as("query_id"),
+        Similarity.normalized(col(vecCol)).as("q_vec"),
+        posexplode(probeCells).as(Seq("_pos", "pc")))
+      .select(col("query_id"), col("q_vec"),
+        (col("_pos") + 1).as("probe_rank"), col("pc.cid").as("cell"))
+      .localCheckpoint()
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    val scored = readIvfCells(spark, indexDir, cells)
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("cell"), col("probe_rank"),
+        col("neighbor_id"),
+        round(Similarity.dot(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    // deliberately NOT checkpointed: the two consumers (candidate
+    // counts, rank/hit branch) re-execute the pruned read, but they
+    // share ONE logical relation — one FileIndex listing — and keeping
+    // the scan in the plan is what lets ScaleSpec assert its partition
+    // pruning end to end
+    // spine: every swept p appears (probe_rank 1 rows exist whenever
+    // the query set is non-empty), with the per-p distinct-cell count
+    val cellsRead = probes
+      .select(explode(typedlit(nprobes)).as("nprobe"),
+        col("probe_rank"), col("cell"))
+      .where(col("probe_rank") <= col("nprobe"))
+      .groupBy("nprobe")
+      .agg(countDistinct(col("cell")).as("n_cells_read"))
+    val swept = scored
+      .select(col("*"), explode(typedlit(nprobes)).as("nprobe"))
+      .where(col("probe_rank") <= col("nprobe"))
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val annK = swept.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        lit(true).as("_h"))
+    val cand = swept.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val hit = truth
+      .select(explode(typedlit(nprobes)).as("nprobe"),
+        col("query_id"), col("neighbor_id"))
+      .join(annK, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_true"),
+        sum(when(col("_h"), 1L).otherwise(0L)).as("n_hits"))
+    cellsRead
+      .join(cand, Seq("nprobe"), "left")
+      .join(hit, Seq("nprobe"), "left")
+      .select(col("nprobe"), col("n_cells_read"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        when(coalesce(col("n_true"), lit(0L)) > 0,
+          floor(coalesce(col("n_hits"), lit(0L)).cast("double") * 1e6 /
+            col("n_true").cast("double")).cast("long"))
+          .otherwise(lit(0L)).as("recall_micro"))
   }
 
   /** IVF (inverted-file) approximate top-k: index = corpus assigned to

@@ -32,7 +32,8 @@ class PlanChecksSpec extends SparkSpec {
     // Spark's `percentile` aggregate holds every group's full value
     // list in executor memory (ObjectHashAggregate) — with 3 status
     // groups each buffer is corpus/3, a memory wall at scale. The
-    // exact side must come from the x24 spillable window-rank path.
+    // exact side must come from the banded quantile (approx-bracket,
+    // exact count below, window-sort only the band).
     val plan = planOf("q19_approx")
     assert(!plan.contains("percentile("),
       s"q19 still plans the buffering `percentile` aggregate:\n$plan")

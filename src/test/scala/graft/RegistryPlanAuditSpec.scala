@@ -32,9 +32,6 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "s5_quantized_cosine" -> "query side broadcast: k rows",
     "s10_pq_adc" -> "query side broadcast: k rows (ADC lookup tables ride the broadcast)",
     "s13_pq_tuning" -> "same ADC scan as s10 (one depth-64 ranking pass serves every swept shortlist depth); query side broadcast: k rows",
-    "s7_ann_recall" -> "composes the s1 brute-force ground truth: query side is k rows",
-    "s8_ivf_recall" -> "composes the s1 brute-force ground truth: query side is k rows",
-    "s9_ivf_tuning" -> "composes the s1 brute-force ground truth: query side is k rows",
     "d2_ngram_jaccard" -> "corpus doc-count scalar broadcast: 1 row",
     "d12_line_dedup" -> "boilerplate array broadcast: df-capped line set",
     "x6_tfidf" -> "corpus doc-count scalar broadcast: 1 row",
