@@ -571,9 +571,12 @@ object QueriesExtended {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
       .where(col("rn") === expr("(n + 1) div 2")) // lower median, 1-based
       .select(col("o_orderstatus"), col("o_totalprice").as("median_lo"))
-    o.groupBy("o_orderstatus")
-      .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_cont"),
-        count(lit(1)).as("n"))
+    // interpolated side via the banded exact quantile (the q19 lesson:
+    // the `percentile` aggregate buffers each group's full value list)
+    operators.TextAnalysis
+      .quantileThresholdBanded(o, 0.5, "o_orderstatus", "o_totalprice")
+      .select(col("o_orderstatus"), col("n"),
+        col("threshold").as("median_cont"))
       .join(manual, "o_orderstatus")
       .select("o_orderstatus", "n", "median_cont", "median_lo")
       .orderBy("o_orderstatus")

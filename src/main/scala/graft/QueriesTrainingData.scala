@@ -593,26 +593,35 @@ object QueriesTrainingData {
   /** Per-source corpus "data card": the one-table summary a dataset
     * release ships — volume (docs, tokens), uniqueness (distinct
     * content hashes), language composition, quality profile, and the
-    * median document length. One scan + one groupBy; every statistic
-    * is an algebraic or sort-based aggregate that partial-aggregates
-    * before the exchange.
+    * median document length. The heavy per-doc text expressions run
+    * ONCE over a localCheckpointed projection; the median comes from
+    * the banded exact quantile (the q19 lesson — the `percentile`
+    * aggregate buffers every group value in executor memory, and a
+    * distinct aggregate in the same agg() would key its buffers by
+    * the distinct column), and countDistinct rides with the cheap
+    * algebraic aggregates only.
     */
   private def c1CorpusCard(s: SparkSession, dir: String): DataFrame = {
     val pred = TextAnalysis.langIdFromTokens(col("_toks")).getField("code")
-    docs(s, dir)
+    val base = docs(s, dir)
       .withColumn("_toks", TextAnalysis.wsTokens(lower(col("text"))))
       .select(col("source"),
         TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
         TextAnalysis.qualityScore(col("text")).as("q"),
         md5(TextAnalysis.normalize(col("text")).cast("binary")).as("cm"),
         (pred === "en").as("is_en"))
-      .groupBy("source")
+      .localCheckpoint()
+    val med = TextAnalysis
+      .quantileThresholdBanded(base, 0.5, "source", "toks")
+      .select(col("source"),
+        round(col("threshold"), 6).as("median_tokens"))
+    base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("toks").as("n_tokens"),
         countDistinct(col("cm")).as("n_unique_content"),
         sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
-        round(avg("q"), 6).as("mean_quality"),
-        round(expr("percentile(toks, 0.5)"), 6).as("median_tokens"))
+        round(avg("q"), 6).as("mean_quality"))
+      .join(med, Seq("source"))
       .orderBy("source")
   }
 
