@@ -1154,6 +1154,80 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval: vector recall + lexical rerank fused by
+    * reciprocal-rank fusion (Cormack 2009's RRF, the standard hybrid-
+    * search combiner) — the production shape where an ANN index
+    * supplies the candidate set and a lexical signal re-orders it.
+    * Candidates are each query's probed-cell cosine ranking through
+    * the SHARED persisted IVF index (s3's cache, corpus-scaled cells);
+    * the lexical signal is exact 3-gram Jaccard between the query's
+    * document and each candidate's (vec_id == doc_id, the d13
+    * alignment), computed ONLY over the candidate pairs: the query
+    * side's gram postings are driver-bounded (20 docs) and broadcast,
+    * so the corpus gram table never exchanges — the posting join is a
+    * map-side pass, per-doc gram-set sizes come from the kernel's
+    * array length without an explode, and candidates with no shared
+    * gram keep Jaccard 0 through the left join. Both ranks are
+    * id-tie-broken and both fusion divisions are single IEEE ops, so
+    * DuckDB replays the fused ranking row for row. RRF k = 60 (the
+    * paper's constant).
+    */
+  private def s19HybridRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val nCells = Clustering.scaledCells(e.count())
+    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val ix = TempDirs.fresh("graft_ivf")
+      Clustering.writeIvfIndex(e, c, ix)
+      (ix, c)
+    })
+    val q = e.where(col("vec_id") < 20)
+    val cos = Clustering.ivfTopKFromIndex(s, ixDir, q, cents,
+        k = Int.MaxValue, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("cos_rank"))
+      .localCheckpoint()
+    val docsT = t(s, dir, "documents")
+    val gramArr = graft.functions.TextHashExpressions
+      .tokenGramHash60sDistinct(TextAnalysis.normalize(col("text")), 3)
+    // per-doc gram-set size straight off the kernel array — no explode
+    val sizes = docsT.select(col("doc_id"), size(gramArr).as("sz"))
+    val grams = Dedup.hashedShingleTable(docsT, 3)
+    val qGrams = grams
+      .join(broadcast(q.select(col("vec_id").as("doc_id"))), "doc_id")
+      .select(col("doc_id").as("query_id"), col("h"))
+    val inter = grams
+      .select(col("doc_id").as("neighbor_id"), col("h"))
+      .join(broadcast(qGrams), Seq("h"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(count(lit(1)).as("i"))
+    val jac = cos
+      .join(sizes.select(col("doc_id").as("query_id"), col("sz").as("q_sz")),
+        Seq("query_id"))
+      .join(sizes.select(col("doc_id").as("neighbor_id"), col("sz").as("c_sz")),
+        Seq("neighbor_id"))
+      .join(inter, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("cos_rank"),
+        (coalesce(col("i"), lit(0L)).cast("double") /
+          (col("q_sz") + col("c_sz") - coalesce(col("i"), lit(0L))))
+          .as("jac"))
+    val wJac = Window.partitionBy("query_id")
+      .orderBy(col("jac").desc, col("neighbor_id"))
+    val fused = jac
+      .withColumn("jac_rank", row_number().over(wJac))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60) + col("cos_rank")) +
+          lit(1.0) / (lit(60) + col("jac_rank")))
+    val wRrf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused
+      .withColumn("rank", row_number().over(wRrf))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos_rank"),
+        col("jac_rank"), floor(col("jac") * 1e6).cast("long").as("jac_micro"),
+        floor(col("rrf") * 1e9).cast("long").as("rrf_nano"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Margin-based bitext-style pair mining (Similarity.marginMining —
     * Artetxe & Schwenk 2019's ratio margin): the corpus split by
     * vec_id parity into a src and a tgt side, candidates blocked by
@@ -1316,7 +1390,8 @@ object QueriesExtended {
     "s15_graph_tuning" -> (s15GraphTuning(_, _)),
     "s16_filtered_ann" -> (s16FilteredAnn(_, _)),
     "s17_ivf_append" -> (s17IvfAppend(_, _)),
-    "s18_ivf_compact" -> (s18IvfCompact(_, _)))
+    "s18_ivf_compact" -> (s18IvfCompact(_, _)),
+    "s19_hybrid_rerank" -> (s19HybridRerank(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -2184,6 +2259,71 @@ object QueriesExtended {
          |    AS rank
          |  FROM cscored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // hybrid RRF: the s3 probe replay supplies cosine ranks; exact
+    // 3-gram Jaccard over the SAME candidate pairs supplies lexical
+    // ranks (distinct 60-bit gram hashes — the engine kernel's set);
+    // both divisions are single IEEE ops so the fused doubles match
+    "s19_hybrid_rerank" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCteDynamic()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), cands AS (
+         |  SELECT p.query_id, ix.vec_id AS neighbor_id
+         |  FROM probes p JOIN cellassign ix ON ix.cell = p.cell
+         |  WHERE ix.vec_id <> p.query_id
+         |), hscored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM cands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |), cosr AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS cos_rank
+         |  FROM hscored
+         |), gd AS (
+         |  SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(${OracleFragments.shinglesSql(3)}) AS s
+         |        FROM documents)
+         |), gsz AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY doc_id),
+         |ginter AS (
+         |  SELECT c.query_id, c.neighbor_id, count(*) AS i
+         |  FROM cosr c
+         |  JOIN gd a ON a.doc_id = c.query_id
+         |  JOIN gd b ON b.doc_id = c.neighbor_id AND b.h = a.h
+         |  GROUP BY 1, 2
+         |), jac AS (
+         |  SELECT c.query_id, c.neighbor_id, c.cos_rank,
+         |    coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) AS jac
+         |  FROM cosr c
+         |  JOIN gsz sa ON sa.doc_id = c.query_id
+         |  JOIN gsz sb ON sb.doc_id = c.neighbor_id
+         |  LEFT JOIN ginter i
+         |    ON i.query_id = c.query_id AND i.neighbor_id = c.neighbor_id
+         |), fused AS (
+         |  SELECT query_id, neighbor_id, cos_rank,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY jac DESC, neighbor_id) AS jac_rank,
+         |    jac
+         |  FROM jac
+         |), rrfd AS (
+         |  SELECT query_id, neighbor_id, cos_rank, jac_rank,
+         |    CAST(floor(jac * 1e6) AS BIGINT) AS jac_micro,
+         |    1.0 / (60 + cos_rank) + 1.0 / (60 + jac_rank) AS rrf
+         |  FROM fused
+         |)
+         |SELECT query_id, neighbor_id, cos_rank, jac_rank, jac_micro,
+         |  CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_nano, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, neighbor_id) AS rank
+         |  FROM rrfd) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "s8_ivf_recall" ->
       s"""WITH ${OracleFragments.normVecCte},
          |${OracleFragments.ivfCellsCteDynamic()},

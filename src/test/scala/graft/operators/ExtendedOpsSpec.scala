@@ -349,6 +349,31 @@ class ExtendedOpsSpec extends SparkSpec {
         "re-measure and update the s16/SCALE.md boundary numbers")
   }
 
+  test("hybrid RRF rerank: dense ranks, fusion arithmetic, both signals live") {
+    val rows = graft.SparkEntry.queries("s19_hybrid_rerank")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    // dense top-5 per query, no self-hits
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._7).sorted.toSeq == (1 to rs.length),
+        s"query $q ranks not dense: ${rs.map(_._7).sorted.toSeq}")
+      assert(rs.length <= 5)
+      assert(!rs.exists(_._2 == q), s"query $q scored itself")
+    }
+    // the emitted rrf_nano is exactly the fusion of the emitted ranks
+    rows.foreach { case (_, _, cr, jr, jm, rn, _) =>
+      val rrf = 1.0 / (60 + cr) + 1.0 / (60 + jr)
+      assert(math.floor(rrf * 1e9).toLong == rn, s"rrf mismatch: $cr/$jr -> $rn")
+      assert(jm >= 0L && jm <= 1000000L, s"jaccard out of range: $jm")
+    }
+    // the two signals genuinely disagree somewhere — otherwise the
+    // "fusion" is vacuous on this fixture
+    assert(rows.exists(r => r._3 != r._4),
+      "cosine and jaccard ranks identical everywhere — fusion untested")
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(
