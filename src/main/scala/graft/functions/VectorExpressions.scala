@@ -107,6 +107,29 @@ object VectorOps {
     new GenericArrayData(out)
   }
 
+  /** ADC score: sum over subspaces j of luts[j][codes[j]] —
+    * left-to-right, matching the interpreted `aggregate(zip_with(...))`
+    * fold this kernel replaced and DuckDB's
+    * `list_sum(list_transform(...))` replay. Null when lengths differ,
+    * a code is out of its LUT's range, or any touched entry is null
+    * (fold-poisoning semantics like [[dot]]).
+    */
+  def adcScore(codes: ArrayData, luts: ArrayData): java.lang.Double = {
+    val n = codes.numElements()
+    if (n != luts.numElements()) return null
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      if (codes.isNullAt(j) || luts.isNullAt(j)) return null
+      val lut = luts.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= lut.numElements() || lut.isNullAt(c)) return null
+      acc += lut.getDouble(c)
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max|x| / 127,
     * q_i = floor(x_i / scale + 0.5) (explicit half-up — `floor(+0.5)`
     * is the same IEEE op sequence in the DuckDB oracle, unlike
@@ -296,6 +319,52 @@ case class VectorDot(left: Expression, right: Expression)
       if (!(${la.isNull} || ${lb.isNull})) {
         java.lang.Double $tmp = graft.functions.VectorOps.dot(
           ${la.value}, ${isFloatArray(left)}, ${lb.value}, ${isFloatArray(right)});
+        if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp.doubleValue(); }
+      }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
+/** adc_score(codes, luts) -> double: sum over j of luts[j][codes[j]].
+  * The PQ asymmetric-distance hot path — one table lookup per subspace
+  * per corpus row, so it must stay a single static call inside
+  * whole-stage codegen (the interpreted aggregate(zip_with(...)) fold
+  * it replaced allocated a zipped array per row and ran both lambdas
+  * interpreted).
+  */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_score expects (array<int>, array<array<double>>), got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else VectorOps.adcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (la, lb) = (left.genCode(ctx), right.genCode(ctx))
+    val tmp = ctx.freshName("adcBoxed")
+    ev.copy(code = code"""
+      ${la.code}
+      ${lb.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!(${la.isNull} || ${lb.isNull})) {
+        java.lang.Double $tmp = graft.functions.VectorOps.adcScore(
+          ${la.value}, ${lb.value});
         if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp.doubleValue(); }
       }
     """)
@@ -589,6 +658,9 @@ object VectorExpressions {
 
   def vectorDotInt8(a: Column, b: Column): Column =
     column(VectorDotInt8(expression(a), expression(b)))
+
+  def adcScore(codes: Column, luts: Column): Column =
+    column(AdcScore(expression(codes), expression(luts)))
 
   def sortedContains(sortedArr: Column, x: Column): Column =
     column(SortedContains(expression(sortedArr), expression(x)))

@@ -415,11 +415,16 @@ object Similarity {
 
   /** The ADC kernel: sum over subspaces of the code-indexed LUT entry —
     * a pure table-lookup score, no float vector on the corpus side.
+    * Native codegen expression (r18): the interpreted
+    * `aggregate(zip_with(...))` fold it replaced allocated a zipped
+    * array per scored row and ran both lambdas interpreted — on the
+    * ADC scan that touches EVERY corpus row per query (the point of
+    * PQ is that this scan is cheap), exactly the no-interpreted-
+    * lambdas rule. Same left-to-right accumulation, same
+    * fold-poisoning null semantics, byte-identical oracle.
     */
   def adcScore(codes: Column, luts: Column): Column =
-    aggregate(
-      zip_with(codes, luts, (cd, l) => element_at(l, cd + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.adcScore(codes, luts)
 
   /** The ADC stage of [[pqTopK]] alone: the rerankDepth-deep per-query
     * shortlist with its ADC rank and the exact cosine already computed
@@ -438,17 +443,28 @@ object Similarity {
       pqCodes(en, codebooks).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), en.as("q_en"),
       pqLuts(en, codebooks).as("luts"))
-    val adc = adcScore(col("codes"), col("luts"))
-    val scored = c.crossJoin(broadcast(q))
+    // the ADC ranking pass runs over NARROW rows — (ids, codes, score)
+    // only. Carrying both 64-dim vectors through the per-query ranking
+    // sort multiplied the sorted bytes ~8x for data the sort never
+    // reads (measured at sf3: s13 11.2 s with the interpreted fold ->
+    // 8.4 s native kernel -> 6.5 s after this narrowing); the vectors
+    // rejoin below for only |queries| x rerankDepth rows.
+    val scored = c.select(col("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("luts"))))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(adc, 6).as("approx_cos"), col("q_en"), col("n_en"))
+        round(adcScore(col("codes"), col("luts")), 6).as("approx_cos"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    scored
+    val short = scored
       .withColumn("adc_rank", row_number().over(wAdc))
       .where(col("adc_rank") <= rerankDepth)
-      // exact math only for the shortlist
+    // exact math only for the shortlist: the bounded shortlist
+    // broadcasts against one pruned corpus pass (codes not recomputed
+    // — column pruning drops the expression), queries stay broadcast
+    c.select(col("neighbor_id"), col("n_en"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_en"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
         round(dot(col("q_en"), col("n_en")), 6).as("cos_sim"),
         col("adc_rank"))
