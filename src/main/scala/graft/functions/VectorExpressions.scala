@@ -266,6 +266,42 @@ object VectorOps {
     if (bestC == -1) null
     else new GenericInternalRow(Array[Any](bestD, bestC))
   }
+
+  /** Nearest AND second-nearest centroid in one pass over the same
+    * flattened matrix — (dist, cid)-lexicographic like
+    * [[nearestCentroid]], so it reproduces exactly the first two
+    * elements of a sorted (dist, cid) struct array (the e3 shape)
+    * without materializing or sorting k structs per row. Null when the
+    * matrix has fewer than two centroids.
+    */
+  def nearestTwoCentroids(
+      v: ArrayData, isFloat: Boolean,
+      flat: Array[Double], cids: Array[Int], dims: Int): InternalRow = {
+    if (v == null || v.numElements() != dims || hasNullElement(v)) return null
+    if (cids.length < 2) return null
+    var d1 = 0.0; var c1 = -1
+    var d2 = 0.0; var c2 = -1
+    var k = 0
+    while (k < cids.length) {
+      var acc = 0.0
+      var i = 0
+      val base = k * dims
+      while (i < dims) {
+        val d = elem(v, i, isFloat) - flat(base + i)
+        acc += d * d
+        i += 1
+      }
+      val c = cids(k)
+      if (c1 == -1 || acc < d1 || (acc == d1 && c < c1)) {
+        d2 = d1; c2 = c1
+        d1 = acc; c1 = c
+      } else if (c2 == -1 || acc < d2 || (acc == d2 && c < c2)) {
+        d2 = acc; c2 = c
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](d1, c1, d2, c2))
+  }
 }
 
 private[graft] trait VectorExpr extends Expression {
@@ -635,6 +671,48 @@ case class VectorNearestCentroid(
     copy(child = newChild)
 }
 
+/** struct(d1, cid1, d2, cid2) of the nearest and second-nearest
+  * centroid — the per-cell separation diagnostic's shape (e3), one
+  * kernel pass instead of building + sorting k literal structs per row
+  * (which is also O(k) literal subtrees in the plan — the codegen wall
+  * the [[VectorNearestCentroid]] scaladoc documents).
+  */
+case class VectorNearestTwoCentroids(
+    child: Expression, cids: Seq[Int], flat: Seq[Double], dims: Int)
+    extends UnaryExpression with VectorExpr {
+  require(dims > 0 && cids.size >= 2 && flat.size == cids.size * dims,
+    "centroid matrix must be k x dims with k >= 2")
+  override def dataType: DataType = StructType(Seq(
+    StructField("d1", DoubleType), StructField("cid1", IntegerType),
+    StructField("d2", DoubleType), StructField("cid2", IntegerType)))
+
+  @transient lazy val flatArr: Array[Double] = flat.toArray
+  @transient lazy val cidArr: Array[Int] = cids.toArray
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else VectorOps.nearestTwoCentroids(
+      v.asInstanceOf[ArrayData], isFloatArray(child), flatArr, cidArr, dims)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val self = ctx.addReferenceObj("nearestTwoExpr", this,
+      "graft.functions.VectorNearestTwoCentroids")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.VectorOps.nearestTwoCentroids(
+          ${c.value}, ${isFloatArray(child)}, $self.flatArr(), $self.cidArr(), $dims);
+      }
+      boolean ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
@@ -664,6 +742,19 @@ object VectorExpressions {
 
   def sortedContains(sortedArr: Column, x: Column): Column =
     column(SortedContains(expression(sortedArr), expression(x)))
+
+  /** struct(d1, cid1, d2, cid2) of the two nearest centroids; see
+    * [[VectorNearestTwoCentroids]].
+    */
+  def nearestTwoCentroidsStruct(
+      vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val dims = centroids.head._2.length
+    column(VectorNearestTwoCentroids(
+      expression(vec),
+      centroids.map(_._1),
+      centroids.flatMap(_._2.toSeq),
+      dims))
+  }
 
   /** struct(dist, cid) of the nearest centroid; see
     * [[VectorNearestCentroid]].
