@@ -374,6 +374,21 @@ class ExtendedOpsSpec extends SparkSpec {
       "cosine and jaccard ranks identical everywhere — fusion untested")
   }
 
+  test("filtered IVF probe: an empty query set yields an empty result, not a throw") {
+    // r17 ADVICE: the partition-pruning disjunction was built with
+    // reduce(_ || _), which throws on an empty probe set; it is now
+    // reduceOption with a lit(false) fallback, matching the unfiltered
+    // probe's graceful empty isin
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val cents = Clustering.trainCentroids(e, nCells = 8, iterations = 1)
+    val ix = java.nio.file.Files.createTempDirectory("ivf_empty").toString
+    Clustering.writeLabeledIvfIndex(e, cents, ix)
+    val res = Clustering.ivfTopKFromIndexFiltered(
+      spark, ix, e.where($"vec_id" < 0), cents, k = 5, nprobe = 3)
+    assert(res.count() == 0L)
+  }
+
   test("vector kernels: sqDist/dot/normalize numerics") {
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "b")
     val r = df.select(

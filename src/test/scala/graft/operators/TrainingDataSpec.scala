@@ -1465,6 +1465,31 @@ class TrainingDataSpec extends SparkSpec {
       s"duplicate-id rows changed overlap counts: ${withDups.toSeq.diff(clean.toSeq)}")
   }
 
+  test("registry eval_overlap: conflicting duplicate-id flags resolve eval-wins") {
+    // r17 ADVICE: dropDuplicates picked an arbitrary row when duplicate
+    // ids carried CONFLICTING eval_flag values — the report was
+    // nondeterministic. The flag now aggregates with max(): any
+    // eval-flagged duplicate marks the id eval, independent of row
+    // order or partitioning.
+    import org.json4s.jackson.JsonMethods.parse
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(40).localCheckpoint(true)
+    val conflicted = docs.limit(5)
+    val input = docs.withColumn("ev", lit(false))
+      .union(conflicted.withColumn("ev", lit(true)))
+    val out = graft.Registry.transformers("eval_overlap")(
+        parse("""{"eval_flag_column": "ev"}"""))(input)
+    val conflictedIds = conflicted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val annotated = out.where(col("overlap_frac").isNotNull)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(conflictedIds.subsetOf(annotated),
+      s"conflicted ids not all eval: ${conflictedIds -- annotated}")
+    // and ONLY the conflicted ids are eval (everything else was false)
+    assert(annotated == conflictedIds,
+      s"unexpected eval ids: ${annotated -- conflictedIds}")
+  }
+
   test("range-search report is exactly the per-vector reduction of the LSH pair graph") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Similarity.cosineDupPairsLsh(embs, threshold = 0.3,
