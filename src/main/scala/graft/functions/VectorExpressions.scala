@@ -302,6 +302,77 @@ object VectorOps {
     }
     new GenericInternalRow(Array[Any](d1, c1, d2, c2))
   }
+
+  /** Spark's (dist, cid) struct sort order as a strict less-than:
+    * dist ascending with NaN largest (and NaN == NaN), cid breaking
+    * ties — exactly the ordering `array_sort(array(struct(dist, cid)
+    * ...))` applies, so [[topCentroids]] is value-identical to the
+    * sorted-literal form it replaces.
+    */
+  private def distCidLess(d1: Double, c1: Int, d2: Double, c2: Int): Boolean = {
+    val cmp =
+      if (d1 < d2) -1
+      else if (d1 > d2) 1
+      else if (d1 == d2) 0
+      else { // at least one NaN: NaN sorts largest, two NaNs tie
+        val n1 = java.lang.Double.isNaN(d1)
+        val n2 = java.lang.Double.isNaN(d2)
+        if (n1 && n2) 0 else if (n1) 1 else -1
+      }
+    cmp < 0 || (cmp == 0 && c1 < c2)
+  }
+
+  /** The `nprobe` nearest centroids as an ascending (dist, cid) struct
+    * array — the probe-cell selection of every IVF-family query, value-
+    * identical to `slice(array_sort(array(struct(sqDist(v,c),cid)...)),
+    * 1, nprobe)` (min(nprobe, k) entries, (dist, cid)-lexicographic,
+    * left-to-right distance accumulation). Bounded insertion into an
+    * nprobe-sized buffer: O(k·(dims + nprobe)) per row with NO k-sized
+    * allocation or sort, and — the actual point — O(1) plan size in k
+    * (the literal form planned k struct subtrees per probe query,
+    * ~1 s of codegen at k = 174 and a Janino wall at corpus-scaled k).
+    * Null exactly when [[nearestCentroid]] is null.
+    */
+  def topCentroids(
+      v: ArrayData, isFloat: Boolean,
+      flat: Array[Double], cids: Array[Int], dims: Int, nprobe: Int): ArrayData = {
+    if (v == null || v.numElements() != dims || hasNullElement(v)) return null
+    val cap = math.min(nprobe, cids.length)
+    val dist = new Array[Double](cap)
+    val cid = new Array[Int](cap)
+    var size = 0
+    var k = 0
+    while (k < cids.length) {
+      var acc = 0.0
+      var i = 0
+      val base = k * dims
+      while (i < dims) {
+        val d = elem(v, i, isFloat) - flat(base + i)
+        acc += d * d
+        i += 1
+      }
+      val c = cids(k)
+      if (size < cap || distCidLess(acc, c, dist(size - 1), cid(size - 1))) {
+        var pos = if (size < cap) size else cap - 1
+        while (pos > 0 && distCidLess(acc, c, dist(pos - 1), cid(pos - 1))) {
+          dist(pos) = dist(pos - 1)
+          cid(pos) = cid(pos - 1)
+          pos -= 1
+        }
+        dist(pos) = acc
+        cid(pos) = c
+        if (size < cap) size += 1
+      }
+      k += 1
+    }
+    val out = new Array[Any](size)
+    var j = 0
+    while (j < size) {
+      out(j) = new GenericInternalRow(Array[Any](dist(j), cid(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[graft] trait VectorExpr extends Expression {
@@ -713,6 +784,54 @@ case class VectorNearestTwoCentroids(
     copy(child = newChild)
 }
 
+/** array<struct(dist, cid)> of the `nprobe` nearest centroids in
+  * ascending (dist, cid) order — the probe-cell selection kernel. One
+  * compiled matrix pass whose centroid matrix rides as a codegen
+  * reference object, replacing the `slice(array_sort(array(struct(...)
+  * ...)), 1, nprobe)` literal form that planned k struct subtrees per
+  * probe query (the last √n-growth plan shape after
+  * [[VectorNearestCentroid]] killed it on the assignment side).
+  */
+case class VectorTopCentroids(
+    child: Expression, cids: Seq[Int], flat: Seq[Double], dims: Int,
+    nprobe: Int)
+    extends UnaryExpression with VectorExpr {
+  require(dims > 0 && cids.nonEmpty && flat.size == cids.size * dims,
+    "centroid matrix must be k x dims")
+  require(nprobe >= 1, "nprobe must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dist", DoubleType), StructField("cid", IntegerType))),
+    containsNull = false)
+
+  @transient lazy val flatArr: Array[Double] = flat.toArray
+  @transient lazy val cidArr: Array[Int] = cids.toArray
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else VectorOps.topCentroids(
+      v.asInstanceOf[ArrayData], isFloatArray(child), flatArr, cidArr, dims,
+      nprobe)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val self = ctx.addReferenceObj("topCentroidsExpr", this,
+      "graft.functions.VectorTopCentroids")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.VectorOps.topCentroids(
+          ${c.value}, ${isFloatArray(child)}, $self.flatArr(), $self.cidArr(),
+          $dims, $nprobe);
+      }
+      boolean ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
@@ -754,6 +873,19 @@ object VectorExpressions {
       centroids.map(_._1),
       centroids.flatMap(_._2.toSeq),
       dims))
+  }
+
+  /** array<struct(dist, cid)> of the nprobe nearest centroids,
+    * ascending (dist, cid); see [[VectorTopCentroids]].
+    */
+  def topCentroidsStruct(
+      vec: Column, centroids: Seq[(Int, Array[Double])], nprobe: Int): Column = {
+    val dims = centroids.head._2.length
+    column(VectorTopCentroids(
+      expression(vec),
+      centroids.map(_._1),
+      centroids.flatMap(_._2.toSeq),
+      dims, nprobe))
   }
 
   /** struct(dist, cid) of the nearest centroid; see

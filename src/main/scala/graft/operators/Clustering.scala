@@ -247,12 +247,10 @@ object Clustering {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       centroids: Seq[(Int, Array[Double])], k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probeCells = {
-      val scored = centroids.map { case (cid, c) =>
-        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
-      }
-      slice(array_sort(array(scored: _*)), 1, nprobe)
-    }
+    // one kernel pass per query row — NOT k literal struct subtrees
+    // (plan size and codegen O(1) in the corpus-scaled cell count)
+    val probeCells =
+      VectorExpressions.topCentroidsStruct(col(vecCol), centroids, nprobe)
     val probes = queries.select(
         col(idCol).as("query_id"),
         Similarity.normalized(col(vecCol)).as("q_vec"),
@@ -336,12 +334,8 @@ object Clustering {
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
     Similarity.requireBroadcastableQueries(queries, "ivfTopKFromIndexFiltered")
-    val probeCells = {
-      val scored = centroids.map { case (cid, c) =>
-        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
-      }
-      slice(array_sort(array(scored: _*)), 1, nprobe)
-    }
+    val probeCells =
+      VectorExpressions.topCentroidsStruct(col(vecCol), centroids, nprobe)
     val probes = queries.select(
         col(idCol).as("query_id"),
         col(labelCol).as("label"),
@@ -415,12 +409,8 @@ object Clustering {
       codebooks: Seq[Seq[(Int, Array[Double])]],
       k: Int, nprobe: Int, rerankDepth: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probeCells = {
-      val scored = centroids.map { case (cid, c) =>
-        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
-      }
-      slice(array_sort(array(scored: _*)), 1, nprobe)
-    }
+    val probeCells =
+      VectorExpressions.topCentroidsStruct(col(vecCol), centroids, nprobe)
     val en = Similarity.normalized(col(vecCol))
     val probes = queries.select(
         col(idCol).as("query_id"),
@@ -492,13 +482,8 @@ object Clustering {
     // re-scan the index once per swept p — 4 scans, each paying the
     // FileIndex listing that grows with the corpus-scaled cell count.
     val pMax = nprobes.max
-    val probeCells = {
-      val scored = centroids.map { case (cid, c) =>
-        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"),
-          lit(cid).as("cid"))
-      }
-      slice(array_sort(array(scored: _*)), 1, pMax)
-    }
+    val probeCells =
+      VectorExpressions.topCentroidsStruct(col(vecCol), centroids, pMax)
     val probes = queries.select(
         col(idCol).as("query_id"),
         Similarity.normalized(col(vecCol)).as("q_vec"),
@@ -573,12 +558,8 @@ object Clustering {
       col(idCol).as("neighbor_id"), cell.as("cell"),
       Similarity.normalized(col(vecCol)).as("c_vec"))
     // query -> its nprobe nearest cells, exploded to (query, cell)
-    val probeCells = {
-      val scored = cents.map { case (cid, c) =>
-        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
-      }
-      slice(array_sort(array(scored: _*)), 1, nprobe)
-    }
+    val probeCells =
+      VectorExpressions.topCentroidsStruct(col(vecCol), cents, nprobe)
     val probes = queries.select(
         col(idCol).as("query_id"),
         Similarity.normalized(col(vecCol)).as("q_vec"),
@@ -789,12 +770,8 @@ object Clustering {
       centroids: Seq[(Int, Array[Double])], nprobe: Int,
       idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
     Similarity.requireBroadcastableQueries(queries, "graphTopKFromIndex")
-    val probeCells = {
-      val scored = centroids.map { case (cid, c) =>
-        struct(sqDist(col(vecCol), typedlit(c.toSeq)).as("dist"), lit(cid).as("cid"))
-      }
-      slice(array_sort(array(scored: _*)), 1, nprobe)
-    }
+    val probeCells =
+      VectorExpressions.topCentroidsStruct(col(vecCol), centroids, nprobe)
     val probes = queries.select(
         col(idCol).as("query_id"),
         Similarity.normalized(col(vecCol)).as("q_en"),

@@ -100,6 +100,54 @@ object VectorPropertySpec extends Properties("vector-kernels") {
       VectorOps.sortedContains(arr, probe) == sorted.contains(probe)
     }
 
+  property("topCentroids equals sort-all-then-slice, ties included") =
+    Prop.forAll(vecGen, Gen.choose(1, 10), Gen.choose(1, 12)) { (v, nprobe, k0) =>
+      val dims = v.length
+      // k0 derived centroids plus a clone of the first -> an exact
+      // distance tie the cid tie-break must resolve identically
+      val base = (0 until k0).map(c =>
+        (c, v.map(x => x * ((c % 5) - 2) * 0.1 + c)))
+      val cents = base :+ (k0, base.head._2.clone)
+      val flat = cents.flatMap(_._2).toArray
+      val cids = cents.map(_._1).toArray
+      val got = VectorOps.topCentroids(ad(v), false, flat, cids, dims, nprobe)
+      val ref = cents.map { case (c, ce) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dims) { val d = v(i) - ce(i); acc += d * d; i += 1 }
+        (acc, c)
+      }.sorted.take(nprobe)
+      val rows = (0 until got.numElements()).map { j =>
+        val r = got.getStruct(j, 2)
+        (r.getDouble(0), r.getInt(1))
+      }
+      rows == ref
+    }
+
+  property("topCentroids at nprobe >= k returns all k, fully sorted") =
+    Prop.forAll(vecGen, Gen.choose(1, 12)) { (v, k0) =>
+      val cents = (0 until k0).map(c => (c, v.map(_ + c * 0.5)))
+      val flat = cents.flatMap(_._2).toArray
+      val cids = cents.map(_._1).toArray
+      val got = VectorOps.topCentroids(ad(v), false, flat, cids, v.length, k0 + 7)
+      val rows = (0 until got.numElements()).map { j =>
+        val r = got.getStruct(j, 2)
+        (r.getDouble(0), r.getInt(1))
+      }
+      rows.length == k0 && rows == rows.sorted
+    }
+
+  property("topCentroids first entry equals nearestCentroid") =
+    Prop.forAll(vecGen, Gen.choose(2, 12)) { (v, k0) =>
+      val cents = (0 until k0).map(c => (c, v.map(x => x * 0.9 + c - 3)))
+      val flat = cents.flatMap(_._2).toArray
+      val cids = cents.map(_._1).toArray
+      val top = VectorOps.topCentroids(ad(v), false, flat, cids, v.length, 1)
+        .getStruct(0, 2)
+      val nn = VectorOps.nearestCentroid(ad(v), false, flat, cids, v.length)
+      top.getDouble(0) == nn.getDouble(0) && top.getInt(1) == nn.getInt(1)
+    }
+
   property("dotInt8 is null on length mismatch") =
     Prop.forAll(vecGen) { a =>
       a.length < 2 || {

@@ -66,6 +66,45 @@ class ScaleSpec extends SparkSpec {
     assert(crossCell.count() == 0, "graph edge crosses a cell boundary")
   }
 
+  test("probe-cell selection plans O(1) in the cell count (kernel, not k literals)") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = graft.Tables(spark, dir, "embeddings")
+    val q = embs.where(col("vec_id") < 3)
+    def planLen(k: Int): Int = {
+      val cents = Clustering.seedCentroids(embs, k)
+      q.select(graft.functions.VectorExpressions
+          .topCentroidsStruct(col("embedding"), cents, 2).as("pc"))
+        .queryExecution.optimizedPlan.toString.length
+    }
+    val l16 = planLen(16)
+    val l64 = planLen(64)
+    // the centroid matrix rides as a reference object, not literals:
+    // 4x the cells must not grow the plan text (small slack for the
+    // expression's printed arg list)
+    assert(l64 <= l16 + 64, s"probe plan grew with cell count: $l16 -> $l64")
+  }
+
+  test("topCentroids kernel matches the literal sort-slice probe selection") {
+    val dir = "/root/testdata/sf0.001"
+    val embs = graft.Tables(spark, dir, "embeddings")
+    val cents = Clustering.seedCentroids(embs, 16)
+    val kernel = embs.select(col("vec_id"),
+        explode(graft.functions.VectorExpressions
+          .topCentroidsStruct(col("embedding"), cents, 4)).as("pc"))
+      .select(col("vec_id"), col("pc.dist"), col("pc.cid"))
+    val literal = {
+      val scored = cents.map { case (cid, c) =>
+        struct(Clustering.sqDist(col("embedding"), typedlit(c.toSeq)).as("dist"),
+          lit(cid).as("cid"))
+      }
+      embs.select(col("vec_id"),
+          explode(slice(array_sort(array(scored: _*)), 1, 4)).as("pc"))
+        .select(col("vec_id"), col("pc.dist"), col("pc.cid"))
+    }
+    assert(kernel.exceptAll(literal).isEmpty && literal.exceptAll(kernel).isEmpty,
+      "kernel probe selection diverges from the literal form")
+  }
+
   test("persisted IVF index prunes unprobed cells at the file level") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("ivf_idx").toString
