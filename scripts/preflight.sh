@@ -50,6 +50,44 @@ if n < n_results or n == 0:
 print(f"local artifact: {n} entries, {art['n_pass']} pass")
 EOF
 
+echo "== preflight: rotating sf0.1 verify subset =="
+# The r18 CTE-materialization and cell-coupling bugs were both
+# INVISIBLE at the sf0.01 gate — the gate SF was the blind spot for
+# three rounds. Every preflight therefore re-verifies a deterministic
+# ROTATING subset of queries at sf0.1 (10x the gate SF): 15 queries
+# picked by md5(round:name), so every query gets a 10x-SF check every
+# ~10 rounds at ~1 min cost. The subset list lands in the local
+# artifact's `sf01_subset` field.
+SUBSET="$(python3 - "$ROUND" <<'EOF'
+import hashlib, json, re, sys
+round_n = sys.argv[1]
+names = sorted(json.load(open(
+    max(__import__('glob').glob('CORRECTNESS_r*.json'),
+        key=lambda p: int(re.search(r'r(\d+)', p).group(1))))).keys())
+ranked = sorted(names, key=lambda n: hashlib.md5(f"{round_n}:{n}".encode()).hexdigest())
+print(" ".join(ranked[:15]))
+EOF
+)"
+echo "sf0.1 subset (round $ROUND): $SUBSET"
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT/verify_sf01 $SUBSET" \
+  >"$OUT/verify_sf01.log" 2>&1 \
+  || fail "graft.Verify @ sf0.1 crashed (see $OUT/verify_sf01.log)"
+python3 scripts/check_correctness.py /root/testdata/sf0.1 "$OUT/verify_sf01" \
+  "$OUT/sf01_subset.json" \
+  || fail "sf0.1 subset oracle mismatch (scroll up for FAIL rows)"
+python3 - "$LOCAL_ART" "$OUT/sf01_subset.json" <<'EOF' || exit 1
+import json, sys
+art = json.load(open(sys.argv[1]))
+sub = json.load(open(sys.argv[2]))
+if sub.get("n_fail", 1) != 0 or sub.get("n_pass", 0) == 0:
+    print("PREFLIGHT FAIL: sf0.1 subset not green", file=sys.stderr)
+    sys.exit(1)
+art["sf01_subset"] = {"queries": sorted(sub.get("queries", {})),
+                      "n_pass": sub["n_pass"]}
+json.dump(art, open(sys.argv[1], "w"), indent=1)
+print(f"sf0.1 subset: {sub['n_pass']} pass, recorded in {sys.argv[1]}")
+EOF
+
 echo "== preflight: correctness-artifact guard =="
 # r15/r16 closed with EMPTY driver CORRECTNESS files ({}) — the gate
 # silently lost its signal. Refuse to call a session done while the

@@ -178,7 +178,7 @@ private[graft] object OracleFragments {
     * trained before a batch was appended (s17).
     */
   def ivfCellsCte(nCells: Int, trainPred: String = ""): String =
-    ivfCellsBody(nCells.toString, trainPred)
+    ivfCellsBody(nCells.toString, trainPred, sampled = false)
 
   /** [[ivfCellsCte]] with the cell count computed FROM THE DATA, inside
     * the SQL itself: greatest(16, ceil(sqrt(n/2))) over the TRAINING
@@ -191,26 +191,45 @@ private[graft] object OracleFragments {
     * both engines (counts are far below 2^53), so the two formulas
     * cannot round apart.
     */
+  /** [[ivfCellsCte]] + the sampled Lloyd trainer: k AND the training
+    * sample modulus s = greatest(1, n // greatest(10000, 40·k)) are
+    * both computed FROM THE DATA inside the SQL — the exact formulas
+    * Clustering.scaledCells / trainSampleMod evaluate engine-side —
+    * and the Lloyd round assigns only the rows with
+    * hash60(vec_id) % s == 0 (Clustering.trainCentroids' sample). At
+    * gate SFs (n <= 10k training vectors) s is 1 and the predicate is
+    * a no-op; at any larger verify SF both engines sample identically
+    * by construction. Integer-exact on both sides: counts < 2^53 make
+    * sqrt/ceil exact, and // is floor division of positive BIGINTs.
+    */
   def ivfCellsCteDynamic(trainPred: String = ""): String = {
     val trainSrc =
       if (trainPred.isEmpty) "ve"
       else s"(SELECT * FROM ve WHERE ($trainPred))"
-    s"""nc AS (SELECT greatest(16, CAST(ceil(sqrt(count(*) / 2.0)) AS INT)) AS k
+    s"""nc AS (SELECT greatest(16, CAST(ceil(sqrt(count(*) / 2.0)) AS INT)) AS k,
+       |       count(*) AS n
        |       FROM $trainSrc),
-       |${ivfCellsBody("(SELECT k FROM nc)", trainPred)}""".stripMargin
+       |smod AS (SELECT greatest(1, n // greatest(10000, 40 * k)) AS sm FROM nc),
+       |${ivfCellsBody("(SELECT k FROM nc)", trainPred, sampled = true)}""".stripMargin
   }
 
-  private def ivfCellsBody(cellsExpr: String, trainPred: String): String = {
+  private def ivfCellsBody(
+      cellsExpr: String, trainPred: String, sampled: Boolean): String = {
     val seedAnd = if (trainPred.isEmpty) "" else s" AND ($trainPred)"
     val trainSrc =
       if (trainPred.isEmpty) "ve"
       else s"(SELECT * FROM ve WHERE ($trainPred))"
+    // Lloyd training sample: hash60(vec_id) % smod == 0 (engine:
+    // Clustering.trainCentroids). Seeds stay unsampled by design.
+    val sampleWhere =
+      if (!sampled) ""
+      else s"\n  WHERE ${hash60("v.vec_id::VARCHAR")} % (SELECT sm FROM smod) = 0"
     s"""seeds AS (SELECT vec_id::INT AS cid, e AS ce FROM ve WHERE vec_id < $cellsExpr$seedAnd),
        |d0 AS (
        |  SELECT v.vec_id, s.cid,
        |    list_sum(list_transform(range(1, 65),
        |      i -> (v.e[i] - s.ce[i]) * (v.e[i] - s.ce[i]))) AS dist
-       |  FROM $trainSrc v CROSS JOIN seeds s
+       |  FROM $trainSrc v CROSS JOIN seeds s$sampleWhere
        |), a0 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,

@@ -27,15 +27,29 @@ import graft.operators.{Clustering, Dedup, Graph, RangeJoin, TextAnalysis}
   * brute-force baseline, and serving it from cache would unmeasure it.
   */
 private[graft] object AnnTruth {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  def topK5(s: SparkSession, dir: String, e: DataFrame): DataFrame =
-    cache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", { _ =>
+  // weak-keyed on the SESSION OBJECT itself (SparkSession keeps
+  // reference equality), not its identityHashCode: a stopped session's
+  // entries become collectable instead of pinning checkpointed blocks
+  // forever, and a recycled identity hash on a new session can never
+  // serve a dead frame — the key IS the live session
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  def topK5(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, { _ =>
       operators.Similarity
         .bruteForceTopK(e, e.where(col("vec_id") < 20), k = 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint()
     })
+  }
 }
 
 object QueriesExtended {
@@ -434,8 +448,9 @@ object QueriesExtended {
     // ivfCellsCteDynamic); vec_id is the doc's embedding id, docs
     // without a vector pass
     val e = t(s, dir, "embeddings")
-    val nCells = Clustering.scaledCells(e.count())
-    val semDropped = Clustering.semanticDedup(e, nCells = nCells, tau = 0.3)
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
+    val semDropped = Clustering.semanticDedup(e, nCells = nCells, tau = 0.3,
+        sampleMod = smod)
       .where(!col("kept"))
       .select(col("vec_id").as("doc_id"), lit(true).as("_sem"))
     val flags4 = flags2
@@ -804,9 +819,10 @@ object QueriesExtended {
 
   private def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = Clustering.scaledCells(e.count())
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_ivf")
       Clustering.writeIvfIndex(e, c, ix)
       (ix, c)
@@ -828,9 +844,10 @@ object QueriesExtended {
     val e = t(s, dir, "embeddings")
     val q = e.where(col("vec_id") < 20)
     val exact = AnnTruth.topK5(s, dir, e)
-    val nCells = Clustering.scaledCells(e.count())
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_ivf")
       Clustering.writeIvfIndex(e, c, ix)
       (ix, c)
@@ -862,9 +879,10 @@ object QueriesExtended {
   private def s9IvfTuning(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.where(col("vec_id") < 20)
-    val nCells = Clustering.scaledCells(e.count())
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_ivf")
       Clustering.writeIvfIndex(e, c, ix)
       (ix, c)
@@ -942,9 +960,10 @@ object QueriesExtended {
 
   private def s11IvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = Clustering.scaledCells(e.count())
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val (ixDir, cents, cbs) = ivfPqIndexCache.computeIfAbsent(s"$dir:$nCells:16:16", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val cb = operators.Similarity.pqCodebooks(e, nSub = 16, codebookSize = 16)
       val ix = TempDirs.fresh("graft_ivfpq")
       Clustering.writeIvfPqIndex(e, c, cb, ix)
@@ -997,9 +1016,10 @@ object QueriesExtended {
     // n²/k — a FIXED k is a quadratic build; measured 159 s at sf1
     // before this formula). The oracle CTE computes the SAME formula
     // in SQL (ivfCellsCteDynamic), so any verify SF replays it.
-    val nCells = Clustering.scaledCells(e.count())
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val (ixDir, cents) = graphIndexCache.computeIfAbsent(s"$dir:$nCells:$M", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_graph")
       Clustering.writeGraphIndex(e, c, m = M, ix)
       (ix, c)
@@ -1024,9 +1044,10 @@ object QueriesExtended {
   private def s15GraphTuning(s: SparkSession, dir: String): DataFrame = {
     import GraphAnnParams._
     val e = t(s, dir, "embeddings")
-    val nCells = Clustering.scaledCells(e.count())
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val (ixDir, cents) = graphIndexCache.computeIfAbsent(s"$dir:$nCells:$M", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_graph")
       Clustering.writeGraphIndex(e, c, m = M, ix)
       (ix, c)
@@ -1068,9 +1089,10 @@ object QueriesExtended {
 
   private def s16FilteredAnn(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = Clustering.scaledCells(e.count())
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val (ixDir, cents) = labeledIvfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_ivf_labeled")
       Clustering.writeLabeledIvfIndex(e, c, ix)
       (ix, c)
@@ -1104,10 +1126,12 @@ object QueriesExtended {
     val e = t(s, dir, "embeddings")
     // the quantizer is sized from the BASE corpus — the data that
     // existed when it was trained; appends ride the frozen centroids
-    val nCells = Clustering.scaledCells(e.where(col("vec_id") % 5 =!= 4).count())
+    val (nCells, smod) =
+      Clustering.quantizerConfig(e.where(col("vec_id") % 5 =!= 4).count())
     val (ixDir, cents) = appendIvfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
       val base = e.where(col("vec_id") % 5 =!= 4)
-      val c = Clustering.trainCentroids(base, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(base, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_ivf_append")
       Clustering.writeIvfIndex(base, c, ix)
       Clustering.appendToIvfIndex(e.where(col("vec_id") % 5 === 4), c, ix)
@@ -1138,10 +1162,12 @@ object QueriesExtended {
 
   private def s18IvfCompact(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = Clustering.scaledCells(e.where(col("vec_id") % 5 =!= 4).count())
+    val (nCells, smod) =
+      Clustering.quantizerConfig(e.where(col("vec_id") % 5 =!= 4).count())
     val (ixDir, cents) = compactIvfIndexCache.computeIfAbsent(s"$dir:$nCells", { _ =>
       val base = e.where(col("vec_id") % 5 =!= 4)
-      val c = Clustering.trainCentroids(base, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(base, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_ivf_compact")
       Clustering.writeIvfIndex(base, c, ix)
       Clustering.appendToIvfIndex(e.where(col("vec_id") % 5 === 4), c, ix)
@@ -1171,12 +1197,21 @@ object QueriesExtended {
     * id-tie-broken and both fusion divisions are single IEEE ops, so
     * DuckDB replays the fused ranking row for row. RRF k = 60 (the
     * paper's constant).
+    *
+    * Gram-less docs cannot diverge engine/oracle: the gram kernel's
+    * contract is gram-set size >= 1 for EVERY text (a < 3-token doc
+    * falls back to one whole-text hash — exactly the oracle's
+    * `ELSE [normSql]` branch), so the sizes join never drops a pair
+    * the oracle keeps, and the Jaccard denominator is >= 1
+    * (property-pinned in TokenGramPropertySpec "distinct grams never
+    * empty").
     */
   private def s19HybridRerank(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = Clustering.scaledCells(e.count())
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
-      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
       val ix = TempDirs.fresh("graft_ivf")
       Clustering.writeIvfIndex(e, c, ix)
       (ix, c)
@@ -1248,8 +1283,9 @@ object QueriesExtended {
     */
   private def s12MarginMining(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val nCells = Clustering.scaledCells(e.count())
-    val cents = Clustering.trainCentroids(e, nCells = nCells, iterations = 1)
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
+    val cents = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+      sampleMod = smod)
     operators.Similarity.marginMining(
         e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
         cents, k = 4)
@@ -1291,8 +1327,9 @@ object QueriesExtended {
     */
   private def e3ClusterQuality(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
     val cents = Clustering.trainCentroids(
-      e, nCells = Clustering.scaledCells(e.count()), iterations = 1)
+      e, nCells = nCells, iterations = 1, sampleMod = smod)
     // one kernel pass per row for (nearest, second-nearest) — the
     // previous array_sort over k literal struct subtrees was both the
     // plan-size wall the nearest-centroid kernel exists to avoid AND
@@ -1332,7 +1369,8 @@ object QueriesExtended {
     */
   private def d13SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Clustering.semanticDedup(e, nCells = Clustering.scaledCells(e.count()), tau = 0.3)
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
+    Clustering.semanticDedup(e, nCells = nCells, tau = 0.3, sampleMod = smod)
       .orderBy("vec_id")
   }
 

@@ -178,9 +178,21 @@ object Clustering {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val pTmp = new org.apache.hadoop.fs.Path(tmp)
+    val pOld = new org.apache.hadoop.fs.Path(dir + ".old")
     val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    require(fs.rename(pTmp, p), s"compactIvfIndex: rename $tmp -> $dir failed")
+    // swap via rename-aside, never delete-first: a crash between a
+    // delete and the rename would lose the only copy of the index.
+    // Every failure point here leaves either the live dir or .old
+    // intact and recoverable (production flips a catalog pointer,
+    // which is atomic; this is the filesystem analog).
+    fs.delete(pOld, true) // clear a leftover .old from a prior crash
+    require(fs.rename(p, pOld), s"compactIvfIndex: rename $dir -> $pOld failed")
+    if (!fs.rename(pTmp, p)) {
+      fs.rename(pOld, p) // restore the live index before failing
+      throw new IllegalStateException(
+        s"compactIvfIndex: rename $tmp -> $dir failed; original restored")
+    }
+    fs.delete(pOld, true)
   }
 
   /** Part-file count per cell directory of a persisted index — the
@@ -219,17 +231,50 @@ object Clustering {
   def scaledCells(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n / 2.0)).toInt)
 
+  /** Quantizer-training sample modulus: Lloyd rounds LEARN centroids,
+    * and learning k cluster means needs a bounded sample, not the
+    * corpus — max(10000, 40·k) vectors suffices (the PQ codebook rule,
+    * "codebook training touches a sample, never the corpus", applied
+    * to the coarse quantizer). A vector trains iff
+    * hash60(vec_id) % sampleMod == 0, so the sample is deterministic,
+    * replayable in SQL, and independent of row order; at the gate SFs
+    * (n <= 10k) the modulus is 1 and training covers everything, while
+    * at 100 TB each Lloyd round touches ~max(10000, 40·k) rows instead
+    * of n·k work per round. Final ASSIGNMENT of the full corpus is
+    * inherent and unchanged. The oracle computes the SAME modulus from
+    * the same count inside the SQL (OracleFragments.ivfCellsCteDynamic
+    * — the r17 lesson: never couple an oracle to an engine-side
+    * data-dependent literal).
+    */
+  def trainSampleMod(n: Long, k: Int): Long =
+    math.max(1L, n / math.max(10000L, 40L * k))
+
+  /** (nCells, sampleMod) for a training corpus of `n` vectors — the
+    * one pair every IVF-family query derives from its count() job.
+    */
+  def quantizerConfig(n: Long): (Int, Long) = {
+    val k = scaledCells(n)
+    (k, trainSampleMod(n, k))
+  }
+
   /** Train the coarse quantizer: deterministic seeds + `iterations`
     * Lloyd rounds. Centroids are k x dims — driver-sized at any corpus
-    * scale (each round is one distributed assignment + one grouped-mean
-    * pass).
+    * scale. With `sampleMod` > 1 each Lloyd round assigns only the
+    * deterministic hash-sample (see [[trainSampleMod]]); seeds are
+    * still the vec_id < k vectors of the full corpus (k pushed-filter
+    * rows — initialization, not a per-round cost).
     */
   def trainCentroids(
       corpus: DataFrame, nCells: Int, iterations: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Array[Double])] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleMod: Long = 1L): Seq[(Int, Array[Double])] = {
+    val train =
+      if (sampleMod <= 1L) corpus
+      else corpus.where(
+        pmod(Dedup.hash60(col(idCol).cast("string")), lit(sampleMod)) === 0)
     var cents = seedCentroids(corpus, nCells, idCol, vecCol)
     (0 until iterations).foreach { _ =>
-      cents = lloydStep(assign(corpus, cents, vecCol), cents, vecCol)
+      cents = lloydStep(assign(train, cents, vecCol), cents, vecCol)
     }
     cents
   }
@@ -466,6 +511,13 @@ object Clustering {
     * file-level in ScaleSpec for every swept nprobe) plus a
     * queries-bounded top-k window; nothing corpus-scale is re-derived
     * per branch.
+    *
+    * Empty-query-set contract: the report spine is derived from the
+    * PROBES (per-p distinct-cell counts), so an empty query set yields
+    * an empty report — there is no meaningful per-nprobe row to emit
+    * when nothing was probed (a tuning report over zero queries has no
+    * recall denominator either). Callers wanting a zeroed row per
+    * swept p should guard on `queries.isEmpty` themselves.
     */
   def ivfTuningReport(
       spark: SparkSession, indexDir: String, queries: DataFrame,
@@ -551,8 +603,9 @@ object Clustering {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nprobe: Int, iterations: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleMod: Long = 1L): DataFrame = {
+    val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol, sampleMod)
     val cell = nearestCentroid(col(vecCol), cents)
     val indexed = corpus.select(
       col(idCol).as("neighbor_id"), cell.as("cell"),
@@ -594,8 +647,9 @@ object Clustering {
     */
   def semanticDedup(
       corpus: DataFrame, nCells: Int, tau: Double, iterations: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleMod: Long = 1L): DataFrame = {
+    val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol, sampleMod)
     require(cents.nonEmpty,
       s"semanticDedup: no seed vectors with $idCol < $nCells - seed ids must start at 0")
     val cells = assign(corpus, cents, vecCol).select(

@@ -31,4 +31,25 @@ class EntrySpec extends SparkSpec {
         s"$k exports an inlined (non-materialized) CTE")
     }
   }
+  test("no oracle uses a SQL form materializeCtes would mis-rewrite") {
+    // the transform's lookbehind protects exactly ONE named window
+    // (`WINDOW w AS (`), and a column-list CTE (`name(a,b) AS (`)
+    // slips past both the rewrite and the bare-CTE audit above. Pin
+    // the two blind spots out of the oracle corpus: a multi-window
+    // clause's second window (`, w2 AS (`) would be rewritten to
+    // invalid `AS MATERIALIZED` SQL, and a column-list CTE would ship
+    // uninlined. Any future oracle needing either form must extend
+    // materializeCtes first.
+    val multiWindow = "(?s)\\bWINDOW\\s+[a-z][a-z0-9_]*\\s+AS\\s*\\(.*?\\)\\s*,\\s*[a-z][a-z0-9_]*\\s+AS\\s*\\(".r
+    val columnListCte = "\\b[a-z][a-z0-9_]*\\s*\\([a-z0-9_,\\s]*\\)\\s+AS\\s*\\(".r
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(multiWindow.findFirstIn(sql).isEmpty,
+        s"$k uses a multi-window WINDOW clause - materializeCtes would corrupt it")
+      columnListCte.findAllIn(sql).toSeq.foreach { m =>
+        // DuckDB table functions like range(8) r(k) are fine - only a
+        // `name(cols) AS (` heading a CTE body is the hazard
+        fail(s"$k uses a column-list CTE ('$m') - materializeCtes misses it")
+      }
+    }
+  }
 }

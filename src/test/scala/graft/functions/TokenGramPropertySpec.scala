@@ -70,6 +70,22 @@ object TokenGramPropertySpec extends Properties("token-gram-kernel") {
       got == (if (toks < n) 1 else toks - n + 1)
     }
 
+  property("distinct grams never empty: short docs -> ONE whole-text gram") =
+    Prop.forAll(textGen, Gen.choose(1, 5)) { (raw, n) =>
+      // the s19 hybrid-rerank contract: every doc's gram-SET size is
+      // >= 1 (a < n-token doc falls back to hash60 of the normalized
+      // text — the oracle's `ELSE [normSql]` branch), so the Jaccard
+      // denominator q_sz + c_sz - i is >= 1 and the engine's size()
+      // can never be 0 where the oracle's gsz inner join has a row
+      val s = norm(raw)
+      val got = TokenGramOps
+        .tokenGramHash60sDistinct(UTF8String.fromString(s), n)
+      val toks = s.split("\\s+").count(_.nonEmpty)
+      got.numElements() >= 1 &&
+        (toks >= n || (got.numElements() == 1 &&
+          got.toLongArray()(0) == refH60(s)))
+    }
+
   property("seeded token hashes == hash60 of 'seed:token' per token") =
     Prop.forAll(textGen, Gen.choose(0, 5)) { (raw, seed) =>
       val s = norm(raw)
