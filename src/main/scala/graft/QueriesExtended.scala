@@ -1263,6 +1263,104 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval with a BM25-WEIGHTED lexical leg (s19's upgrade:
+    * raw Jaccard ignores term rarity, and rare-term match is the
+    * entire value of the lexical leg in a hybrid retriever). Candidates
+    * come from the same shared persisted IVF index as s19; each
+    * candidate's lexical score is the BM25 of the candidate document
+    * against the QUERY document's 3-gram set — x8's exact formula
+    * (k1 = 1.2, b = 0.75, idf = ln((N - df + 0.5)/(df + 0.5) + 1))
+    * over the gram space instead of fixed terms — and the two ranks
+    * fuse by RRF (k = 60) as in s19.
+    *
+    * Scale shape: the corpus gram table NEVER exchanges wholesale —
+    * the query side's distinct grams are driver-bounded (20 docs) and
+    * broadcast, so df (postings per query gram) and tf (occurrences
+    * per candidate doc) shuffle only the matched postings; dl rides
+    * the tf rows straight off the kernel array (no corpus-wide lens
+    * join); N and avgdl are one-row broadcast aggregates. Per-gram
+    * contributions are floored to integer MICROS before the per-pair
+    * sum, so the BM25 total is exact integer math on both engines —
+    * no summation-order ULP drift for the oracle hash (idf itself is
+    * 6-dp rounded like x8; every other step is a single IEEE op
+    * replayed verbatim in the SQL).
+    */
+  private def s20HybridBm25(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (nCells, smod) = Clustering.quantizerConfig(e.count())
+    val (ixDir, cents) = ivfIndexCache.computeIfAbsent(s"$dir:$nCells:1", { _ =>
+      val c = Clustering.trainCentroids(e, nCells = nCells, iterations = 1,
+        sampleMod = smod)
+      val ix = TempDirs.fresh("graft_ivf")
+      Clustering.writeIvfIndex(e, c, ix)
+      (ix, c)
+    })
+    val q = e.where(col("vec_id") < 20)
+    val cos = Clustering.ivfTopKFromIndex(s, ixDir, q, cents,
+        k = Int.MaxValue, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("cos_rank"))
+      .localCheckpoint()
+    val docsT = t(s, dir, "documents")
+    // positional (NON-distinct) gram hashes: tf needs occurrences, and
+    // dl is the array length — both straight off one kernel call
+    val gramArr = graft.functions.TextHashExpressions
+      .tokenGramHash60s(TextAnalysis.normalize(col("text")), 3)
+    val nDocs = docsT.agg(count(lit(1)).cast("double").as("n_docs"))
+    val avgdl = docsT.select(size(gramArr).as("dl"))
+      .agg((sum("dl").cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    // query-side DISTINCT gram postings: driver-bounded (20 docs)
+    val qGrams = Dedup.hashedShingleTable(docsT, 3)
+      .join(broadcast(q.select(col("vec_id").as("doc_id"))), "doc_id")
+      .select(col("doc_id").as("query_id"), col("h"))
+      .localCheckpoint()
+    val qh = qGrams.select("h").distinct()
+    // df of each QUERY gram over the corpus: the distinct gram table
+    // semi-joined to the broadcast query grams — matched postings only
+    val dfq = Dedup.hashedShingleTable(docsT, 3)
+      .join(broadcast(qh), Seq("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    // tf of each query gram per doc, dl carried through the explode
+    val tf = docsT
+      .select(col("doc_id").as("neighbor_id"), gramArr.as("arr"))
+      .select(col("neighbor_id"), explode(col("arr")).as("h"),
+        size(col("arr")).as("dl"))
+      .join(broadcast(qh), Seq("h"))
+      .groupBy("neighbor_id", "h")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val pairBm25 = tf
+      .join(broadcast(qGrams), Seq("h"))
+      .join(broadcast(dfq), Seq("h"))
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .withColumn("c_micro", floor(
+        (col("idf") * (col("tf") * lit(bm25K1 + 1.0)) /
+          (col("tf") + lit(bm25K1) *
+            (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+          * lit(1e6)).cast("long"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("c_micro").as("bm25_micro"))
+    val wBm = Window.partitionBy("query_id")
+      .orderBy(col("bm25_micro").desc, col("neighbor_id"))
+    val fused = cos
+      .join(pairBm25, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("bm25_micro", coalesce(col("bm25_micro"), lit(0L)))
+      .withColumn("bm25_rank", row_number().over(wBm))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60) + col("cos_rank")) +
+          lit(1.0) / (lit(60) + col("bm25_rank")))
+    val wRrf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused
+      .withColumn("rank", row_number().over(wRrf))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos_rank"),
+        col("bm25_rank"), col("bm25_micro"),
+        floor(col("rrf") * 1e9).cast("long").as("rrf_nano"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Margin-based bitext-style pair mining (Similarity.marginMining —
     * Artetxe & Schwenk 2019's ratio margin): the corpus split by
     * vec_id parity into a src and a tgt side, candidates blocked by
@@ -1432,7 +1530,8 @@ object QueriesExtended {
     "s16_filtered_ann" -> (s16FilteredAnn(_, _)),
     "s17_ivf_append" -> (s17IvfAppend(_, _)),
     "s18_ivf_compact" -> (s18IvfCompact(_, _)),
-    "s19_hybrid_rerank" -> (s19HybridRerank(_, _)))
+    "s19_hybrid_rerank" -> (s19HybridRerank(_, _)),
+    "s20_hybrid_bm25" -> (s20HybridBm25(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -2364,6 +2463,77 @@ object QueriesExtended {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY rrf DESC, neighbor_id) AS rank
          |  FROM rrfd) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "s20_hybrid_bm25" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCteDynamic()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id < 20) WHERE rn <= 4
+         |), cands AS (
+         |  SELECT p.query_id, ix.vec_id AS neighbor_id
+         |  FROM probes p JOIN cellassign ix ON ix.cell = p.cell
+         |  WHERE ix.vec_id <> p.query_id
+         |), hscored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> q.en[i] * c.en[i])), 6) AS cos_sim
+         |  FROM cands cand
+         |  JOIN vn q ON q.vec_id = cand.query_id
+         |  JOIN vn c ON c.vec_id = cand.neighbor_id
+         |), cosr AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS cos_rank
+         |  FROM hscored
+         |), gpos AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(${OracleFragments.posGramsSql(3)}) AS s
+         |        FROM documents)
+         |), glen AS (SELECT doc_id, count(*) AS dl FROM gpos GROUP BY doc_id),
+         |astats AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM glen),
+         |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         |qg AS (SELECT DISTINCT doc_id AS query_id, h FROM gpos WHERE doc_id < 20),
+         |qh AS (SELECT DISTINCT h FROM qg),
+         |gdist AS (SELECT DISTINCT doc_id, h FROM gpos),
+         |dfq AS (
+         |  SELECT h, count(*) AS df FROM gdist
+         |  WHERE h IN (SELECT h FROM qh) GROUP BY h
+         |), tfq AS (
+         |  SELECT doc_id AS neighbor_id, h, count(*) AS tf FROM gpos
+         |  WHERE h IN (SELECT h FROM qh) GROUP BY doc_id, h
+         |), contrib AS (
+         |  SELECT q.query_id, tf.neighbor_id,
+         |    CAST(floor(
+         |      (round(ln((nd.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+         |        * (tf.tf * (1.2 + 1.0))
+         |        / (tf.tf + 1.2 * (1.0 - 0.75 + (0.75 * l.dl) / astats.avgdl)))
+         |      * 1e6) AS BIGINT) AS c_micro
+         |  FROM tfq tf JOIN qg q USING (h) JOIN dfq d USING (h)
+         |  JOIN glen l ON l.doc_id = tf.neighbor_id, astats, nd
+         |), bm AS (
+         |  SELECT query_id, neighbor_id, sum(c_micro)::BIGINT AS bm25_micro
+         |  FROM contrib GROUP BY 1, 2
+         |), withbm AS (
+         |  SELECT c.query_id, c.neighbor_id, c.cos_rank,
+         |    coalesce(b.bm25_micro, 0) AS bm25_micro
+         |  FROM cosr c LEFT JOIN bm b
+         |    ON b.query_id = c.query_id AND b.neighbor_id = c.neighbor_id
+         |), fusedb AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY bm25_micro DESC, neighbor_id) AS bm25_rank
+         |  FROM withbm
+         |), rrfb AS (
+         |  SELECT query_id, neighbor_id, cos_rank, bm25_rank, bm25_micro,
+         |    1.0 / (60 + cos_rank) + 1.0 / (60 + bm25_rank) AS rrf
+         |  FROM fusedb
+         |)
+         |SELECT query_id, neighbor_id, cos_rank, bm25_rank, bm25_micro,
+         |  CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_nano, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, neighbor_id) AS rank
+         |  FROM rrfb) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
     "s8_ivf_recall" ->
       s"""WITH ${OracleFragments.normVecCte},

@@ -36,6 +36,7 @@ class RegistryPlanAuditSpec extends SparkSpec {
     "d12_line_dedup" -> "boilerplate array broadcast: df-capped line set",
     "x6_tfidf" -> "corpus doc-count scalar broadcast: 1 row",
     "x8_bm25" -> "doc-count + avgdl scalars broadcast: 1 row each",
+    "s20_hybrid_bm25" -> "doc-count + avgdl scalars broadcast: 1 row each (the x8 BM25 constants on the lexical leg)",
     "x13_unigram_logprob" -> "corpus token-total scalar broadcast: 1 row",
     "x27_dsir_sample" -> "LM totals + vocab-size scalar broadcast: 1 row",
     "x20_bigram_logprob" -> "corpus total scalar broadcast: 1 row",
