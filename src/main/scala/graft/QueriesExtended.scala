@@ -1226,7 +1226,10 @@ object QueriesExtended {
       .tokenGramHash60sDistinct(TextAnalysis.normalize(col("text")), 3)
     // per-doc gram-set size straight off the kernel array — no explode
     val sizes = docsT.select(col("doc_id"), size(gramArr).as("sz"))
-    val grams = Dedup.hashedShingleTable(docsT, 3)
+    // the staged distinct gram index (one tokenize+md5 pass per corpus
+    // per session, parquet-cached) — not a fresh hashedShingleTable
+    val grams = QueriesTrainingData.stagedShingles(s, dir)
+      .select(col("doc_id"), col("h"))
     val qGrams = grams
       .join(broadcast(q.select(col("vec_id").as("doc_id"))), "doc_id")
       .select(col("doc_id").as("query_id"), col("h"))
@@ -1306,22 +1309,41 @@ object QueriesExtended {
     val gramArr = graft.functions.TextHashExpressions
       .tokenGramHash60s(TextAnalysis.normalize(col("text")), 3)
     val nDocs = docsT.agg(count(lit(1)).cast("double").as("n_docs"))
-    val avgdl = docsT.select(size(gramArr).as("dl"))
+    // per-doc gram count WITHOUT building the gram array: the kernel's
+    // pinned contract is max(1, tokens - n + 1) grams per doc
+    // (TokenGramPropertySpec), so avgdl is a whitespace token count —
+    // no md5 per gram occurrence for a corpus-wide average
+    val avgdl = docsT
+      .select(greatest(
+        TextAnalysis.wsTokenCount(col("text")) - lit(2), lit(1)).as("dl"))
       .agg((sum("dl").cast("double") / count(lit(1)).cast("double"))
         .as("avgdl"))
+    // the staged distinct gram index (one tokenize+md5 pass per corpus
+    // per session, parquet-cached) serves BOTH distinct-gram consumers
+    val gramsDist = QueriesTrainingData.stagedShingles(s, dir)
+      .select(col("doc_id"), col("h"))
     // query-side DISTINCT gram postings: driver-bounded (20 docs)
-    val qGrams = Dedup.hashedShingleTable(docsT, 3)
+    val qGrams = gramsDist
       .join(broadcast(q.select(col("vec_id").as("doc_id"))), "doc_id")
       .select(col("doc_id").as("query_id"), col("h"))
       .localCheckpoint()
     val qh = qGrams.select("h").distinct()
     // df of each QUERY gram over the corpus: the distinct gram table
     // semi-joined to the broadcast query grams — matched postings only
-    val dfq = Dedup.hashedShingleTable(docsT, 3)
+    val dfq = gramsDist
       .join(broadcast(qh), Seq("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-    // tf of each query gram per doc, dl carried through the explode
+    // tf of each query gram per CANDIDATE doc, dl carried through the
+    // explode. The candidate semi-join is a pure cut: BM25 rows for
+    // docs outside the cosine candidate set are dropped by the final
+    // cos join anyway (the oracle computes tf over all docs and joins
+    // identically), and the positional gram explode — an md5 per gram
+    // OCCURRENCE — is the query's dominant cost, so paying it only for
+    // probed-cell members instead of the corpus is the difference
+    // between candidate-bounded and corpus-bounded lexical scoring.
+    val candDocs = cos.select(col("neighbor_id").as("doc_id")).distinct()
     val tf = docsT
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("neighbor_id"), gramArr.as("arr"))
       .select(col("neighbor_id"), explode(col("arr")).as("h"),
         size(col("arr")).as("dl"))
