@@ -1383,6 +1383,63 @@ object QueriesExtended {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-level eval decontamination (cross-set SemDeDup — the
+    * semantic sibling of d9/d14's textual contamination): flag every
+    * TRAIN vector whose cosine to some EVAL vector (vec_id % 10 = 7,
+    * a 10% held-out split) reaches tau = 0.3, with the match count and
+    * the max cosine per flagged doc. Paraphrased or re-embedded eval
+    * leakage passes an n-gram contamination check; this is the pass
+    * that catches it.
+    *
+    * Scale shape — deliberately NOT the broadcast-probe path: an eval
+    * set is 10% of the corpus, far past broadcast-small, so s3's
+    * probes-broadcast contract is the WRONG plan here. Instead both
+    * sides block on the train-side coarse quantizer (one kernel
+    * assignment pass each), the eval side probing its FOUR nearest
+    * train cells (multi-probe recall across cell boundaries — a train
+    * doc lives in exactly one cell, so no pair can duplicate), and the
+    * only corpus-wide exchange is the hash equi-join on `cell`: pair
+    * work is n_t·n_e·nprobe/k, bounded by the same k ∝ √n sizing as
+    * d13, at any corpus scale. Quantizer trained on the TRAIN side
+    * only (sampled, trainPred in the oracle) — eval vectors must not
+    * shape the blocking they are checked against.
+    *
+    * Measured recall boundary (sf0.001, vs exact cross-set truth):
+    * blocked recall CLIMBS with tau — 0.61 at tau 0.3 / 0.82 at 0.4 /
+    * 1.0 at 0.45 with nprobe 4 (0.45/0.55/0.5 at nprobe 2) — because
+    * weak-similarity pairs scatter across cell boundaries while the
+    * near-dup leakage this pass exists to catch lands in the probed
+    * cells. The fixture's tau of 0.3 exercises the HARD regime; a
+    * production decontamination run at tau >= 0.7 sits on the easy
+    * side of this curve, and a weak-tau audit should raise nprobe
+    * (linear cost), not trust single-cell blocking.
+    */
+  private def s21SemanticContamination(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val isEval = col("vec_id") % 10 === 7
+    val train = e.where(!isEval)
+    val evalSide = e.where(isEval)
+    val (nCells, smod) = Clustering.quantizerConfig(train.count())
+    val cents = Clustering.trainCentroids(train, nCells = nCells,
+      iterations = 1, sampleMod = smod)
+    val trainCells = Clustering.assign(train, cents).select(
+      col("vec_id").as("train_id"), col("centroid_id").as("cell"),
+      operators.Similarity.normalized(col("embedding")).as("t_en"))
+    val evalCells = evalSide.select(
+        col("vec_id").as("eval_id"),
+        operators.Similarity.normalized(col("embedding")).as("e_en"),
+        explode(graft.functions.VectorExpressions
+          .topCentroidsStruct(col("embedding"), cents, 4)).as("pc"))
+      .select(col("eval_id"), col("e_en"), col("pc.cid").as("cell"))
+    trainCells.join(evalCells, Seq("cell"))
+      .select(col("train_id"), col("eval_id"),
+        round(operators.Similarity.dot(col("t_en"), col("e_en")), 6).as("cos"))
+      .where(col("cos") >= 0.3)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+      .orderBy("train_id")
+  }
+
   /** Margin-based bitext-style pair mining (Similarity.marginMining —
     * Artetxe & Schwenk 2019's ratio margin): the corpus split by
     * vec_id parity into a src and a tgt side, candidates blocked by
@@ -1553,7 +1610,8 @@ object QueriesExtended {
     "s17_ivf_append" -> (s17IvfAppend(_, _)),
     "s18_ivf_compact" -> (s18IvfCompact(_, _)),
     "s19_hybrid_rerank" -> (s19HybridRerank(_, _)),
-    "s20_hybrid_bm25" -> (s20HybridBm25(_, _)))
+    "s20_hybrid_bm25" -> (s20HybridBm25(_, _)),
+    "s21_semantic_contamination" -> (s21SemanticContamination(_, _)))
 
   // --- oracle SQL ------------------------------------------------------
 
@@ -2557,6 +2615,28 @@ object QueriesExtended {
          |    ORDER BY rrf DESC, neighbor_id) AS rank
          |  FROM rrfb) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "s21_semantic_contamination" ->
+      s"""WITH ${OracleFragments.normVecCte},
+         |${OracleFragments.ivfCellsCteDynamic("vec_id % 10 <> 7")},
+         |tcell AS (
+         |  SELECT vec_id AS train_id, cell FROM cellassign
+         |  WHERE vec_id % 10 <> 7
+         |), eprobe AS (
+         |  SELECT vec_id AS eval_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id % 10 = 7) WHERE rn <= 4
+         |), chits AS (
+         |  SELECT t.train_id, e.eval_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> a.en[i] * b.en[i])), 6) AS cos
+         |  FROM tcell t JOIN eprobe e USING (cell)
+         |  JOIN vn a ON a.vec_id = t.train_id
+         |  JOIN vn b ON b.vec_id = e.eval_id
+         |)
+         |SELECT train_id, count(*) AS n_eval_matches, max(cos) AS max_cos
+         |FROM chits WHERE cos >= 0.3
+         |GROUP BY train_id ORDER BY train_id""".stripMargin,
     "s8_ivf_recall" ->
       s"""WITH ${OracleFragments.normVecCte},
          |${OracleFragments.ivfCellsCteDynamic()},

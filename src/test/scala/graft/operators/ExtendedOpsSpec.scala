@@ -374,6 +374,50 @@ class ExtendedOpsSpec extends SparkSpec {
       "cosine and jaccard ranks identical everywhere — fusion untested")
   }
 
+  test("semantic contamination: flags are real train-eval pairs, never invented") {
+    val dir = "/root/testdata/sf0.001"
+    val flagged = graft.SparkEntry.queries("s21_semantic_contamination")(
+        spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.nonEmpty, "fixture yields no semantic contamination at tau=0.3")
+    // only TRAIN docs can be flagged (eval ids are % 10 == 7)
+    flagged.foreach { case (tid, _, _) =>
+      assert(tid % 10 != 7, s"eval doc $tid flagged as contaminated train doc")
+    }
+    // exact cross-set ground truth (brute force, tiny fixture): every
+    // flagged doc must be exactly-contaminated with max_cos <= the
+    // exact max (cell blocking can only MISS pairs, never invent them)
+    val e = graft.Tables(spark, dir, "embeddings")
+    val en = Similarity.normalized(col("embedding"))
+    val tr = e.where(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("tid"), en.as("t_en"))
+    val ev = e.where(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("eid"), en.as("e_en"))
+    val exact = tr.crossJoin(ev)
+      .select(col("tid"),
+        round(Similarity.dot(col("t_en"), col("e_en")), 6).as("cos"))
+      .where(col("cos") >= 0.3)
+      .groupBy("tid")
+      .agg(count(lit(1)).as("n"), max("cos").as("mc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    flagged.foreach { case (tid, n, mc) =>
+      val (exN, exMc) = exact.getOrElse(tid,
+        fail(s"train doc $tid flagged but has NO exact eval match >= 0.3"))
+      assert(n <= exN, s"doc $tid: blocked match count $n exceeds exact $exN")
+      assert(mc <= exMc + 1e-12, s"doc $tid: blocked max_cos $mc above exact $exMc")
+    }
+    // multi-probe blocking must catch a decent fraction of the exact
+    // flags on this fixture — pin the recall so a silent blocking
+    // regression (e.g. nprobe dropping) shows up. Measured curve
+    // (sf0.001, nprobe 4): 0.61 at the fixture's hard tau 0.3, 0.82
+    // at 0.4, 1.0 at 0.45 — the near-dup regime the pass exists for
+    // sits on the easy side; pin at 0.55 (measured 0.61 minus noise
+    // margin for fixture regeneration)
+    val recall = flagged.size.toDouble / exact.size
+    assert(recall >= 0.55,
+      f"blocked contamination recall $recall%.2f under 0.55 (${flagged.size}/${exact.size})")
+  }
+
   test("filtered IVF probe: an empty query set yields an empty result, not a throw") {
     // r17 ADVICE: the partition-pruning disjunction was built with
     // reduce(_ || _), which throws on an empty probe set; it is now
