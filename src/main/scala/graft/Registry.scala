@@ -772,6 +772,54 @@ object Registry {
         .select(col("train_id").as(id)).distinct()
       df.where(!evalPred).join(contaminated, Seq(id), "left_anti")
     },
+    "semantic_decontaminate" -> { c => df =>
+      // drop training docs whose EMBEDDING is within cosine `threshold`
+      // of an eval doc's — the cross-set SemDeDup pass (query s21):
+      // paraphrased or re-embedded eval leakage passes the n-gram
+      // `decontaminate` stage, this one catches it. Blocked on a
+      // train-side coarse quantizer (k ~ sqrt(n_train), trained on the
+      // TRAIN split only and on a bounded hash-sample — eval vectors
+      // must not shape the blocking they are checked against), the
+      // eval side multi-probing its `nprobe` nearest cells; the only
+      // corpus-wide exchange is the cell equi-join. Rows need an
+      // embedding column. NOTE the measured recall boundary (SCALE.md
+      // r19): blocked recall is high in the near-dup regime this pass
+      // targets (tau >= ~0.45 on the fixtures) and structurally low
+      // for weak-similarity taus — raise nprobe there, don't trust
+      // fewer cells.
+      import org.apache.spark.sql.functions._
+      val id = str(c, "id_column").getOrElse("doc_id")
+      val vec = str(c, "vector_column").getOrElse("embedding")
+      val tau = (c \ "threshold").extractOpt[Double].getOrElse(0.9)
+      val nprobe = int(c, "nprobe").getOrElse(4)
+      // coalesce to false: a NULL flag/id marks a TRAINING doc (the
+      // textual decontaminate stage's convention)
+      val evalPred = coalesce(
+        (c \ "eval_ids").extractOpt[Seq[Long]].filter(_.nonEmpty)
+          .map(ids => col(id).isin(ids.map(x => x: Any): _*))
+          .orElse(str(c, "eval_flag_column").map(col(_) === true))
+          .getOrElse(sys.error(
+            "semantic_decontaminate needs 'eval_ids' or 'eval_flag_column'")),
+        lit(false))
+      val train = df.where(!evalPred)
+      val evalSide = df.where(evalPred)
+      val (k, smod) = operators.Clustering.quantizerConfig(train.count())
+      val cents = operators.Clustering.trainCentroids(
+        train, k, iterations = 1, idCol = id, vecCol = vec, sampleMod = smod)
+      val trainCells = operators.Clustering.assign(train, cents, vec).select(
+        col(id).as("_t_id"), col("centroid_id").as("_cell"),
+        operators.Similarity.normalized(col(vec)).as("_t_en"))
+      val evalCells = evalSide.select(
+          operators.Similarity.normalized(col(vec)).as("_e_en"),
+          explode(functions.VectorExpressions
+            .topCentroidsStruct(col(vec), cents, nprobe)).as("_pc"))
+        .select(col("_e_en"), col("_pc.cid").as("_cell"))
+      val contaminated = trainCells.join(evalCells, Seq("_cell"))
+        .where(round(operators.Similarity.dot(col("_t_en"), col("_e_en")), 6)
+          >= tau)
+        .select(col("_t_id").as(id)).distinct()
+      df.where(!evalPred).join(contaminated, Seq(id), "left_anti")
+    },
     "eval_overlap" -> { c => df =>
       // annotate each EVAL doc with its per-doc contamination fraction
       // (share of its distinct n-grams occurring anywhere in the train

@@ -15,7 +15,7 @@ class CliSpec extends SparkSpec {
       "near_dedup", "novelty_filter",
       "pack_sequences",
       "perplexity_filter", "pii_redact", "quality_filter", "quality_quantile_filter",
-      "repetition_filter", "semantic_dedup", "simhash_dedup",
+      "repetition_filter", "semantic_decontaminate", "semantic_dedup", "simhash_dedup",
       "soft_dedup_weights", "source_mix",
       "source_upsample", "stratified_sample", "temperature_mix", "token_budget",
       "unimax_resample",
@@ -278,6 +278,38 @@ class CliSpec extends SparkSpec {
     val loose = simhashDedup("""{"max_hamming": 8}""")
     assert(tight > 0 && tight <= n0)
     assert(loose <= tight, s"looser budget removed fewer docs: $loose > $tight")
+  }
+
+  test("semantic_decontaminate stage drops exactly the s21 flag set") {
+    import org.apache.spark.sql.functions._
+    val e = Registry.getExtractor("parquet")(spark, Registry.parseConfig(
+      """{"path": "/root/testdata/sf0.001/embeddings.parquet"}"""))
+      .withColumn("is_eval", col("vec_id") % 10 === 7)
+    val n0 = e.count()
+    val nTrain = e.where(!col("is_eval")).count()
+    val out = Registry.getTransformer("semantic_decontaminate")(
+      Registry.parseConfig("""{"id_column": "vec_id", "threshold": 0.3,
+        "eval_flag_column": "is_eval"}"""))(e)
+    // eval rows are excluded from the output entirely; something real
+    // was dropped at the fixture's permissive tau
+    assert(out.where(col("is_eval")).count() == 0)
+    val kept = out.count()
+    assert(kept < nTrain, s"stage dropped nothing ($kept of $nTrain)")
+    // at an unreachable tau nothing beyond the eval rows drops
+    val none = Registry.getTransformer("semantic_decontaminate")(
+      Registry.parseConfig("""{"id_column": "vec_id", "threshold": 0.999,
+        "eval_flag_column": "is_eval"}"""))(e)
+    assert(none.count() == nTrain)
+    assert(n0 == nTrain + e.where(col("is_eval")).count())
+    // the stage (same tau/nprobe/eval split) drops EXACTLY the s21
+    // query's flagged train ids — one implementation, two surfaces
+    val flagged = graft.SparkEntry.queries("s21_semantic_contamination")(
+        spark, "/root/testdata/sf0.001")
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    val keptIds = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val trainIds = e.where(!col("is_eval"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds -- keptIds == flagged, "stage drop set != s21 flag set")
   }
 
   test("pack_sequences and source_mix stages") {
