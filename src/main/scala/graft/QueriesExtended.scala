@@ -1404,15 +1404,20 @@ object QueriesExtended {
     * only (sampled, trainPred in the oracle) — eval vectors must not
     * shape the blocking they are checked against.
     *
-    * Measured recall boundary (sf0.001, vs exact cross-set truth):
-    * blocked recall CLIMBS with tau — 0.61 at tau 0.3 / 0.82 at 0.4 /
-    * 1.0 at 0.45 with nprobe 4 (0.45/0.55/0.5 at nprobe 2) — because
-    * weak-similarity pairs scatter across cell boundaries while the
-    * near-dup leakage this pass exists to catch lands in the probed
-    * cells. The fixture's tau of 0.3 exercises the HARD regime; a
-    * production decontamination run at tau >= 0.7 sits on the easy
-    * side of this curve, and a weak-tau audit should raise nprobe
-    * (linear cost), not trust single-cell blocking.
+    * Measured recall boundary (vs exact cross-set truth): at a FIXED
+    * nprobe, weak-similarity recall FALLS with corpus scale — 0.61 at
+    * sf0.001 (nprobe 4 of 16 cells) but 0.40 at sf1 (4 of 100), tau
+    * 0.3 — because cells refine as √n and weak pairs scatter across
+    * them; holding the nprobe/k FRACTION constant restores it (25% of
+    * cells: 0.61 → 0.83 at sf1; 40% → 0.93), at pair cost
+    * n_t·n_e·fraction. That is the honest law: a weak-tau semantic
+    * audit is inherently ~quadratic — blocking buys a constant
+    * factor, not an exponent. Fixed small nprobe is sound only in the
+    * near-dup regime this pass is FOR (cos → 1, where a vector and
+    * its near-copy share the nearest cell by continuity — SemDeDup's
+    * premise; the fixtures top out at cross-pair cos 0.49, so that
+    * regime is asserted by construction, not measurable here). The
+    * fixture tau of 0.3 deliberately exercises the hard regime.
     */
   private def s21SemanticContamination(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
