@@ -919,6 +919,69 @@ object QueriesTrainingData {
       .orderBy("doc_id")
   }
 
+  /** Staged "arriving vectors" stream fixture: the vec_id % 10 == 3
+    * slice of the embeddings table as TWO parquet files (one
+    * micro-batch each under maxFilesPerTrigger=1). Parquet, not JSONL:
+    * float payloads stream bit-exactly, no text round-trip.
+    */
+  private[graft] def stagedVecStreamNew(s: SparkSession, dir: String): String =
+    TempDirs.cached(s"vecs_new:$dir") { d =>
+      embs(s, dir).where(col("vec_id") % 10 === 3)
+        .repartition(2).write.mode("overwrite").parquet(d)
+    }
+
+  /** STREAMING semantic decontamination (s21's continuous form — the
+    * embedding sibling of st9): newly embedded vectors land as a
+    * parquet file stream and every micro-batch is checked against the
+    * STATIC eval set (vec_id % 10 = 7) by blocked cosine. Each
+    * arriving vector probes its 4 nearest cells of a quantizer FROZEN
+    * on the pre-stream corpus (vec_id % 10 <> 3 — trained before the
+    * increment existed, the s17 freshness rule), and a stream-static
+    * join on `cell` against the bucketed eval cell index scores only
+    * within probed cells. The static index comes back BUCKETED on the
+    * join key so no micro-batch re-exchanges or re-sorts it, and the
+    * merge hint pins sort-merge — auto-broadcast would re-broadcast
+    * per trigger, and an eval index need not be broadcastable at
+    * corpus scale (st9's two rules, verbatim). Complete-mode state is
+    * one (count, max) pair per CONTAMINATED arriving vector — bounded
+    * by the increment, never the corpus. The s21 recall law applies
+    * unchanged: fixed nprobe serves the near-dup regime; a weak-tau
+    * audit scales nprobe with the cell count.
+    */
+  private def st10StreamSemanticContamination(
+      s: SparkSession, dir: String): DataFrame = {
+    val path = stagedVecStreamNew(s, dir)
+    val e = embs(s, dir)
+    val hist = e.where(col("vec_id") % 10 =!= 3)
+    val (k, smod) = operators.Clustering.quantizerConfig(hist.count())
+    val cents = operators.Clustering.trainCentroids(hist, k, iterations = 1,
+      sampleMod = smod)
+    val evalTbl = stagedBucketedIndex(s, "st10eval", dir, "cell") {
+      operators.Clustering.assign(e.where(col("vec_id") % 10 === 7), cents)
+        .select(col("centroid_id").as("cell"), col("vec_id").as("eval_id"),
+          Similarity.normalized(col("embedding")).as("e_en"))
+    }
+    val evalCells = s.table(evalTbl)
+    val streamProbes = s.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+      .select(col("vec_id"),
+        Similarity.normalized(col("embedding")).as("n_en"),
+        explode(graft.functions.VectorExpressions
+          .topCentroidsStruct(col("embedding"), cents, 4)).as("pc"))
+      .select(col("vec_id"), col("n_en"), col("pc.cid").as("cell"))
+    val scored = streamProbes
+      .join(evalCells.hint("merge"), Seq("cell"))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("n_en"), col("e_en")), 6).as("cos"))
+      .where(col("cos") >= 0.3)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+    graft.streaming.EventStreaming.drainToMemorySink(s, "st10_mem")(scored)
+      .orderBy("vec_id")
+  }
+
   // --- url canonicalization / web-corpus dedup -------------------------
 
   /** URL table synthesized from documents (the raw corpus has no url
@@ -1538,6 +1601,8 @@ object QueriesTrainingData {
     "st6_stream_static_dedup" -> (st6StreamStaticDedup(_, _)),
     "st8_increment_dedup" -> (st8IncrementDedup(_, _)),
     "st9_stream_contamination" -> (st9StreamContamination(_, _)),
+    "st10_stream_semantic_contamination" ->
+      (st10StreamSemanticContamination(_, _)),
     "e1_centroids" -> (e1Centroids(_, _)),
     "x5_word_topk" -> (x5WordTopK(_, _)),
     "p1_doc_pipeline" -> (p1DocPipeline(_, _)),
@@ -2774,6 +2839,28 @@ object QueriesTrainingData {
          |    / count(*), 6) AS overlap_frac
          |FROM newg n LEFT JOIN corpus c USING (h)
          |GROUP BY n.doc_id ORDER BY doc_id""".stripMargin,
+    "st10_stream_semantic_contamination" ->
+      s"""WITH ${graft.OracleFragments.normVecCte},
+         |${graft.OracleFragments.ivfCellsCteDynamic("vec_id % 10 <> 3")},
+         |ecell AS (
+         |  SELECT vec_id AS eval_id, cell FROM cellassign
+         |  WHERE vec_id % 10 = 7
+         |), nprb AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1 WHERE vec_id % 10 = 3) WHERE rn <= 4
+         |), shits AS (
+         |  SELECT p.vec_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> a.en[i] * b.en[i])), 6) AS cos
+         |  FROM nprb p JOIN ecell ec USING (cell)
+         |  JOIN vn a ON a.vec_id = p.vec_id
+         |  JOIN vn b ON b.vec_id = ec.eval_id
+         |)
+         |SELECT vec_id, count(*) AS n_eval_matches, max(cos) AS max_cos
+         |FROM shits WHERE cos >= 0.3
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "u1_url_dedup" ->
       s"""WITH $urlCanonCte
          |SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS n_docs

@@ -303,6 +303,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st10 stream-static join: the eval cell index is a bare bucketed scan") {
+    // st10's STREAM side also scans parquet (vectors, not JSONL), so
+    // the generic parquet-side heuristic above cannot tell the sides
+    // apart — identify the static side by its staged table name and
+    // hold it to the same contract: sort-merge, no per-batch Exchange,
+    // bucketed scan.
+    val sfDir = "/root/testdata/sf0.001"
+    var plan: org.apache.spark.sql.execution.SparkPlan = null
+    EventStreaming.lastPlanTap.set(p => plan = p)
+    try graft.SparkEntry.queries("st10_stream_semantic_contamination")(
+      spark, sfDir).collect()
+    finally EventStreaming.lastPlanTap.remove()
+    assert(plan != null, "no micro-batch plan captured")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(plan)
+    val joins = nodes.filter(_.nodeName.contains("SortMergeJoin"))
+    assert(joins.nonEmpty,
+      s"st10: stream-static join must be sort-merge:\n${plan.treeString}")
+    val staticSides = joins.flatMap(_.children).filter(c =>
+      flatten(c).exists(_.toString.contains("graft_st10eval")))
+    assert(staticSides.nonEmpty,
+      s"st10: eval index table not under the join:\n${plan.treeString}")
+    for (side <- staticSides) {
+      val exchanges = flatten(side).filter(_.nodeName.contains("Exchange"))
+      assert(exchanges.isEmpty,
+        s"st10: eval index side re-exchanges per micro-batch:\n${side.treeString}")
+      assert(flatten(side).exists(_.toString.contains("Bucketed: true")),
+        s"st10: eval index scan is not bucketed:\n${side.treeString}")
+    }
+  }
+
   test("append-mode sessionization emits each closed session once, bounded per batch") {
     // the production posture, and since r16 the st4 gate form too: a
     // session row appears exactly when the watermark passes its close,
