@@ -45,14 +45,23 @@ object Similarity {
     when(na > 0.0 && nb > 0.0, d / (na * nb)).otherwise(0.0)
   }
 
-  /** Planning-time sanity check for the broadcast-nested-loop paths:
-    * the QUERY side is broadcast to every corpus partition, so a query
-    * set beyond the session's broadcast threshold means the caller
-    * picked the wrong operator — fail loudly at plan time (Catalyst's
-    * size estimate, no job) instead of OOMing executors mid-stage.
-    * The |queries| ≪ |corpus| contract is the operator's definition,
-    * not a tunable; the corpus-scale paths are [[lshTopK]] and
+  /** Sanity check for the broadcast-nested-loop paths: the QUERY side
+    * is broadcast to every corpus partition, so a query set beyond the
+    * session's broadcast threshold means the caller picked the wrong
+    * operator — fail loudly before OOMing executors mid-stage. The
+    * |queries| ≪ |corpus| contract is the operator's definition, not a
+    * tunable; the corpus-scale paths are [[lshTopK]] and
     * `Clustering.ivfTopK`.
+    *
+    * Two layers: Catalyst's plan estimate first (no job). But WITHOUT
+    * CBO stats a Filter keeps its child's size estimate — a 20-row
+    * `vec_id < 20` slice of a 100×-scale table "estimates" at table
+    * size (measured: the guard spuriously rejected every AnnTruth
+    * query set at sf10) — so an over-limit ESTIMATE falls back to a
+    * bounded TRUE row-count probe (`limit(cap + 1).count()`, early-out
+    * at the cap, ~1 KiB/row conservative) before rejecting. A false
+    * reject at scale is a correctness bug in the guard; the probe job
+    * is bounded by the cap regardless of corpus size.
     */
   private[operators] def requireBroadcastableQueries(queries: DataFrame, op: String): Unit = {
     val conf = queries.sparkSession.conf
@@ -63,12 +72,18 @@ object Similarity {
     // hints still apply; guard against Spark's 8 GB hard hint limit then
     val limit = if (threshold > 0) threshold else 8L << 30
     val estimate = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(estimate <= BigInt(limit),
-      s"$op broadcasts the query side to every corpus partition, but the " +
-        s"query set's estimated size ($estimate bytes) exceeds the broadcast " +
-        s"limit ($limit bytes). This operator is the |queries| << |corpus| " +
-        "baseline - use lshTopK or Clustering.ivfTopK for large query sets, " +
-        "or raise spark.sql.autoBroadcastJoinThreshold deliberately.")
+    if (estimate > BigInt(limit)) {
+      val cap = math.max(1L, limit / 1024L)
+      val probed =
+        queries.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+      require(probed <= cap,
+        s"$op broadcasts the query side to every corpus partition, but the " +
+          s"query set has >= $probed rows (cap $cap at ~1 KiB/row for the " +
+          s"$limit-byte broadcast limit; plan estimate $estimate bytes). " +
+          "This operator is the |queries| << |corpus| baseline - use " +
+          "lshTopK or Clustering.ivfTopK for large query sets, or raise " +
+          "spark.sql.autoBroadcastJoinThreshold deliberately.")
+    }
   }
 
   /** Exact brute-force top-k neighbors for each query vector.

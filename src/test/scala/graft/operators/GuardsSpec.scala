@@ -59,6 +59,32 @@ class GuardsSpec extends SparkSpec {
     assert(out.count() == 6)
   }
 
+  test("broadcast guard probes the TRUE row count when the plan estimate lies") {
+    // Without CBO stats a Filter keeps its child's size estimate: a
+    // 20-row slice of a large table "estimates" at table size and the
+    // r19-sf10 guard spuriously rejected every AnnTruth query set. The
+    // guard now falls back to a limit-bounded count before rejecting.
+    val dir = "/root/testdata/sf0.1"
+    val e = graft.Tables(spark, dir, "embeddings")
+    val tiny = e.where(col("vec_id") < 20) // TRUE size ~10 KB
+    val est = tiny.queryExecution.optimizedPlan.stats.sizeInBytes
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the fast path to fail: threshold below the (inflated)
+      // filter estimate but whose ~1 KiB/row cap admits 20 rows
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100KB")
+      assert(est > 100L * 1024,
+        s"fixture no longer inflates the estimate ($est) - pick a bigger table")
+      val out = Similarity.bruteForceTopK(e, tiny, k = 3)
+      assert(out.count() == 60) // the probe admitted the true 20 rows
+      // and a genuinely-too-large query set is still rejected by the probe
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB") // cap = 1 row
+      val e1 = intercept[IllegalArgumentException](
+        Similarity.bruteForceTopK(e, tiny, k = 3))
+      assert(e1.getMessage.contains("rows"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("registry stages fail fast when scratch columns collide with user data") {
     val df = Seq((1L, "text here", "web", 7)).toDF("doc_id", "text", "source", "_rk")
     val stage = graft.Registry.transformers("weighted_sample")(
