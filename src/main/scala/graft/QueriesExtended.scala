@@ -1217,8 +1217,11 @@ object QueriesExtended {
       (ix, c)
     })
     val q = e.where(col("vec_id") < 20)
+    // fixed per-query shortlist (see hybridShortlistC): fusion only
+    // consumes each leg's top-N, so candidates beyond C are dead work
+    // that grows ~sqrt(n) with the probed cells' population
     val cos = Clustering.ivfTopKFromIndex(s, ixDir, q, cents,
-        k = Int.MaxValue, nprobe = 4)
+        k = hybridShortlistC, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("cos_rank"))
       .localCheckpoint()
     val docsT = t(s, dir, "documents")
@@ -1276,7 +1279,15 @@ object QueriesExtended {
     * over the gram space instead of fixed terms — and the two ranks
     * fuse by RRF (k = 60) as in s19.
     *
-    * Scale shape: the corpus gram table NEVER exchanges wholesale —
+    * Scale shape: the cosine leg is cut to a FIXED top-C shortlist per
+    * query (C = 64, [[hybridShortlistC]]) BEFORE any lexical work —
+    * rank fusion only ever consumes each leg's top-N, so scoring BM25
+    * for probed-cell members beyond the shortlist was pure waste, and
+    * with k ∝ √n cells a probed cell's population grows ~√n: an uncut
+    * candidate set made this the repo's slowest query at sf10 (21.8 s,
+    * SCALE.md) while the shortlist holds per-query lexical work at
+    * C·|query grams| at ANY corpus size (the oracle replays the same
+    * row_number cut). The corpus gram table NEVER exchanges wholesale —
     * the query side's distinct grams are driver-bounded (20 docs) and
     * broadcast, so df (postings per query gram) and tf (occurrences
     * per candidate doc) shuffle only the matched postings; dl rides
@@ -1288,6 +1299,15 @@ object QueriesExtended {
     * 6-dp rounded like x8; every other step is a single IEEE op
     * replayed verbatim in the SQL).
     */
+  /** s20's per-query cosine shortlist width: the hybrid-retrieval
+    * contract is that rank fusion consumes each leg's top-N only, so
+    * the lexical leg scores exactly C candidates per query regardless
+    * of corpus (and probed-cell) size. 64 = comfortably past the
+    * final top-5 fusion depth; RRF at k=60 makes rank-65+ contributions
+    * sub-1% of rank-1, invisible to a top-5 cut.
+    */
+  private[graft] val hybridShortlistC = 64
+
   private def s20HybridBm25(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val (nCells, smod) = Clustering.quantizerConfig(e.count())
@@ -1299,8 +1319,10 @@ object QueriesExtended {
       (ix, c)
     })
     val q = e.where(col("vec_id") < 20)
+    // the shortlist cut (hybridShortlistC doc): BM25 is scored for at
+    // most C candidates per query at any corpus size
     val cos = Clustering.ivfTopKFromIndex(s, ixDir, q, cents,
-        k = Int.MaxValue, nprobe = 4)
+        k = hybridShortlistC, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("cos_rank"))
       .localCheckpoint()
     val docsT = t(s, dir, "documents")
@@ -2507,10 +2529,11 @@ object QueriesExtended {
          |  JOIN vn q ON q.vec_id = cand.query_id
          |  JOIN vn c ON c.vec_id = cand.neighbor_id
          |), cosr AS (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_sim DESC, neighbor_id) AS cos_rank
-         |  FROM hscored
+         |  SELECT query_id, neighbor_id, cos_rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS cos_rank
+         |    FROM hscored) WHERE cos_rank <= ${hybridShortlistC}
          |), gd AS (
          |  SELECT DISTINCT doc_id,
          |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
@@ -2568,10 +2591,11 @@ object QueriesExtended {
          |  JOIN vn q ON q.vec_id = cand.query_id
          |  JOIN vn c ON c.vec_id = cand.neighbor_id
          |), cosr AS (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_sim DESC, neighbor_id) AS cos_rank
-         |  FROM hscored
+         |  SELECT query_id, neighbor_id, cos_rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id) AS cos_rank
+         |    FROM hscored) WHERE cos_rank <= ${hybridShortlistC}
          |), gpos AS (
          |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
          |  FROM (SELECT doc_id, unnest(${OracleFragments.posGramsSql(3)}) AS s
