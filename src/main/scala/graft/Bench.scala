@@ -519,7 +519,7 @@ object Bench {
     val sfShort = new java.io.File(sfDir).getName
     println(compactJson(
       finalResults.map { case (k, (v, _, _, _)) => k -> v }, total, sfShort,
-      errJson, staging = stagingJson))
+      errJson, stagingTotal = stagingTotal))
     System.out.flush()
   }
 
@@ -543,13 +543,21 @@ object Bench {
     */
   private[graft] def compactJson(
       results: Seq[(String, Double)], total: Double, sfShort: String,
-      errJson: String, limit: Int = 1990, staging: String = "{}"): String = {
+      errJson: String, limit: Int = 1990, stagingTotal: Double = 0.0): String = {
+    // staging rides as ONE total (the per-key map lives in the long
+    // line + BENCH_LAST.json) and an empty errors map is omitted: the
+    // ~180 chars those bought back are what keeps the whole registry
+    // at TWO-decimal per-query precision inside the 2000-char tail —
+    // r19's one-decimal values inflated apparent drift on sub-second
+    // queries and blunted the floor rule (r19 verdict item 3)
+    val errPart = if (errJson == "{}") "" else s""""errors":$errJson,"""
     def line(entries: Seq[(String, Double)], dp: Int, extra: String): String = {
       val qs = entries
         .map { case (k, v) => s""""$k":${if (v < 0) "-1" else trim(v, dp)}""" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec","sf":"$sfShort",""" +
-        extra + s""""staging":$staging,"errors":$errJson,"queries":$qs}"""
+        extra + s""""staging_total":${trim(stagingTotal, 2)},""" +
+        errPart + s""""queries":$qs}"""
     }
     val full = Seq(2, 1, 0).view.map(dp => line(results, dp, ""))
     val prefixed = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
@@ -559,7 +567,7 @@ object Bench {
         s""""n_queries":${results.size},"keys":"prefix",""" +
           s""""queries_file":"BENCH_LAST.json","""))
     def slowest(k: Int): String =
-      line(results.sortBy(-_._2).take(k), 1,
+      line(results.sortBy(-_._2).take(k), 2,
         s""""n_queries":${results.size},"queries_file":"BENCH_LAST.json",""")
     (full ++ prefix).find(_.length <= limit)
       .orElse((results.size to 0 by -1).view.map(slowest).find(_.length <= limit))

@@ -160,6 +160,44 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(qs.contains("d8") && qs.contains("st3") && qs.contains("x24"))
   }
 
+  test("compact line carries the CURRENT registry at two-decimal precision") {
+    // r19's official artifact degraded to ONE decimal (the 2-dp prefix
+    // line no longer fit the 2000-char tail at 162 queries), inflating
+    // apparent drift on sub-second queries. Pin: with the REAL registry
+    // names and worst-case values (two non-zero decimals everywhere, so
+    // trailing-zero strip saves nothing), the chosen line still carries
+    // every query at >= 2 decimals. Registry growth that breaks this
+    // should fail HERE, not silently blunt the driver's drift tracking.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    assert(names.size >= 160, s"registry shrank? ${names.size}")
+    // realistic magnitudes (sf0.1: most queries sub-10s, a 12.37s tail
+    // every 20th) with a non-zero second decimal everywhere so
+    // trailing-zero strip saves nothing
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 20 == 19) 12.37 else (i % 90) / 10.0 + 0.07)
+    }
+    val line = Bench.compactJson(results, 1234.56, "sf0.1", "{}",
+      stagingTotal = 18.31)
+    assert(line.length <= 1990, s"compact line overflows: ${line.length}")
+    val m = parse(line)
+    val qs = m("queries").asInstanceOf[Map[String, Any]]
+    assert(qs.size == results.size, s"dropped queries: ${qs.size}")
+    // every emitted value preserves its second decimal (a 7)
+    assert(qs.values.forall(v =>
+      math.round(v.toString.toDouble * 100) % 10 == 7),
+      "per-query values lost decimal precision")
+    assert(m("staging_total") == 18.31)
+    assert(!m.contains("errors"), "empty errors map should be omitted")
+  }
+
+  test("compact line keeps non-empty errors and -1 sentinels") {
+    val results = Seq("q1_ok" -> 1.23, "q2_bad" -> -1.0)
+    val m = parse(Bench.compactJson(results, 1.23, "sf0.1",
+      """{"q2_bad":"boom"}"""))
+    assert(m("errors").asInstanceOf[Map[String, Any]]("q2_bad") == "boom")
+    assert(m("queries").asInstanceOf[Map[String, Any]]("q2_bad") == -1)
+  }
+
   test("compact line keeps full names when they fit") {
     val results = (1 to 10).map(i => s"q${i}_short_name" -> i / 10.0)
     val m = parse(Bench.compactJson(results, 5.5, "sf0.1", "{}"))
