@@ -65,9 +65,17 @@ names = sorted(json.load(open(
     max(__import__('glob').glob('CORRECTNESS_r*.json'),
         key=lambda p: int(re.search(r'r(\d+)', p).group(1))))).keys())
 ranked = sorted(names, key=lambda n: hashlib.md5(f"{round_n}:{n}".encode()).hexdigest())
+if not ranked:
+    # fail HERE with the real cause: deriving an empty subset from an
+    # empty {} driver artifact (the r15/r16 failure mode) would invoke
+    # graft.Verify with no query args and misattribute the eventual
+    # 'subset not green' failure (r19 advice)
+    print("source CORRECTNESS artifact has no query names - the sf0.1 "
+          "subset cannot be derived from an empty {}", file=sys.stderr)
+    sys.exit(1)
 print(" ".join(ranked[:15]))
 EOF
-)"
+)" || fail "sf0.1 subset derivation failed (see message above)"
 echo "sf0.1 subset (round $ROUND): $SUBSET"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT/verify_sf01 $SUBSET" \
   >"$OUT/verify_sf01.log" 2>&1 \
@@ -86,6 +94,62 @@ art["sf01_subset"] = {"queries": sorted(sub.get("queries", {})),
                       "n_pass": sub["n_pass"]}
 json.dump(art, open(sys.argv[1], "w"), indent=1)
 print(f"sf0.1 subset: {sub['n_pass']} pass, recorded in {sys.argv[1]}")
+EOF
+
+echo "== preflight: rotating sf10 heavy-family spot check =="
+# r19's BY-HAND sf10 exercise caught a real scale defect (the broadcast
+# guard's no-CBO estimate falsely rejecting 20-row query sets) that was
+# invisible at every gate SF — so the exercise is now a standing step.
+# Two HEAVY-family queries (similarity/dedup/stream/cluster/pipeline)
+# rotate by md5(round:name) and run at 100x the gate SF against the
+# make_sf.py fixture (rows-only: the fixture is bench-grade, the DuckDB
+# oracle stays at the driver SFs). Failures here are scale defects:
+# guard false-positives, driver-side collects, plan-size blowups.
+if [ ! -d /tmp/sf10 ]; then
+  echo "building /tmp/sf10 (make_sf.py 100x, one-time per machine)"
+  python3 scripts/make_sf.py /root/testdata/sf0.1 /tmp/sf10 100 \
+    >"$OUT/make_sf10.log" 2>&1 || fail "make_sf.py sf10 build failed"
+fi
+SF10_SUBSET="$(python3 - "$ROUND" <<'EOF'
+import hashlib, json, re, sys
+names = sorted(json.load(open(
+    max(__import__('glob').glob('CORRECTNESS_r*.json'),
+        key=lambda p: int(re.search(r'r(\d+)', p).group(1))))).keys())
+heavy = [n for n in names if re.match(r'(s|st|d|c|e|p)\d', n)]
+ranked = sorted(heavy,
+    key=lambda n: hashlib.md5(f"sf10:{sys.argv[1]}:{n}".encode()).hexdigest())
+if not ranked:
+    print("no heavy-family query names in the source artifact", file=sys.stderr)
+    sys.exit(1)
+print(" ".join(ranked[:2]))
+EOF
+)" || fail "sf10 subset derivation failed (see message above)"
+echo "sf10 subset (round $ROUND): $SF10_SUBSET"
+sbt -batch "runMain graft.Verify /tmp/sf10 $OUT/verify_sf10 $SF10_SUBSET" \
+  >"$OUT/verify_sf10.log" 2>&1 \
+  || fail "graft.Verify @ sf10 crashed (see $OUT/verify_sf10.log)"
+python3 - "$LOCAL_ART" "$OUT/verify_sf10" $SF10_SUBSET <<'EOF' || exit 1
+import json, sys
+import duckdb
+art_path, outdir, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+rows = {}
+for n in names:
+    try:
+        rows[n] = duckdb.sql(
+            f"SELECT count(*) FROM '{outdir}/{n}.parquet/*.parquet'").fetchone()[0]
+    except Exception as e:
+        print(f"PREFLIGHT FAIL: sf10 query {n} produced no readable output: {e}",
+              file=sys.stderr)
+        sys.exit(1)
+empty = [n for n, r in rows.items() if r == 0]
+if empty:
+    print(f"PREFLIGHT FAIL: sf10 queries returned zero rows: {empty}",
+          file=sys.stderr)
+    sys.exit(1)
+art = json.load(open(art_path))
+art["sf10_subset"] = {"queries": rows, "check": "rows_only"}
+json.dump(art, open(art_path, "w"), indent=1)
+print(f"sf10 subset: {rows} rows, recorded in {art_path}")
 EOF
 
 echo "== preflight: correctness-artifact guard =="

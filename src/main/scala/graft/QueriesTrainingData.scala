@@ -935,8 +935,9 @@ object QueriesTrainingData {
     * parquet file stream and every micro-batch is checked against the
     * STATIC eval set (vec_id % 10 = 7) by blocked cosine. Each
     * arriving vector probes its 4 nearest cells of a quantizer FROZEN
-    * on the pre-stream corpus (vec_id % 10 <> 3 — trained before the
-    * increment existed, the s17 freshness rule), and a stream-static
+    * before the increment existed (the s17 freshness rule) — the
+    * shared [[AuditQuantizer]], whose train corpus excludes both the
+    * increment and the eval split, and a stream-static
     * join on `cell` against the bucketed eval cell index scores only
     * within probed cells. The static index comes back BUCKETED on the
     * join key so no micro-batch re-exchanges or re-sorts it, and the
@@ -952,10 +953,11 @@ object QueriesTrainingData {
       s: SparkSession, dir: String): DataFrame = {
     val path = stagedVecStreamNew(s, dir)
     val e = embs(s, dir)
-    val hist = e.where(col("vec_id") % 10 =!= 3)
-    val (k, smod) = operators.Clustering.quantizerConfig(hist.count())
-    val cents = operators.Clustering.trainCentroids(hist, k, iterations = 1,
-      sampleMod = smod)
+    // the SHARED audit quantizer (trained on the corpus minus the
+    // increment AND minus the eval split): its exclusion set is a
+    // superset of the freshness rule's, and one train pass per session
+    // serves s21 + st10 instead of one each per invocation
+    val cents = AuditQuantizer.centroids(s, dir)
     val evalTbl = stagedBucketedIndex(s, "st10eval", dir, "cell") {
       operators.Clustering.assign(e.where(col("vec_id") % 10 === 7), cents)
         .select(col("centroid_id").as("cell"), col("vec_id").as("eval_id"),
@@ -2841,7 +2843,7 @@ object QueriesTrainingData {
          |GROUP BY n.doc_id ORDER BY doc_id""".stripMargin,
     "st10_stream_semantic_contamination" ->
       s"""WITH ${graft.OracleFragments.normVecCte},
-         |${graft.OracleFragments.ivfCellsCteDynamic("vec_id % 10 <> 3")},
+         |${graft.OracleFragments.ivfCellsCteDynamic(AuditQuantizer.trainPredSql)},
          |ecell AS (
          |  SELECT vec_id AS eval_id, cell FROM cellassign
          |  WHERE vec_id % 10 = 7

@@ -785,13 +785,28 @@ object Registry {
       // embedding column. NOTE the measured recall boundary (SCALE.md
       // r19): blocked recall is high in the near-dup regime this pass
       // targets (tau >= ~0.45 on the fixtures) and structurally low
-      // for weak-similarity taus — raise nprobe there, don't trust
-      // fewer cells.
+      // for weak-similarity taus — probe depth must GROW with the cell
+      // count there. Two probe knobs, mutually exclusive:
+      //   nprobe        — a fixed cell count (near-dup regime default);
+      //   cell_fraction — probe ceil(f * k) cells, sized AT PLAN TIME
+      //     from the trained quantizer's k, so recall holds as the
+      //     corpus (and k ~ sqrt(n)) grows: the measured s21 fraction
+      //     law (SCALE.md r19 — fixed nprobe 0.61 -> 0.40 recall from
+      //     sf0.001 to sf1; constant fraction restores it) as an
+      //     operator option instead of a footnote. Pair cost becomes
+      //     n_t * n_e * f — the honest price of weak-tau recall.
+      // quantizer_train_filter (optional SQL predicate) further
+      // restricts the TRAINER corpus below the train split — the
+      // freshness rule for corpora with in-flight increments ("the
+      // quantizer must predate rows it will later assign", st10), or
+      // any other must-not-shape-the-blocking exclusion.
       import org.apache.spark.sql.functions._
       val id = str(c, "id_column").getOrElse("doc_id")
       val vec = str(c, "vector_column").getOrElse("embedding")
       val tau = (c \ "threshold").extractOpt[Double].getOrElse(0.9)
-      val nprobe = int(c, "nprobe").getOrElse(4)
+      val fracOpt = (c \ "cell_fraction").extractOpt[Double]
+      require(fracOpt.isEmpty || int(c, "nprobe").isEmpty,
+        "semantic_decontaminate: nprobe and cell_fraction are mutually exclusive")
       // coalesce to false: a NULL flag/id marks a TRAINING doc (the
       // textual decontaminate stage's convention)
       val evalPred = coalesce(
@@ -803,9 +818,16 @@ object Registry {
         lit(false))
       val train = df.where(!evalPred)
       val evalSide = df.where(evalPred)
-      val (k, smod) = operators.Clustering.quantizerConfig(train.count())
+      val trainer = str(c, "quantizer_train_filter")
+        .map(p => train.where(expr(p))).getOrElse(train)
+      val (k, smod) = operators.Clustering.quantizerConfig(trainer.count())
       val cents = operators.Clustering.trainCentroids(
-        train, k, iterations = 1, idCol = id, vecCol = vec, sampleMod = smod)
+        trainer, k, iterations = 1, idCol = id, vecCol = vec, sampleMod = smod)
+      // fraction mode resolves to a concrete probe depth HERE, against
+      // the k this corpus actually trained
+      val nprobe = fracOpt
+        .map(f => operators.Clustering.fractionNprobe(f, cents.size))
+        .getOrElse(int(c, "nprobe").getOrElse(4))
       val trainCells = operators.Clustering.assign(train, cents, vec).select(
         col(id).as("_t_id"), col("centroid_id").as("_cell"),
         operators.Similarity.normalized(col(vec)).as("_t_en"))

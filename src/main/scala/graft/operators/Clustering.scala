@@ -231,6 +231,23 @@ object Clustering {
   def scaledCells(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n / 2.0)).toInt)
 
+  /** Probe depth for FRACTION-mode multi-probe: ceil(f·k) cells, capped
+    * at k. The measured s21 recall law (SCALE.md r19) is that a FIXED
+    * nprobe loses weak-similarity recall as the corpus grows — cells
+    * refine as √n and weak pairs scatter across them — while a constant
+    * nprobe/k FRACTION holds it (0.61 → 0.83 at sf1 for f = 0.25).
+    * Fraction mode makes that law a caller-visible option: probe depth
+    * is resolved at plan time from the k the quantizer actually
+    * trained, so the same config keeps its recall at any corpus size,
+    * at pair cost n_t·n_e·f. ceil on f·k is exact for any real k
+    * (k ≤ ~1e6 ≪ 2^53).
+    */
+  def fractionNprobe(fraction: Double, k: Int): Int = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"cell fraction must be in (0, 1], got $fraction")
+    math.min(k, math.ceil(fraction * k).toInt)
+  }
+
   /** Quantizer-training sample modulus: Lloyd rounds LEARN centroids,
     * and learning k cluster means needs a bounded sample, not the
     * corpus — max(10000, 40·k) vectors suffices (the PQ codebook rule,

@@ -59,9 +59,16 @@ object Similarity {
     * size (measured: the guard spuriously rejected every AnnTruth
     * query set at sf10) — so an over-limit ESTIMATE falls back to a
     * bounded TRUE row-count probe (`limit(cap + 1).count()`, early-out
-    * at the cap, ~1 KiB/row conservative) before rejecting. A false
-    * reject at scale is a correctness bug in the guard; the probe job
-    * is bounded by the cap regardless of corpus size.
+    * at the cap) before rejecting. A false reject at scale is a
+    * correctness bug in the guard; the probe job is bounded by the cap
+    * regardless of corpus size. The row cap derives from the SCHEMA's
+    * per-row width (Catalyst defaultSize, floored at 1 KiB), not a
+    * bare constant: a fixed 1 KiB/row let frames with wide rows (a
+    * 64-dim double array is already ~0.5 KiB before any text column)
+    * pass the count probe while their real broadcast size exceeded the
+    * limit — re-admitting the executor OOM the guard exists to prevent
+    * (r19 advice). defaultSize still UNDER-counts unbounded strings
+    * (20 bytes assumed), hence the floor stays as a second margin.
     */
   private[operators] def requireBroadcastableQueries(queries: DataFrame, op: String): Unit = {
     val conf = queries.sparkSession.conf
@@ -73,13 +80,15 @@ object Similarity {
     val limit = if (threshold > 0) threshold else 8L << 30
     val estimate = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estimate > BigInt(limit)) {
-      val cap = math.max(1L, limit / 1024L)
+      val perRowBytes = math.max(1024L, queries.schema.defaultSize.toLong)
+      val cap = math.max(1L, limit / perRowBytes)
       val probed =
         queries.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
       require(probed <= cap,
         s"$op broadcasts the query side to every corpus partition, but the " +
-          s"query set has >= $probed rows (cap $cap at ~1 KiB/row for the " +
-          s"$limit-byte broadcast limit; plan estimate $estimate bytes). " +
+          s"query set has >= $probed rows (cap $cap at ~$perRowBytes B/row " +
+          s"from the schema for the $limit-byte broadcast limit; plan " +
+          s"estimate $estimate bytes). " +
           "This operator is the |queries| << |corpus| baseline - use " +
           "lshTopK or Clustering.ivfTopK for large query sets, or raise " +
           "spark.sql.autoBroadcastJoinThreshold deliberately.")

@@ -301,12 +301,19 @@ class CliSpec extends SparkSpec {
         "eval_flag_column": "is_eval"}"""))(e)
     assert(none.count() == nTrain)
     assert(n0 == nTrain + e.where(col("is_eval")).count())
-    // the stage (same tau/nprobe/eval split) drops EXACTLY the s21
-    // query's flagged train ids — one implementation, two surfaces
+    // the stage (same tau/nprobe/eval split, and the same quantizer
+    // trainer: s21 blocks on the shared audit quantizer whose corpus
+    // also excludes the vec_id % 10 == 3 stream increment, replayed
+    // here via quantizer_train_filter) drops EXACTLY the s21 query's
+    // flagged train ids — one implementation, two surfaces
+    val pinned = Registry.getTransformer("semantic_decontaminate")(
+      Registry.parseConfig("""{"id_column": "vec_id", "threshold": 0.3,
+        "eval_flag_column": "is_eval",
+        "quantizer_train_filter": "vec_id % 10 != 3"}"""))(e)
     val flagged = graft.SparkEntry.queries("s21_semantic_contamination")(
         spark, "/root/testdata/sf0.001")
       .select("train_id").collect().map(_.getLong(0)).toSet
-    val keptIds = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptIds = pinned.select("vec_id").collect().map(_.getLong(0)).toSet
     val trainIds = e.where(!col("is_eval"))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(trainIds -- keptIds == flagged, "stage drop set != s21 flag set")

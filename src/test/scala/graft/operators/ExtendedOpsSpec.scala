@@ -418,6 +418,69 @@ class ExtendedOpsSpec extends SparkSpec {
       f"blocked contamination recall $recall%.2f under 0.55 (${flagged.size}/${exact.size})")
   }
 
+  test("fraction-mode probe depth scales with the trained cell count") {
+    // the s21 fraction law as a contract: cell_fraction resolves to
+    // ceil(f * k) AT PLAN TIME from the k the quantizer actually
+    // trained, so the probe depth GROWS as the corpus (and k ~ sqrt(n))
+    // grows — the property fixed nprobe lacks. Pinned across two real
+    // corpus sizes, 10x apart.
+    val f = 0.25
+    // sf0.001/sf0.01 both sit under scaledCells' floor of 16 — the
+    // 100x pair is the smallest with genuinely different cell counts
+    val kSmall = graft.AuditQuantizer
+      .centroids(spark, "/root/testdata/sf0.001").size
+    val kBig = graft.AuditQuantizer
+      .centroids(spark, "/root/testdata/sf0.1").size
+    assert(kBig > kSmall, s"cell counts did not scale: $kSmall -> $kBig")
+    for ((k, kName) <- Seq(kSmall -> "sf0.001", kBig -> "sf0.1")) {
+      assert(Clustering.fractionNprobe(f, k) == math.ceil(f * k).toInt,
+        s"$kName: resolved nprobe != ceil(f*k)")
+    }
+    assert(Clustering.fractionNprobe(f, kBig) >
+      Clustering.fractionNprobe(f, kSmall),
+      "fraction-mode nprobe failed to grow with the corpus")
+    // boundary behavior: a full fraction probes every cell, never more
+    assert(Clustering.fractionNprobe(1.0, kSmall) == kSmall)
+    assert(Clustering.fractionNprobe(1e-9, kSmall) == 1)
+    intercept[IllegalArgumentException](Clustering.fractionNprobe(0.0, 4))
+    intercept[IllegalArgumentException](Clustering.fractionNprobe(1.1, 4))
+    // deeper probes can only ADD candidate pairs (probe lists are
+    // rank-nested), so s22's flag set must contain s21's
+    val dir = "/root/testdata/sf0.001"
+    val s21 = graft.SparkEntry.queries("s21_semantic_contamination")(
+      spark, dir).select("train_id").collect().map(_.getLong(0)).toSet
+    val s22 = graft.SparkEntry.queries("s22_semantic_contamination_frac")(
+      spark, dir).select("train_id").collect().map(_.getLong(0)).toSet
+    assert(s21.subsetOf(s22),
+      s"fraction-mode flags lost fixed-nprobe flags: ${s21 -- s22}")
+  }
+
+  test("semantic_decontaminate at cell_fraction 1.0 equals the exact cross-set audit") {
+    // probing every cell IS the exact audit (blocking only partitions
+    // the pair space); the stage's fraction mode must land exactly on
+    // the brute-force contaminated set — end-to-end proof the resolved
+    // probe depth reaches the quantizer's full k
+    import graft.Registry
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, dir, "embeddings")
+      .withColumn("is_eval", col("vec_id") % 10 === 7)
+    val out = Registry.getTransformer("semantic_decontaminate")(
+      Registry.parseConfig("""{"id_column": "vec_id", "threshold": 0.3,
+        "eval_flag_column": "is_eval", "cell_fraction": 1.0}"""))(e)
+    val keptIds = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val en = Similarity.normalized(col("embedding"))
+    val tr = e.where(!col("is_eval"))
+      .select(col("vec_id").as("tid"), en.as("t_en"))
+    val ev = e.where(col("is_eval"))
+      .select(col("vec_id").as("eid"), en.as("e_en"))
+    val exactFlags = tr.crossJoin(ev)
+      .where(round(Similarity.dot(col("t_en"), col("e_en")), 6) >= 0.3)
+      .select("tid").collect().map(_.getLong(0)).toSet
+    val trainIds = tr.select("tid").collect().map(_.getLong(0)).toSet
+    assert(trainIds -- keptIds == exactFlags,
+      "full-fraction drop set != exact brute-force contamination set")
+  }
+
   test("filtered IVF probe: an empty query set yields an empty result, not a throw") {
     // r17 ADVICE: the partition-pruning disjunction was built with
     // reduce(_ || _), which throws on an empty probe set; it is now
