@@ -216,7 +216,11 @@ object Bench {
         "jsonl_new" -> (() => QueriesTrainingData.stagedJsonlNew(spark, sfDir)),
         "st9grams" -> (() => QueriesTrainingData.stagedCorpusGrams(spark, sfDir)),
         "corpusmd5" -> (() => QueriesTrainingData.stagedCorpusMd5(spark, sfDir)),
-        "lineDf" -> (() => QueriesTrainingData.stagedLineDf(spark, sfDir)))
+        "lineDf" -> (() => QueriesTrainingData.stagedLineDf(spark, sfDir)),
+        // the shared audit quantizer + the artifacts built from it
+        "auditQuantizer" -> (() => AuditQuantizer.centroids(spark, sfDir)),
+        "st10eval" -> (() => QueriesTrainingData.st10EvalIndex(spark, sfDir)),
+        "vecs_new" -> (() => QueriesTrainingData.stagedVecStreamNew(spark, sfDir)))
       stagers.foreach { case (what, run) =>
         // best-effort: a failed build is recorded by TempDirs under a
         // FAILED staging key and retried lazily by the touching query

