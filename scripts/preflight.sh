@@ -136,7 +136,7 @@ rows = {}
 for n in names:
     try:
         rows[n] = duckdb.sql(
-            f"SELECT count(*) FROM '{outdir}/{n}.parquet/*.parquet'").fetchone()[0]
+            f"SELECT count(*) FROM '{outdir}/{n}/*.parquet'").fetchone()[0]
     except Exception as e:
         print(f"PREFLIGHT FAIL: sf10 query {n} produced no readable output: {e}",
               file=sys.stderr)

@@ -836,7 +836,11 @@ object Registry {
           explode(functions.VectorExpressions
             .topCentroidsStruct(col(vec), cents, nprobe)).as("_pc"))
         .select(col("_e_en"), col("_pc.cid").as("_cell"))
-      val contaminated = trainCells.join(evalCells, Seq("_cell"))
+      // shuffle_hash: sort-merge buffers ~1 KB vector rows per cell
+      // group on both sides — measured 12.8x slower than hashing the
+      // train side at sf3 (s22, SCALE.md r20); strategy only, results
+      // identical
+      val contaminated = trainCells.hint("shuffle_hash").join(evalCells, Seq("_cell"))
         .where(round(operators.Similarity.dot(col("_t_en"), col("_e_en")), 6)
           >= tau)
         .select(col("_t_id").as(id)).distinct()

@@ -674,7 +674,12 @@ object Clustering {
       Similarity.normalized(col(vecCol)).as("en"))
     val a = cells.select(col("cell"), col(idCol).as("a_id"), col("en").as("a_en"))
     val b = cells.select(col("cell"), col(idCol).as("b_id"), col("en").as("b_en"))
-    val dropped = a.join(b, Seq("cell"))
+    // shuffle_hash: sort-merge on a ~√n-key join buffers each cell's
+    // ~1 KB vector rows per key group on both sides — measured 12.8x
+    // slower than hashing one side at sf3 (s22, SCALE.md r20); the
+    // per-partition build side is |corpus|/shuffle.partitions rows,
+    // the standard SHJ sizing. Strategy only — results identical.
+    val dropped = a.hint("shuffle_hash").join(b, Seq("cell"))
       .where(col("a_id") < col("b_id"))
       .where(round(Similarity.dot(col("a_en"), col("b_en")), 6) >= tau)
       .select(col("b_id").as(idCol))
@@ -791,7 +796,8 @@ object Clustering {
       col("en").as("nbr_en"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_sim").desc, col("nbr_id"))
-    val nbrs = a.join(b, Seq("cell"))
+    // shuffle_hash: same rationale as semanticDedup's pair join
+    val nbrs = a.hint("shuffle_hash").join(b, Seq("cell"))
       .where(col("vec_id") =!= col("nbr_id"))
       .select(col("cell"), col("vec_id"), col("en"), col("nbr_id"),
         round(Similarity.dot(col("en"), col("nbr_en")), 6).as("cos_sim"))
