@@ -1795,7 +1795,9 @@ object QueriesTrainingData {
          |), scored AS (
          |  SELECT d.doc_id, coalesce(a.n, 0) AS n_tokens,
          |    CASE WHEN coalesce(a.n, 0) <= 0 THEN 0.0
-         |         ELSE round(a.s::DOUBLE / (a.n * 1000.0), 6) END AS clf_score
+         |         ELSE (CASE WHEN a.s < 0 THEN -1 WHEN a.s > 0 THEN 1 ELSE 0 END
+         |               * ((2000 * abs(a.s) + a.n) // (2 * a.n)))::DOUBLE / 1e6
+         |         END AS clf_score
          |  FROM documents d LEFT JOIN agg a USING (doc_id)
          |)
          |SELECT doc_id, n_tokens, clf_score,
@@ -1814,7 +1816,9 @@ object QueriesTrainingData {
          |), scored AS (
          |  SELECT d.doc_id,
          |    CASE WHEN coalesce(a.n, 0) <= 0 THEN 0.0
-         |         ELSE round(a.s::DOUBLE / (a.n * 1000.0), 6) END AS clf_score
+         |         ELSE (CASE WHEN a.s < 0 THEN -1 WHEN a.s > 0 THEN 1 ELSE 0 END
+         |               * ((2000 * abs(a.s) + a.n) // (2 * a.n)))::DOUBLE / 1e6
+         |         END AS clf_score
          |  FROM documents d LEFT JOIN agg a USING (doc_id)
          |), qual AS (
          |  SELECT doc_id, source, ${OracleFragments.qualitySql} AS q FROM documents

@@ -1039,12 +1039,26 @@ object TextAnalysis {
     val stats = graft.functions.TextHashExpressions.classifierStatsMilli(
       normalize(coalesce(col(textCol), lit(""))), dim)
     val n = col("_cs").getItem(0)
+    // clf_score = round(s / (n·1000), 6) computed EXACTLY in integer
+    // math: micro = sgn(s)·((|s|·2000 + n) div (2n)) — half-away-from-
+    // zero on exact integers, then ONE IEEE division by 1e6. The
+    // round(double, 6) form hit a .5e-6 tie at sf0.1 (doc 2668:
+    // s/(n·1000) lands where Spark's BigDecimal-HALF_UP-on-the-
+    // shortest-string and DuckDB's binary rounding disagree by 1e-6) —
+    // the same divergence class x40's mean already dodged with
+    // floor-of-micros. |s| ≤ 1000·n keeps every intermediate ≪ 2^53.
+    // Exact long division via pmod: a - pmod(a,b) is b-divisible, so
+    // the double divide is exact (Spark's `/` is always floating).
+    def ldiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val sMilli = col("_cs").getItem(1)
+    val sgn = when(sMilli < 0, -1L).when(sMilli > 0, 1L).otherwise(0L)
+    val micro = sgn * ldiv(abs(sMilli) * 2000L + n, n * 2L)
     docs
       .select(col(idCol), stats.as("_cs"))
       .select(col(idCol), n.as("n_tokens"),
         when(n <= 0, 0.0)
-          .otherwise(round(col("_cs").getItem(1).cast("double")
-            / (n * lit(1000.0)), 6)).as("clf_score"))
+          .otherwise(micro.cast("double") / 1e6).as("clf_score"))
       .withColumn("kept", col("n_tokens") > 0 && col("clf_score") > threshold)
   }
 }
