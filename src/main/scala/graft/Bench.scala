@@ -219,6 +219,9 @@ object Bench {
         "lineDf" -> (() => QueriesTrainingData.stagedLineDf(spark, sfDir)),
         // the shared audit quantizer + the artifacts built from it
         "auditQuantizer" -> (() => AuditQuantizer.centroids(spark, sfDir)),
+        // the shared full-corpus quantizer (d13/p5/e3/s12 + every
+        // cached-index family derives its key and centroids from it)
+        "corpusQuantizer" -> (() => CorpusQuantizer.get(spark, sfDir)),
         "st10eval" -> (() => QueriesTrainingData.st10EvalIndex(spark, sfDir)),
         "vecs_new" -> (() => QueriesTrainingData.stagedVecStreamNew(spark, sfDir)))
       stagers.foreach { case (what, run) =>

@@ -667,20 +667,51 @@ object Clustering {
       idCol: String = "vec_id", vecCol: String = "embedding",
       sampleMod: Long = 1L): DataFrame = {
     val cents = trainCentroids(corpus, nCells, iterations, idCol, vecCol, sampleMod)
+    semanticDedupWith(corpus, cents, tau, idCol, vecCol)
+  }
+
+  /** [[semanticDedup]] against a PRE-TRAINED quantizer — the shared-
+    * centroid path (one trainCentroids pass per session can serve
+    * every consumer of the same (corpus, config), r20 verdict item 7).
+    */
+  def semanticDedupWith(
+      corpus: DataFrame, cents: Seq[(Int, Array[Double])], tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(cents.nonEmpty,
-      s"semanticDedup: no seed vectors with $idCol < $nCells - seed ids must start at 0")
+      "semanticDedup: no seed vectors with id < nCells - seed ids must start at 0")
+    val en = Similarity.normalized(col(vecCol))
     val cells = assign(corpus, cents, vecCol).select(
       col(idCol), col("centroid_id").as("cell"),
-      Similarity.normalized(col(vecCol)).as("en"))
-    val a = cells.select(col("cell"), col(idCol).as("a_id"), col("en").as("a_en"))
-    val b = cells.select(col("cell"), col(idCol).as("b_id"), col("en").as("b_en"))
+      PairScreen.code(en).as("qv"), PairScreen.scale(en).as("qs"))
+    // SCREEN pass (r21, guide §2.3/§8 + PairScreen doc): the within-
+    // cell pair join — the operator's only corpus-wide exchange and
+    // its Σ|cell|² pair term — ships int8 codes + one scale
+    // (~90 B/row) instead of 512-byte f64 unit vectors, rejecting
+    // pairs on an i8 dot plus a conservative error bound; survivors
+    // are re-scored with the exact f64 dot below, so the kept set is
+    // value-identical to the unscreened definition.
+    val a = cells.select(col("cell"), col(idCol).as("a_id"),
+      col("qv").as("a_qv"), col("qs").as("a_qs"))
+    val b = cells.select(col("cell"), col(idCol).as("b_id"),
+      col("qv").as("b_qv"), col("qs").as("b_qs"))
     // shuffle_hash: sort-merge on a ~√n-key join buffers each cell's
-    // ~1 KB vector rows per key group on both sides — measured 12.8x
-    // slower than hashing one side at sf3 (s22, SCALE.md r20); the
-    // per-partition build side is |corpus|/shuffle.partitions rows,
-    // the standard SHJ sizing. Strategy only — results identical.
-    val dropped = a.hint("shuffle_hash").join(b, Seq("cell"))
+    // rows per key group on both sides — measured 12.8x slower than
+    // hashing one side at sf3 (s22, SCALE.md r20); the per-partition
+    // build side is |corpus|/shuffle.partitions rows of ~90 B codes
+    // (6x the memory margin of the r20 vector rows). Strategy only.
+    val cand = a.hint("shuffle_hash").join(b, Seq("cell"))
       .where(col("a_id") < col("b_id"))
+      .where(PairScreen.mayReach(tau,
+        col("a_qv"), col("a_qs"), col("b_qv"), col("b_qs")))
+      .select("a_id", "b_id")
+    // RESCORE pass: exact f64 dot for the screened pairs only — the
+    // near-dup band around tau. AQE broadcasts the pair set into the
+    // two re-attach joins at runtime, so the full vectors never cross
+    // an exchange (they stream out of the corpus scan).
+    val av = corpus.select(col(idCol).as("a_id"), en.as("a_en"))
+    val bv = corpus.select(col(idCol).as("b_id"), en.as("b_en"))
+    val dropped = cand
+      .join(av, "a_id").join(bv, "b_id")
       .where(round(Similarity.dot(col("a_en"), col("b_en")), 6) >= tau)
       .select(col("b_id").as(idCol))
       .distinct()
@@ -787,25 +818,58 @@ object Clustering {
       corpus: DataFrame, centroids: Seq[(Int, Array[Double])], m: Int,
       dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val en = Similarity.normalized(col(vecCol))
     val base = corpus.select(
       col(idCol).as("vec_id"),
       nearestCentroid(col(vecCol), centroids).as("cell"),
-      Similarity.normalized(col(vecCol)).as("en"))
-    val a = base.select(col("cell"), col("vec_id"), col("en"))
+      PairScreen.code(en).as("qv"), PairScreen.scale(en).as("qs"))
+    val a = base.select(col("cell"), col("vec_id"), col("qv"), col("qs"))
     val b = base.select(col("cell"), col("vec_id").as("nbr_id"),
-      col("en").as("nbr_en"))
+      col("qv").as("n_qv"), col("qs").as("n_qs"))
+    // SCREEN pass (r21, guide §2.3/§8 + PairScreen doc): the within-
+    // cell pair join ships int8 codes instead of 512-byte unit
+    // vectors, and — the bigger win here — the top-M window sorts
+    // NARROW (vec_id, nbr_id, lo, hi) rows instead of pair rows
+    // carrying the full vector (the r20 shape exchanged every pair
+    // row with `en` aboard into the window). A pair survives when its
+    // upper bound reaches the M-th largest lower bound of its group
+    // (nth_value over the same window order), which provably keeps
+    // every exact top-M member; survivors are re-scored exactly.
+    // Null-safe: a null approx (null/mismatched vector) degrades to
+    // the widest interval, so such rows rank exactly as the r20 shape
+    // ranked their null cosines (present, sorted last).
+    val appx = PairScreen.approx(col("qv"), col("qs"), col("n_qv"), col("n_qs"))
+    val bnd = PairScreen.bound(col("qs"), col("n_qs"), size(col("qv"))) +
+      lit(PairScreen.margin)
+    val scoredQ = a.hint("shuffle_hash").join(b, Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("cell"), col("vec_id"), col("nbr_id"),
+        coalesce(appx - bnd, lit(-2.0)).as("lo"),
+        coalesce(appx + bnd, lit(2.0)).as("hi"))
+    val wFull = Window.partitionBy("vec_id")
+      .orderBy(col("lo").desc, col("nbr_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cand = scoredQ
+      .withColumn("_lm", coalesce(nth_value(col("lo"), m).over(wFull), lit(-2.0)))
+      .where(col("hi") >= col("_lm"))
+      .select("cell", "vec_id", "nbr_id")
+    // RESCORE pass: exact cosine + the exact top-M cut on the ~M-deep
+    // survivor set only; the aggregation stays NARROW (ids), and the
+    // node's own vector is re-attached once per node after it.
+    val av = corpus.select(col(idCol).as("vec_id"), en.as("en"))
+    val bv = corpus.select(col(idCol).as("nbr_id"), en.as("nbr_en"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_sim").desc, col("nbr_id"))
-    // shuffle_hash: same rationale as semanticDedup's pair join
-    val nbrs = a.hint("shuffle_hash").join(b, Seq("cell"))
-      .where(col("vec_id") =!= col("nbr_id"))
-      .select(col("cell"), col("vec_id"), col("en"), col("nbr_id"),
+    val nbrs = cand
+      .join(av, "vec_id").join(bv, "nbr_id")
+      .select(col("cell"), col("vec_id"), col("nbr_id"),
         round(Similarity.dot(col("en"), col("nbr_en")), 6).as("cos_sim"))
       .withColumn("_r", row_number().over(w))
       .where(col("_r") <= m)
       .groupBy("cell", "vec_id")
-      .agg(first(col("en")).as("en"),
-        sort_array(collect_list(col("nbr_id"))).as("nbrs"))
+      .agg(sort_array(collect_list(col("nbr_id"))).as("nbrs"))
+      .join(av, "vec_id")
+      .select(col("cell"), col("vec_id"), col("en"), col("nbrs"))
     nbrs.write.partitionBy("cell").mode("overwrite").parquet(dir)
   }
 

@@ -58,17 +58,18 @@ object Similarity {
     * `vec_id < 20` slice of a 100×-scale table "estimates" at table
     * size (measured: the guard spuriously rejected every AnnTruth
     * query set at sf10) — so an over-limit ESTIMATE falls back to a
-    * bounded TRUE row-count probe (`limit(cap + 1).count()`, early-out
-    * at the cap) before rejecting. A false reject at scale is a
-    * correctness bug in the guard; the probe job is bounded by the cap
-    * regardless of corpus size. The row cap derives from the SCHEMA's
-    * per-row width (Catalyst defaultSize, floored at 1 KiB), not a
-    * bare constant: a fixed 1 KiB/row let frames with wide rows (a
-    * 64-dim double array is already ~0.5 KiB before any text column)
-    * pass the count probe while their real broadcast size exceeded the
-    * limit — re-admitting the executor OOM the guard exists to prevent
-    * (r19 advice). defaultSize still UNDER-counts unbounded strings
-    * (20 bytes assumed), hence the floor stays as a second margin.
+    * bounded TRUE row-count probe (`limit(cap + 1)`, early-out at the
+    * cap) before rejecting. A false reject at scale is a correctness
+    * bug in the guard; the probe job is bounded by the cap regardless
+    * of corpus size. The row cap derives from the probe rows' MEASURED
+    * width (an in-plan size expression per column — size(arr)*elem for
+    * numeric arrays, length+20 for strings — max over the probed
+    * rows), not from Catalyst defaultSize: ArrayType.defaultSize
+    * assumes ONE element, so a 64-dim embedding schema "weighed" 8 B
+    * and the old schema-derived width collapsed to the 1 KiB floor for
+    * exactly the wide-array case it claimed to fix (r20 ADVICE). The
+    * floor stays as a second margin for opaque nested types the
+    * expression undercounts.
     */
   private[operators] def requireBroadcastableQueries(queries: DataFrame, op: String): Unit = {
     val conf = queries.sparkSession.conf
@@ -80,14 +81,39 @@ object Similarity {
     val limit = if (threshold > 0) threshold else 8L << 30
     val estimate = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estimate > BigInt(limit)) {
-      val perRowBytes = math.max(1024L, queries.schema.defaultSize.toLong)
+      import org.apache.spark.sql.types._
+      // Per-row width measured from the PROBED ROWS, not from
+      // ArrayType.defaultSize (which assumes ONE element: a 64-dim
+      // f64 embedding schema "weighs" 8 B, so the old schema-derived
+      // width collapsed to the 1 KiB floor for exactly the wide-array
+      // case it claimed to fix — r20 ADVICE). Variable-width columns
+      // contribute an in-plan size expression; opaque nested types
+      // fall back to defaultSize, with the 1 KiB floor kept as the
+      // second margin for anything the expression undercounts.
+      val rowBytes: Column = queries.schema.fields.map { f =>
+        f.dataType match {
+          case ArrayType(et, _) if et.isInstanceOf[NumericType] =>
+            coalesce(size(col(f.name)).cast("long"), lit(0L)) *
+              lit(et.defaultSize.toLong) + lit(16L)
+          case StringType =>
+            coalesce(length(col(f.name)).cast("long"), lit(0L)) + lit(20L)
+          case BinaryType =>
+            coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) + lit(16L)
+          case dt => lit(dt.defaultSize.toLong)
+        }
+      }.reduceOption(_ + _).getOrElse(lit(8L))
+      val capFloor = math.max(1L, limit / 1024L)
+      val probeRow = queries
+        .limit(math.min(capFloor + 1, Int.MaxValue.toLong).toInt)
+        .agg(count(lit(1)), max(rowBytes)).head()
+      val probed = probeRow.getLong(0)
+      val measured = if (probeRow.isNullAt(1)) 0L else probeRow.getLong(1)
+      val perRowBytes = math.max(1024L, measured)
       val cap = math.max(1L, limit / perRowBytes)
-      val probed =
-        queries.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
       require(probed <= cap,
         s"$op broadcasts the query side to every corpus partition, but the " +
           s"query set has >= $probed rows (cap $cap at ~$perRowBytes B/row " +
-          s"from the schema for the $limit-byte broadcast limit; plan " +
+          s"measured from the probe rows for the $limit-byte broadcast limit; plan " +
           s"estimate $estimate bytes). " +
           "This operator is the |queries| << |corpus| baseline - use " +
           "lshTopK or Clustering.ivfTopK for large query sets, or raise " +
@@ -538,16 +564,53 @@ object Similarity {
       centroids: Seq[(Int, Array[Double])], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.nearestCentroidStruct
+    val en = normalized(col(vecCol))
     def side(df: DataFrame, role: String): DataFrame =
       df.select(
         col(idCol).as(s"${role}_id"),
-        normalized(col(vecCol)).as(s"${role}_en"),
+        PairScreen.code(en).as(s"${role}_qv"),
+        PairScreen.scale(en).as(s"${role}_qs"),
         nearestCentroidStruct(col(vecCol), centroids).getField("cid").as("cell"))
-    // shuffle_hash: the blocked pair join on `cell` carries unit
-    // vectors on both sides — sort-merge buffers each cell group's
-    // ~1 KB rows; hashing one side measured 12.8x faster at sf3
-    // (s22, SCALE.md r20). Strategy only — results identical.
-    val pairs = side(src, "src").hint("shuffle_hash").join(side(tgt, "tgt"), "cell")
+    // SCREEN pass (r21, guide §2.3/§8 + PairScreen doc): the blocked
+    // pair join ships int8 codes + one scale (~90 B/row) instead of
+    // 512-byte f64 unit vectors, and every candidate pair costs an i8
+    // dot instead of a f64 dot. A pair survives when its micro-unit
+    // upper bound reaches the k-th largest lower bound of EITHER its
+    // forward (src) or backward (tgt) neighborhood — nth_value over
+    // the same narrow pair rows — which provably keeps both exact
+    // top-k sets; survivors are re-scored with the exact f64 dot, so
+    // ranks, sums and the mutual flag are value-identical. Null-safe:
+    // a null approx degrades to the widest interval (kept, re-scored,
+    // exact null cosine ranks last — the r20 behavior).
+    // shuffle_hash: sort-merge buffers each cell group's rows on both
+    // sides; hashing one side measured 12.8x faster at sf3 (s22,
+    // SCALE.md r20); the ~90 B build rows widen its memory margin 6x.
+    val appx = PairScreen.approx(
+      col("src_qv"), col("src_qs"), col("tgt_qv"), col("tgt_qs"))
+    val bnd = PairScreen.bound(col("src_qs"), col("tgt_qs"), size(col("src_qv")))
+    val pairsQ = side(src, "src").hint("shuffle_hash").join(side(tgt, "tgt"), "cell")
+      .select(col("src_id"), col("tgt_id"),
+        coalesce(floor((appx - bnd) * 1e6).cast("long") - 1, lit(-3000000L))
+          .as("_lo"),
+        coalesce(floor((appx + bnd) * 1e6).cast("long") + 1, lit(3000000L))
+          .as("_hi"))
+    val wFlo = Window.partitionBy("src_id").orderBy(col("_lo").desc, col("tgt_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wBlo = Window.partitionBy("tgt_id").orderBy(col("_lo").desc, col("src_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cand = pairsQ
+      .withColumn("_flk",
+        coalesce(nth_value(col("_lo"), k).over(wFlo), lit(-3000000L)))
+      .withColumn("_blk",
+        coalesce(nth_value(col("_lo"), k).over(wBlo), lit(-3000000L)))
+      .where(col("_hi") >= col("_flk") || col("_hi") >= col("_blk"))
+      .select("src_id", "tgt_id")
+    // RESCORE pass: exact micro-cosine for the ~k-deep survivor sets
+    // only; AQE sizes the re-attach joins from the survivor count at
+    // runtime, so the full vectors stream out of the corpus scans.
+    val sv = src.select(col(idCol).as("src_id"), en.as("src_en"))
+    val tv = tgt.select(col(idCol).as("tgt_id"), en.as("tgt_en"))
+    val pairs = cand.join(sv, "src_id").join(tv, "tgt_id")
       .select(col("src_id"), col("tgt_id"),
         floor(dot(col("src_en"), col("tgt_en")) * 1e6).cast("long")
           .as("cos_micro"))
