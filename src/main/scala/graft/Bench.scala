@@ -207,8 +207,10 @@ object Bench {
     // SPARK_GRAFT_PRESTAGE=1 forces the full pass.
     if (only.isEmpty || sys.env.get("SPARK_GRAFT_PRESTAGE").contains("1")) {
       val stagers: Seq[(String, () => Any)] = Seq(
-        // shingles first: the cluster build reads the staged index
+        // shingles first: the pair scaffold reads the staged index and
+        // the cluster build reads the staged pairs
         "shingles3" -> (() => QueriesTrainingData.stagedShingles(spark, sfDir)),
+        "lshPairs" -> (() => QueriesTrainingData.stagedVerifiedPairs(spark, sfDir)),
         "jaccardClusters" -> (() => QueriesExtended.stagedClusters(spark, sfDir)),
         "synthPackets" -> (() => QueriesTelemetry.synthPackets(spark, sfDir)),
         "t15" -> (() => QueriesTelemetry.stagedCcsdsFiles(spark, sfDir)),

@@ -321,9 +321,12 @@ object QueriesExtended {
     // pass is shared with d2/d3/d4/d9/d11/x36 instead of re-derived in
     // every branch of the cluster plan. Resolved BEFORE entering the
     // cluster build so the dependency's own staging completes first.
-    val shingles = QueriesTrainingData.stagedShingles(s, dir)
+    // r21: edges come off the session-staged VERIFIED-PAIR table (the
+    // same scaffold d4/d17/p5 scan) instead of re-running band keys +
+    // candidate join + hash verify inside the cluster build
+    val pairs = QueriesTrainingData.stagedVerifiedPairs(s, dir)
     val staged = TempDirs.cached(s"jaccardClusters:$dir") { d =>
-      Dedup.jaccardClustersFromHashes(shingles)
+      Dedup.jaccardClustersFromPairs(pairs)
         .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$d/clusters")
     }
@@ -516,9 +519,7 @@ object QueriesExtended {
     // DuckDB; ties on size drop the larger id, a_id < b_id holds).
     // The restriction joins the FLAG table (doc-level, narrow) — the
     // pair scaffold itself is the session-staged index d4/d17 scan.
-    val vp = Dedup.lshVerifiedPairsFromHashes(
-      QueriesTrainingData.stagedShingles(s, dir)
-        .select(col("doc_id"), col("h"), col("hb")))
+    val vp = QueriesTrainingData.stagedVerifiedPairs(s, dir)
     val sIds = flags2.where(col("_f2")).select("doc_id")
     val vpSurv = vp
       .join(sIds.select(col("doc_id").as("a_id")), "a_id")

@@ -310,8 +310,24 @@ object QueriesTrainingData {
     * (and their oracles mirror the same CTE chain).
     */
   private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshVerifiedPairsFromHashes(
-      stagedShingles(s, dir)) // staged index: every branch scans parquet
+    stagedVerifiedPairs(s, dir)
+
+  /** The verified-pair scaffold MATERIALIZED once per (testdata, JVM)
+    * (r21): band keys + candidate self-join + exact hash-verify are
+    * identical work in d4, d17, p5's containment gate AND the cluster
+    * staging's edge input — each used to re-run the four-exchange
+    * scaffold per invocation per bench rep. Build cost lands in the
+    * bench staging map as `lshPairs`; consumers scan a narrow parquet.
+    */
+  private[graft] def stagedVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val shingles = stagedShingles(s, dir)
+    val staged = TempDirs.cached(s"lshPairs:$dir") { d =>
+      Dedup.lshVerifiedPairsFromHashes(shingles)
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$d/pairs")
+    }
+    s.read.parquet(s"$staged/pairs")
+  }
 
   private def d4LshPairs(s: SparkSession, dir: String): DataFrame =
     lshVerifiedPairs(s, dir)

@@ -525,16 +525,44 @@ object Dedup {
     val sigs = minhashFromBaseHashes(
       hg.select(col(idCol), col("hb").as("h")), numHashes, idCol)
       .localCheckpoint()
-    val perR = rowsPerBands.map { r =>
-      lshCandidates(sigs, r, idCol)
-        .join(truth.withColumn("_t", lit(1L)), Seq("a_id", "b_id"), "left")
-        .groupBy()
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum("_t"), lit(0L)).as("n_hits"))
-        .select(lit(r).as("rows_per_band"),
-          lit(numHashes / r).as("n_bands"),
-          col("n_candidates"), col("n_hits"))
-    }.reduce(_.unionByName(_))
+    // ONE banded pass for every swept config (r21, guide §2.4): each
+    // signature row is exploded into its (rows_per_band, band)
+    // coordinate for all swept r at once, so the sweep pays a single
+    // band-key aggregation, one self-join and one distinct instead of
+    // one of each per config (4 exchanges + 4 candidate joins -> 1 + 1
+    // at the shipped sweep; keys shuffled are the same 15/doc either
+    // way). Per-r candidate sets are identical — the join key carries
+    // r, so collisions never cross configs.
+    val banded = sigs
+      .select(col(idCol), col("k"), col("minhash"),
+        explode(typedlit(rowsPerBands)).as("r"))
+      .withColumn("band", (col("k") / col("r")).cast("int"))
+      .groupBy(col(idCol), col("r"), col("band"))
+      .agg(sort_array(collect_list(struct(col("k"), col("minhash")))).as("kv"))
+      .withColumn("band_key",
+        concat_ws(",", transform(col("kv"), x => concat_ws(":", x("k"), x("minhash")))))
+      .select(col(idCol), col("r"), col("band"), col("band_key"))
+    val aSideB = banded.select(col("r"), col("band"), col("band_key"),
+      col(idCol).as("a_id"))
+    val bSideB = banded.select(col("r"), col("band"), col("band_key"),
+      col(idCol).as("b_id"))
+    val candCounts = aSideB.join(bSideB, Seq("r", "band", "band_key"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("r").as("rows_per_band"), col("a_id"), col("b_id"))
+      .distinct()
+      .join(truth.withColumn("_t", lit(1L)), Seq("a_id", "b_id"), "left")
+      .groupBy("rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum("_t"), lit(0L)).as("n_hits"))
+    // anchor row per swept r: a config with ZERO candidates must still
+    // report (the old per-config scalar aggregate always emitted one)
+    val perR = sigs.sparkSession.range(1)
+      .select(explode(typedlit(rowsPerBands)).as("rows_per_band"))
+      .join(candCounts, Seq("rows_per_band"), "left")
+      .select(col("rows_per_band"),
+        (lit(numHashes) / col("rows_per_band")).cast("int").as("n_bands"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
     // the truth count rides an exploded tally so the tiny report rows
     // join on an equi-key instead of a scalar cross join
     val truthTally = truth
@@ -611,12 +639,22 @@ object Dedup {
     */
   def jaccardClustersFromHashes(
       hashedGrams: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.1, idCol: String = "doc_id"): DataFrame = {
+      threshold: Double = 0.1, idCol: String = "doc_id"): DataFrame =
+    jaccardClustersFromPairs(
+      lshVerifiedPairsFromHashes(hashedGrams, numHashes, rowsPerBand, idCol),
+      threshold, idCol)
+
+  /** [[jaccardClustersFromHashes]] over an ALREADY-VERIFIED pair
+    * scaffold (the r21 session-staged pairs table) — the CC closure
+    * without re-running band keys + candidate join + hash verify.
+    */
+  def jaccardClustersFromPairs(
+      pairs: DataFrame, threshold: Double = 0.1,
+      idCol: String = "doc_id"): DataFrame = {
     // inter > 0 keeps the pre-refactor semantics at threshold == 0:
     // lshVerifiedPairsFromHashes emits zero-intersection band
     // collisions (coalesced inter = 0), which were never edges here
-    val edges = lshVerifiedPairsFromHashes(
-        hashedGrams, numHashes, rowsPerBand, idCol)
+    val edges = pairs
       .where(col("inter") > 0 &&
         col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= threshold)
