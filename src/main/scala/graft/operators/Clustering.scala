@@ -679,39 +679,30 @@ object Clustering {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(cents.nonEmpty,
       "semanticDedup: no seed vectors with id < nCells - seed ids must start at 0")
-    val en = Similarity.normalized(col(vecCol))
     val cells = assign(corpus, cents, vecCol).select(
       col(idCol), col("centroid_id").as("cell"),
-      PairScreen.code(en).as("qv"), PairScreen.scale(en).as("qs"))
-    // SCREEN pass (r21, guide §2.3/§8 + PairScreen doc): the within-
-    // cell pair join — the operator's only corpus-wide exchange and
-    // its Σ|cell|² pair term — ships int8 codes + one scale
-    // (~90 B/row) instead of 512-byte f64 unit vectors, rejecting
-    // pairs on an i8 dot plus a conservative error bound; survivors
-    // are re-scored with the exact f64 dot below, so the kept set is
-    // value-identical to the unscreened definition.
-    val a = cells.select(col("cell"), col(idCol).as("a_id"),
-      col("qv").as("a_qv"), col("qs").as("a_qs"))
-    val b = cells.select(col("cell"), col(idCol).as("b_id"),
-      col("qv").as("b_qv"), col("qs").as("b_qs"))
+      Similarity.normalized(col(vecCol)).as("en"))
+    val a = cells.select(col("cell"), col(idCol).as("a_id"), col("en").as("a_en"))
+    val b = cells.select(col("cell"), col(idCol).as("b_id"), col("en").as("b_en"))
     // shuffle_hash: sort-merge on a ~√n-key join buffers each cell's
-    // rows per key group on both sides — measured 12.8x slower than
-    // hashing one side at sf3 (s22, SCALE.md r20); the per-partition
-    // build side is |corpus|/shuffle.partitions rows of ~90 B codes
-    // (6x the memory margin of the r20 vector rows). Strategy only.
-    val cand = a.hint("shuffle_hash").join(b, Seq("cell"))
+    // ~1 KB vector rows per key group on both sides — measured 12.8x
+    // slower than hashing one side at sf3 (s22, SCALE.md r20); the
+    // per-partition build side is |corpus|/shuffle.partitions rows,
+    // the standard SHJ sizing. Strategy only — results identical.
+    //
+    // NOT screened (r21, measured): the PairScreen int8 screen that
+    // pays off for the cross-set contamination audits was tried here
+    // and measured 2.4x SLOWER warm at sf3 (3.8 -> 9.0 s isolated).
+    // Within-cell pairs cluster around their shared centroid, so at
+    // the fixture's tau 22% of ALL pairs genuinely qualify and 8%
+    // more sit inside the bound's uncertainty band (ProfScreen, sf3:
+    // 11.4M pairs, 2.5M >= tau, 937k band at avg bound 0.021) — the
+    // re-attach rescore join then processes millions of pair rows
+    // where the r20 shape computes the exact dot in-stage for free.
+    // The screen is kept where the threshold is SELECTIVE (s21/s22:
+    // 5% qualify) — it is a selectivity-dependent tool, not a default.
+    val dropped = a.hint("shuffle_hash").join(b, Seq("cell"))
       .where(col("a_id") < col("b_id"))
-      .where(PairScreen.mayReach(tau,
-        col("a_qv"), col("a_qs"), col("b_qv"), col("b_qs")))
-      .select("a_id", "b_id")
-    // RESCORE pass: exact f64 dot for the screened pairs only — the
-    // near-dup band around tau. AQE broadcasts the pair set into the
-    // two re-attach joins at runtime, so the full vectors never cross
-    // an exchange (they stream out of the corpus scan).
-    val av = corpus.select(col(idCol).as("a_id"), en.as("a_en"))
-    val bv = corpus.select(col(idCol).as("b_id"), en.as("b_en"))
-    val dropped = cand
-      .join(av, "a_id").join(bv, "b_id")
       .where(round(Similarity.dot(col("a_en"), col("b_en")), 6) >= tau)
       .select(col("b_id").as(idCol))
       .distinct()

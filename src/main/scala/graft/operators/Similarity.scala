@@ -564,53 +564,27 @@ object Similarity {
       centroids: Seq[(Int, Array[Double])], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.nearestCentroidStruct
-    val en = normalized(col(vecCol))
     def side(df: DataFrame, role: String): DataFrame =
       df.select(
         col(idCol).as(s"${role}_id"),
-        PairScreen.code(en).as(s"${role}_qv"),
-        PairScreen.scale(en).as(s"${role}_qs"),
+        normalized(col(vecCol)).as(s"${role}_en"),
         nearestCentroidStruct(col(vecCol), centroids).getField("cid").as("cell"))
-    // SCREEN pass (r21, guide §2.3/§8 + PairScreen doc): the blocked
-    // pair join ships int8 codes + one scale (~90 B/row) instead of
-    // 512-byte f64 unit vectors, and every candidate pair costs an i8
-    // dot instead of a f64 dot. A pair survives when its micro-unit
-    // upper bound reaches the k-th largest lower bound of EITHER its
-    // forward (src) or backward (tgt) neighborhood — nth_value over
-    // the same narrow pair rows — which provably keeps both exact
-    // top-k sets; survivors are re-scored with the exact f64 dot, so
-    // ranks, sums and the mutual flag are value-identical. Null-safe:
-    // a null approx degrades to the widest interval (kept, re-scored,
-    // exact null cosine ranks last — the r20 behavior).
-    // shuffle_hash: sort-merge buffers each cell group's rows on both
-    // sides; hashing one side measured 12.8x faster at sf3 (s22,
-    // SCALE.md r20); the ~90 B build rows widen its memory margin 6x.
-    val appx = PairScreen.approx(
-      col("src_qv"), col("src_qs"), col("tgt_qv"), col("tgt_qs"))
-    val bnd = PairScreen.bound(col("src_qs"), col("tgt_qs"), size(col("src_qv")))
-    val pairsQ = side(src, "src").hint("shuffle_hash").join(side(tgt, "tgt"), "cell")
-      .select(col("src_id"), col("tgt_id"),
-        coalesce(floor((appx - bnd) * 1e6).cast("long") - 1, lit(-3000000L))
-          .as("_lo"),
-        coalesce(floor((appx + bnd) * 1e6).cast("long") + 1, lit(3000000L))
-          .as("_hi"))
-    val wFlo = Window.partitionBy("src_id").orderBy(col("_lo").desc, col("tgt_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wBlo = Window.partitionBy("tgt_id").orderBy(col("_lo").desc, col("src_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cand = pairsQ
-      .withColumn("_flk",
-        coalesce(nth_value(col("_lo"), k).over(wFlo), lit(-3000000L)))
-      .withColumn("_blk",
-        coalesce(nth_value(col("_lo"), k).over(wBlo), lit(-3000000L)))
-      .where(col("_hi") >= col("_flk") || col("_hi") >= col("_blk"))
-      .select("src_id", "tgt_id")
-    // RESCORE pass: exact micro-cosine for the ~k-deep survivor sets
-    // only; AQE sizes the re-attach joins from the survivor count at
-    // runtime, so the full vectors stream out of the corpus scans.
-    val sv = src.select(col(idCol).as("src_id"), en.as("src_en"))
-    val tv = tgt.select(col(idCol).as("tgt_id"), en.as("tgt_en"))
-    val pairs = cand.join(sv, "src_id").join(tv, "tgt_id")
+    // shuffle_hash: the blocked pair join on `cell` carries unit
+    // vectors on both sides — sort-merge buffers each cell group's
+    // ~1 KB rows; hashing one side measured 12.8x faster at sf3
+    // (s22, SCALE.md r20). Strategy only — results identical.
+    //
+    // NOT screened (r21, measured): the PairScreen int8 screen that
+    // pays off for the threshold consumers (contamination, dedup) and
+    // the graph build was tried here and measured 2.3x SLOWER warm at
+    // sf3 (4.9 -> 11.3 s isolated) — a dual-direction top-k consumer
+    // ranks EVERY pair anyway, so the bound cut needs two full-frame
+    // nth_value windows (which buffer whole partitions where
+    // row_number streams) plus vector re-attach joins, and the i8 dot
+    // saving cannot cover them. The windows here already rank NARROW
+    // (src_id, tgt_id, cos_micro) rows — the dot is computed in-stage
+    // with the join, before any exchange.
+    val pairs = side(src, "src").hint("shuffle_hash").join(side(tgt, "tgt"), "cell")
       .select(col("src_id"), col("tgt_id"),
         floor(dot(col("src_en"), col("tgt_en")) * 1e6).cast("long")
           .as("cos_micro"))

@@ -63,26 +63,42 @@ class PairScreenSpec extends SparkSpec {
   }
 
   test("screened pair joins ship int8 codes through the exchange, not f64 vectors") {
-    // d13's operator at fixture scale: the ShuffledHashJoin's two
-    // child exchanges must carry array<tinyint> codes and no
-    // array<double> column (the sizing contract of the shuffle_hash
-    // hint is |corpus|/partitions rows of ~90 B build side — see
-    // PairScreen doc; a vector column here would sextuple it back)
-    import spark.implicits._
-    val vecs = (0L until 40L).map { i =>
-      (i, Array.tabulate(8)(d => math.sin(i * 17.0 + d).toFloat))
-    }.toDF("vec_id", "embedding")
-    val out = Clustering.semanticDedup(vecs, nCells = 2, tau = 0.9)
+    // s21's audit at fixture scale: the ShuffledHashJoin's two child
+    // exchanges must carry array<tinyint> codes and no array<double>
+    // column (the sizing contract of the shuffle_hash hint is
+    // |corpus|/partitions rows of ~90 B build side — see PairScreen
+    // doc; a vector column here would sextuple it back)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
+    val out = graft.SparkEntry.queries("s21_semantic_contamination")(
+      spark, "/root/testdata/sf0.001")
     out.queryExecution.toRdd.count()
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"), s"pair join not SHJ:\n$plan")
-    // the CELL exchange's payload row (the line right after it names
-    // the shuffled columns): codes (_qv/_qs) yes, unit vectors (_en) no
-    val exIdx = plan.indexOf("Exchange hashpartitioning(cell")
-    assert(exIdx >= 0, s"no cell exchange:\n$plan")
-    val exRegion = plan.substring(exIdx, math.min(plan.length, exIdx + 400))
-    assert(exRegion.contains("_qv"), s"no code column at the cell exchange:\n$exRegion")
-    assert(!exRegion.contains("_en"),
-      s"unit-vector column crosses the cell exchange:\n$exRegion")
+    // descend through AQE query-stage leaves (collect stops at them)
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(deep)
+    }
+    val shj = deep(out.queryExecution.executedPlan)
+      .collect { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty,
+      s"pair join not SHJ:\n${out.queryExecution.executedPlan}")
+    shj.foreach { j =>
+      val types = (j.left.output ++ j.right.output).map(_.dataType)
+      assert(types.exists {
+        case ArrayType(ByteType, _) => true; case _ => false
+      }, s"no int8 code column at the pair join:\n$j")
+      assert(!types.exists {
+        case ArrayType(DoubleType, _) => true; case _ => false
+      }, s"f64 vector column crosses the pair exchange:\n$j")
+    }
   }
 }
