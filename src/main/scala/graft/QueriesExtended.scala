@@ -1513,7 +1513,7 @@ object QueriesExtended {
     * fixture tau of 0.3 deliberately exercises the hard regime.
     */
   private def s21SemanticContamination(s: SparkSession, dir: String): DataFrame =
-    semanticContamination(s, dir, nprobeOf = _ => 4)
+    semanticContamination(s, dir, nprobeOf = _ => 4, screened = false)
 
   /** s21 in FRACTION mode (the measured fraction law as a query
     * surface): probe ceil(f·k) cells at f = 0.25 — the SCALE.md point
@@ -1524,13 +1524,34 @@ object QueriesExtended {
     */
   private def s22SemanticContaminationFrac(s: SparkSession, dir: String): DataFrame =
     semanticContamination(s, dir,
-      nprobeOf = k => Clustering.fractionNprobe(auditCellFraction, k))
+      nprobeOf = k => Clustering.fractionNprobe(auditCellFraction, k),
+      screened = true)
 
   /** s22's probe fraction — mirrored verbatim in its oracle SQL. */
   private val auditCellFraction = 0.25
 
+  /** `screened` picks the pair-scoring strategy (r21, measured — the
+    * results are identical either way, ProfQuery warm minima on
+    * /tmp/sf10, this box):
+    *
+    *   - true (s22 fraction mode): the cell-blocked join ships int8
+    *     codes + one scale (~90 B/row vs 512-byte f64 unit vectors),
+    *     rejects pairs on an i8 dot plus PairScreen's conservative
+    *     bound, and re-scores the survivors (the audit threshold
+    *     keeps ~7.5% of pairs — ProfScreen, sf3) with the exact f64
+    *     dot via vector re-attach joins. Fraction mode is pair-heavy
+    *     BY DESIGN (n_t·n_e·f), so the i8 saving on the ~92% rejected
+    *     mass dominates: s22 sf10 54.5 -> 26.8 s (2.0x).
+    *   - false (s21 fixed-nprobe): pair volume is k-fold smaller, so
+    *     the rescore joins cost more than the i8 dots save — screened
+    *     s21 measured 7.0 -> 14.6 s at sf10 — and the r20 in-stage
+    *     exact dot stays. The screen is a selectivity/volume tool,
+    *     not a default (same adjudication as d13/s12, see
+    *     Clustering.semanticDedup / Similarity.marginMining).
+    */
   private def semanticContamination(
-      s: SparkSession, dir: String, nprobeOf: Int => Int): DataFrame = {
+      s: SparkSession, dir: String, nprobeOf: Int => Int,
+      screened: Boolean): DataFrame = {
     val e = t(s, dir, "embeddings")
     val isEval = col("vec_id") % 10 === 7
     val train = e.where(!isEval)
@@ -1543,43 +1564,55 @@ object QueriesExtended {
     val nprobe = nprobeOf(cents.size)
     val tau = 0.3
     val en = operators.Similarity.normalized(col("embedding"))
-    // SCREEN pass (r21, guide §2.3/§8 + PairScreen doc): the
-    // cell-blocked pair join — the audit's only corpus-wide exchange
-    // AND its quadratic pair term — ships int8 codes + one scale
-    // (~90 B/row) instead of 512-byte f64 unit vectors, and rejects
-    // pairs on an i8 dot plus a conservative error bound. Survivors
-    // (a thin band around tau) are re-scored with the exact f64 dot
-    // below, so the audit's output is value-identical.
-    val trainCells = Clustering.assign(train, cents).select(
-      col("vec_id").as("train_id"), col("centroid_id").as("cell"),
-      operators.PairScreen.code(en).as("t_qv"),
-      operators.PairScreen.scale(en).as("t_qs"))
-    val evalCells = evalSide.select(
-        col("vec_id").as("eval_id"),
-        operators.PairScreen.code(en).as("e_qv"),
-        operators.PairScreen.scale(en).as("e_qs"),
-        explode(graft.functions.VectorExpressions
-          .topCentroidsStruct(col("embedding"), cents, nprobe)).as("pc"))
-      .select(col("eval_id"), col("e_qv"), col("e_qs"), col("pc.cid").as("cell"))
-    // shuffle_hash on the train side: sort-merge pays sorts +
-    // per-key-group buffering on BOTH sides of the ~√n-key cell join;
-    // a per-partition hash map of the train side streams the eval
-    // probes with no sort at all (strategy only — results identical;
-    // measured at sf3, SCALE.md r20). Build-side rows are now the
-    // ~90 B codes, widening the SHJ memory margin ~6x.
-    val cand = trainCells.hint("shuffle_hash").join(evalCells, Seq("cell"))
-      .where(operators.PairScreen.mayReach(tau,
-        col("t_qv"), col("t_qs"), col("e_qv"), col("e_qs")))
-      .select("train_id", "eval_id")
-    // RESCORE pass: exact f64 dot for the screened pairs only. The
-    // pair set is audit-output-sized, so AQE plans these re-attach
-    // joins as broadcasts of `cand` at runtime — the full vectors
-    // never cross an exchange (they stream out of the parquet scan).
-    val tv = train.select(col("vec_id").as("train_id"), en.as("t_en"))
-    val ev = evalSide.select(col("vec_id").as("eval_id"), en.as("e_en"))
-    cand.join(tv, "train_id").join(ev, "eval_id")
-      .select(col("train_id"), col("eval_id"),
-        round(operators.Similarity.dot(col("t_en"), col("e_en")), 6).as("cos"))
+    val scored = if (screened) {
+      // SCREEN pass (guide §2.3/§8 + PairScreen doc): codes through
+      // the exchange, i8 reject, exact rescore of survivors.
+      val trainCells = Clustering.assign(train, cents).select(
+        col("vec_id").as("train_id"), col("centroid_id").as("cell"),
+        operators.PairScreen.code(en).as("t_qv"),
+        operators.PairScreen.scale(en).as("t_qs"))
+      val evalCells = evalSide.select(
+          col("vec_id").as("eval_id"),
+          operators.PairScreen.code(en).as("e_qv"),
+          operators.PairScreen.scale(en).as("e_qs"),
+          explode(graft.functions.VectorExpressions
+            .topCentroidsStruct(col("embedding"), cents, nprobe)).as("pc"))
+        .select(col("eval_id"), col("e_qv"), col("e_qs"), col("pc.cid").as("cell"))
+      // shuffle_hash on the train side: sort-merge pays sorts +
+      // per-key-group buffering on BOTH sides of the ~√n-key cell
+      // join; a per-partition hash map of the train side streams the
+      // eval probes with no sort at all (strategy only — results
+      // identical; measured at sf3, SCALE.md r20). Build-side rows
+      // are the ~90 B codes, widening the SHJ memory margin ~6x.
+      val cand = trainCells.hint("shuffle_hash").join(evalCells, Seq("cell"))
+        .where(operators.PairScreen.mayReach(tau,
+          col("t_qv"), col("t_qs"), col("e_qv"), col("e_qs")))
+        .select("train_id", "eval_id")
+      // RESCORE: exact f64 dot for the screened pairs only. At gate
+      // SFs Catalyst broadcasts these re-attach joins; at corpus
+      // scale AQE sizes them from the runtime survivor count — the
+      // full vectors stream out of the parquet scan either way.
+      val tv = train.select(col("vec_id").as("train_id"), en.as("t_en"))
+      val ev = evalSide.select(col("vec_id").as("eval_id"), en.as("e_en"))
+      cand.join(tv, "train_id").join(ev, "eval_id")
+        .select(col("train_id"),
+          round(operators.Similarity.dot(col("t_en"), col("e_en")), 6).as("cos"))
+    } else {
+      // in-stage exact scoring (the r20 shape; shuffle_hash rationale
+      // as above with ~1 KB vector rows)
+      val trainCells = Clustering.assign(train, cents).select(
+        col("vec_id").as("train_id"), col("centroid_id").as("cell"),
+        en.as("t_en"))
+      val evalCells = evalSide.select(
+          en.as("e_en"),
+          explode(graft.functions.VectorExpressions
+            .topCentroidsStruct(col("embedding"), cents, nprobe)).as("pc"))
+        .select(col("e_en"), col("pc.cid").as("cell"))
+      trainCells.hint("shuffle_hash").join(evalCells, Seq("cell"))
+        .select(col("train_id"),
+          round(operators.Similarity.dot(col("t_en"), col("e_en")), 6).as("cos"))
+    }
+    scored
       .where(col("cos") >= tau)
       .groupBy("train_id")
       .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))

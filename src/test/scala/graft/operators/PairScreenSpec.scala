@@ -63,7 +63,9 @@ class PairScreenSpec extends SparkSpec {
   }
 
   test("screened pair joins ship int8 codes through the exchange, not f64 vectors") {
-    // s21's audit at fixture scale: the ShuffledHashJoin's two child
+    // s22's fraction-mode audit at fixture scale (the one screened
+    // audit — s21's fixed-nprobe mode measured faster unscreened, see
+    // semanticContamination): the ShuffledHashJoin's two child
     // exchanges must carry array<tinyint> codes and no array<double>
     // column (the sizing contract of the shuffle_hash hint is
     // |corpus|/partitions rows of ~90 B build side — see PairScreen
@@ -71,7 +73,7 @@ class PairScreenSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
-    val out = graft.SparkEntry.queries("s21_semantic_contamination")(
+    val out = graft.SparkEntry.queries("s22_semantic_contamination_frac")(
       spark, "/root/testdata/sf0.001")
     out.queryExecution.toRdd.count()
     // descend through AQE query-stage leaves (collect stops at them)
